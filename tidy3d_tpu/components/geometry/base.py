@@ -392,11 +392,6 @@ class Box(Centered):
             )
         return zero_dims[0]
 
-    # alias used across monitors/sources in reference code
-    @property
-    def injection_axis(self) -> Axis:
-        return self._plane_axis()
-
     @cached_property
     def frame(self):
         return None
