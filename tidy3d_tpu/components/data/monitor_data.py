@@ -1,0 +1,423 @@
+"""Per-monitor result containers with physics post-processing.
+
+Behavioral model: /root/reference/tidy3d/components/data/monitor_data.py
+(FieldData:927, FieldTimeData:1119, PermittivityData:1193, ModeData:1223,
+ModeSolverData:1823, FluxData:1898, FluxTimeData:1963, DiffractionData:2672):
+symmetry expansion, colocation, ``flux``, ``dot`` (mode overlap),
+``outer_dot``, intensity/poynting, normalization by source spectrum,
+mode tracking (overlap_sort) and polarization fractions.
+"""
+
+from __future__ import annotations
+
+from abc import ABC
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pydantic
+
+from ...constants import ETA_0, C_0
+from ...exceptions import DataError
+from ..base import Tidy3dBaseModel, cached_property
+from ..monitor import (
+    DiffractionMonitor,
+    FieldMonitor,
+    FieldTimeMonitor,
+    FluxMonitor,
+    FluxTimeMonitor,
+    ModeMonitor,
+    ModeSolverMonitor,
+    Monitor,
+    MonitorType,
+    PermittivityMonitor,
+)
+from ..types import Direction, EMField, Symmetry, annotate_type
+from .data_array import (
+    DataArray,
+    DiffractionDataArray,
+    FluxDataArray,
+    FluxTimeDataArray,
+    FreqDataArray,
+    FreqModeDataArray,
+    GroupIndexDataArray,
+    ModeAmpsDataArray,
+    ModeDispersionDataArray,
+    ModeIndexDataArray,
+    ScalarFieldDataArray,
+    ScalarFieldTimeDataArray,
+    ScalarModeFieldDataArray,
+)
+from .dataset import (
+    AbstractFieldDataset,
+    ElectromagneticFieldDataset,
+    FieldDataset,
+    FieldTimeDataset,
+    ModeSolverDataset,
+    PermittivityDataset,
+)
+
+
+class MonitorData(Tidy3dBaseModel, ABC):
+    """Base class of data corresponding to one monitor."""
+
+    monitor: annotate_type(MonitorType) = pydantic.Field(
+        ..., title="Monitor", description="Monitor associated with the data."
+    )
+
+    @property
+    def symmetry_expanded_copy(self) -> "MonitorData":
+        """Return data with symmetry applied (the TPU solver computes the full
+        domain, so this is the identity)."""
+        return self
+
+    def normalize(self, source_spectrum_fn: Callable) -> "MonitorData":
+        """Normalize frequency-domain data by the source spectrum."""
+        return self.copy()
+
+    def _updated(self, update: dict) -> "MonitorData":
+        return self.copy(update=update)
+
+
+class AbstractFieldData(MonitorData, AbstractFieldDataset, ABC):
+    """Field-like data on a grid."""
+
+    symmetry: Tuple[Symmetry, Symmetry, Symmetry] = pydantic.Field((0, 0, 0))
+
+    @property
+    def grid_expanded(self):
+        return None
+
+    def at_coords(self, coords) -> Dict[str, DataArray]:
+        return self.colocate(
+            x=getattr(coords, "x", None), y=getattr(coords, "y", None),
+            z=getattr(coords, "z", None),
+        )
+
+
+def _colocated_tangential_fields(data, normal_axis: int) -> Dict[str, np.ndarray]:
+    """Colocate the 4 tangential components onto a common grid on the plane
+    (in-plane coords of the first tangential E component; normal coordinate
+    interpolated to the monitor plane position and squeezed out)."""
+    dims = ["x", "y", "z"]
+    n_dim = dims.pop(normal_axis)
+    b_dim, c_dim = dims
+    comps = {}
+    field_components = data.field_components
+    names = []
+    for f in ("E", "H"):
+        for d in (b_dim, c_dim):
+            names.append(f"{f}{d}")
+    ref = field_components.get(names[0])
+    if ref is None:
+        raise DataError("missing tangential field components for flux/overlap")
+    target = {b_dim: ref.coords[b_dim], c_dim: ref.coords[c_dim]}
+    n_pos = float(np.asarray(data.monitor.center)[normal_axis]) \
+        if hasattr(data, "monitor") else None
+    for name in names:
+        arr = field_components.get(name)
+        if arr is None:
+            raise DataError(f"missing component {name}")
+        out = arr.interp(coords=target, kwargs=dict(fill_value=None))
+        if n_dim in out.dims:
+            if n_pos is not None and len(out.coords[n_dim]) > 1:
+                out = out.interp(coords={n_dim: n_pos})
+            else:
+                out = out.isel(**{n_dim: 0})
+        comps[name] = out
+    return comps, (b_dim, c_dim)
+
+
+class FieldData(AbstractFieldData, FieldDataset):
+    """Frequency-domain field data of a FieldMonitor (or flux surface)."""
+
+    monitor: Union[FieldMonitor, FluxMonitor] = pydantic.Field(...)  # type: ignore[assignment]
+
+    def normalize(self, source_spectrum_fn) -> "FieldData":
+        update = {}
+        for name, arr in self.field_components.items():
+            spectrum = source_spectrum_fn(np.asarray(arr.coords["f"]))
+            update[name] = type(arr)(arr.values / spectrum.reshape(
+                (1,) * (arr.values.ndim - 1) + (-1,)), coords=arr.coords)
+        return self.copy(update=update)
+
+    @cached_property
+    def _normal_axis(self) -> int:
+        return tuple(self.monitor.size).index(0.0)
+
+    @property
+    def poynting(self) -> ScalarFieldDataArray:
+        """Time-averaged Poynting vector component normal to the plane."""
+        comps, (b_dim, c_dim) = _colocated_tangential_fields(self, self._normal_axis)
+        e_b, e_c = comps[f"E{b_dim}"], comps[f"E{c_dim}"]
+        h_b, h_c = comps[f"H{b_dim}"], comps[f"H{c_dim}"]
+        s = 0.5 * (e_b.values * np.conj(h_c.values)
+                   - e_c.values * np.conj(h_b.values)).real
+        return e_b._maybe_same_cls(s)
+
+    def _plane_bounds(self, b_dim: str, c_dim: str):
+        rmin, rmax = self.monitor.bounds
+        b_ax, c_ax = "xyz".index(b_dim), "xyz".index(c_dim)
+        return ((rmin[b_ax], rmax[b_ax]), (rmin[c_ax], rmax[c_ax]))
+
+    def flux_value(self) -> FluxDataArray:
+        """Power flux through the monitor plane."""
+        comps, (b_dim, c_dim) = _colocated_tangential_fields(self, self._normal_axis)
+        e_b, e_c = comps[f"E{b_dim}"], comps[f"E{c_dim}"]
+        h_b, h_c = comps[f"H{b_dim}"], comps[f"H{c_dim}"]
+        s_vals = 0.5 * np.real(e_b.values * np.conj(h_c.values)
+                               - e_c.values * np.conj(h_b.values))
+        s = e_b._maybe_same_cls(s_vals)
+        flux = _integrate_plane(s, b_dim, c_dim,
+                                bounds=self._plane_bounds(b_dim, c_dim))
+        return FluxDataArray(np.asarray(flux), coords=dict(f=e_b.coords["f"]))
+
+    @property
+    def flux(self) -> FluxDataArray:
+        return self.flux_value()
+
+    @property
+    def intensity(self) -> ScalarFieldDataArray:
+        """|E|^2 at colocated positions."""
+        field_components = self.field_components
+        ref = None
+        total = None
+        for name in ("Ex", "Ey", "Ez"):
+            arr = field_components.get(name)
+            if arr is None:
+                continue
+            if ref is None:
+                ref = arr
+                total = np.abs(arr.values) ** 2
+            else:
+                vals = arr.interp(
+                    coords={d: ref.coords[d] for d in ("x", "y", "z")},
+                    kwargs=dict(fill_value=None)).values
+                total = total + np.abs(vals) ** 2
+        return ref._maybe_same_cls(total)
+
+    def dot(self, field_data, conjugate: bool = True) -> FreqDataArray:
+        """Overlap integral with another field-like dataset:
+        1/4 * integral (E1_c x H2 - H1_c x E2) . n dA   (c = conj if conjugate)."""
+        axis = self._normal_axis
+        amps = _mode_overlaps(self, field_data, axis, conjugate)
+        return amps
+
+    def outer_dot(self, field_data, conjugate: bool = True):
+        return self.dot(field_data, conjugate=conjugate)
+
+
+def _overlap_weights(coords: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Cell-overlap integration weights for sample points ``coords`` over the
+    interval [lo, hi]: each point is weighted by the length of its dual cell
+    clipped to the interval. Unlike trapezoid weights, adjacent surfaces of a
+    closed box tile the integration domain exactly (no edge-strip deficit)."""
+    coords = np.asarray(coords, dtype=float)
+    n = len(coords)
+    if n == 1:
+        return np.array([max(hi - lo, 1.0) if hi > lo else 1.0])
+    mids = 0.5 * (coords[1:] + coords[:-1])
+    edges = np.concatenate([[lo], mids, [hi]])
+    edges = np.clip(edges, lo, hi)
+    return np.maximum(np.diff(edges), 0.0)
+
+
+def _integrate_plane(arr: DataArray, b_dim: str, c_dim: str, bounds=None,
+                     axes_inds=None):
+    """Integrate a DataArray over the two in-plane dims using cell-overlap
+    weights (bounds = ((lo_b, hi_b), (lo_c, hi_c)); falls back to the coord
+    extents when not given)."""
+    out = arr
+    for di, dim in enumerate((b_dim, c_dim)):
+        coords = np.asarray(out.coords[dim], dtype=float)
+        if bounds is not None:
+            lo, hi = bounds[di]
+        else:
+            lo, hi = coords.min(), coords.max()
+        if len(coords) == 1:
+            out = out.isel(**{dim: 0})
+            if hi > lo:
+                out = out * (hi - lo)
+            continue
+        w = _overlap_weights(coords, lo, hi)
+        axis = out.dims.index(dim)
+        shape = [1] * out.values.ndim
+        shape[axis] = len(w)
+        weighted = out.values * w.reshape(shape)
+        summed = np.sum(weighted, axis=axis)
+        new_dims = tuple(d for d in out.dims if d != dim)
+        coords_new = {d: out.coords[d] for d in new_dims}
+        if not new_dims:
+            return summed
+        out = DataArray(summed, coords=coords_new, dims=new_dims)
+    return out
+
+
+def _mode_overlaps(data1, data2, axis: int, conjugate: bool = True):
+    """Mode-overlap 'dot' between two field datasets on the same plane."""
+    comps1, (b_dim, c_dim) = _colocated_tangential_fields(data1, axis)
+    # interp data2 components onto comps1 grid
+    f1 = comps1
+    fc2 = data2.field_components
+    target = {b_dim: f1[f"E{b_dim}"].coords[b_dim],
+              c_dim: f1[f"E{b_dim}"].coords[c_dim]}
+    f2 = {}
+    for name in (f"E{b_dim}", f"E{c_dim}", f"H{b_dim}", f"H{c_dim}"):
+        arr = fc2.get(name)
+        if arr is None:
+            raise DataError(f"missing component {name} in second dataset")
+        f2[name] = arr.interp(coords=target, kwargs=dict(fill_value=None))
+
+    def maybe_conj(x):
+        return np.conj(x) if conjugate else x
+
+    e1b, e1c = f1[f"E{b_dim}"], f1[f"E{c_dim}"]
+    h1b, h1c = f1[f"H{b_dim}"], f1[f"H{c_dim}"]
+    e2b, e2c = f2[f"E{b_dim}"], f2[f"E{c_dim}"]
+    h2b, h2c = f2[f"H{b_dim}"], f2[f"H{c_dim}"]
+
+    # broadcast: arrays may differ in extra dims (f vs f,mode_index)
+    from .data_array import _broadcast_arrays
+
+    def term(a, b):
+        av, bv, coords, dims = _broadcast_arrays(a, b)
+        return DataArray(av * bv, coords=coords, dims=dims)
+
+    integrand = (
+        term(e1b._maybe_same_cls(maybe_conj(e1b.values)), h2c)
+        - term(e1c._maybe_same_cls(maybe_conj(e1c.values)), h2b)
+        - term(h1c._maybe_same_cls(maybe_conj(h1c.values)), e2b)
+        + term(h1b._maybe_same_cls(maybe_conj(h1b.values)), e2c)
+    )
+    result = _integrate_plane(integrand * 0.25, b_dim, c_dim)
+    return result
+
+
+class FieldTimeData(AbstractFieldData, FieldTimeDataset):
+    """Time-domain field data."""
+
+    monitor: Union[FieldTimeMonitor, FluxTimeMonitor] = pydantic.Field(...)  # type: ignore[assignment]
+
+    @property
+    def poynting(self):
+        axis = tuple(self.monitor.size).index(0.0) if 0.0 in tuple(
+            self.monitor.size) else 0
+        comps, (b_dim, c_dim) = _colocated_tangential_fields(self, axis)
+        s = (comps[f"E{b_dim}"].values * comps[f"H{c_dim}"].values
+             - comps[f"E{c_dim}"].values * comps[f"H{b_dim}"].values)
+        return comps[f"E{b_dim}"]._maybe_same_cls(s)
+
+    def flux_value(self) -> FluxTimeDataArray:
+        axis = tuple(self.monitor.size).index(0.0)
+        comps, (b_dim, c_dim) = _colocated_tangential_fields(self, axis)
+        s_vals = (comps[f"E{b_dim}"].values * comps[f"H{c_dim}"].values
+                  - comps[f"E{c_dim}"].values * comps[f"H{b_dim}"].values)
+        s = comps[f"E{b_dim}"]._maybe_same_cls(s_vals)
+        rmin, rmax = self.monitor.bounds
+        b_ax, c_ax = "xyz".index(b_dim), "xyz".index(c_dim)
+        flux = _integrate_plane(
+            s, b_dim, c_dim,
+            bounds=((rmin[b_ax], rmax[b_ax]), (rmin[c_ax], rmax[c_ax])))
+        return FluxTimeDataArray(np.asarray(flux),
+                                 coords=dict(t=comps[f"E{b_dim}"].coords["t"]))
+
+
+class PermittivityData(MonitorData, PermittivityDataset):
+    """Diagonal permittivity data."""
+
+    monitor: PermittivityMonitor = pydantic.Field(...)  # type: ignore[assignment]
+
+
+class ModeData(MonitorData):
+    """Mode amplitudes + effective indices of a ModeMonitor."""
+
+    monitor: ModeMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    amps: ModeAmpsDataArray = pydantic.Field(..., title="Amplitudes")
+    n_complex: ModeIndexDataArray = pydantic.Field(..., title="Propagation Index")
+    n_group_raw: Optional[GroupIndexDataArray] = pydantic.Field(None)
+    dispersion_raw: Optional[ModeDispersionDataArray] = pydantic.Field(None)
+
+    @property
+    def n_eff(self):
+        return self.n_complex.real
+
+    @property
+    def k_eff(self):
+        return self.n_complex.imag
+
+    @property
+    def n_group(self):
+        return self.n_group_raw
+
+    def normalize(self, source_spectrum_fn) -> "ModeData":
+        spectrum = source_spectrum_fn(np.asarray(self.amps.coords["f"]))
+        new_amps = self.amps.values / spectrum.reshape(1, -1, 1)
+        return self.copy(update=dict(
+            amps=ModeAmpsDataArray(new_amps, coords=self.amps.coords)))
+
+
+class ModeSolverData(MonitorData, ModeSolverDataset):
+    """Mode fields + n_complex of a ModeSolverMonitor."""
+
+    monitor: ModeSolverMonitor = pydantic.Field(...)  # type: ignore[assignment]
+
+    def normalize(self, source_spectrum_fn) -> "ModeSolverData":
+        return self.copy()
+
+
+class FluxData(MonitorData):
+    """Power flux of a FluxMonitor."""
+
+    monitor: FluxMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    flux: FluxDataArray = pydantic.Field(..., title="Flux")
+
+    def normalize(self, source_spectrum_fn) -> "FluxData":
+        spectrum = source_spectrum_fn(np.asarray(self.flux.coords["f"]))
+        return self.copy(update=dict(flux=FluxDataArray(
+            self.flux.values / np.abs(spectrum) ** 2, coords=self.flux.coords)))
+
+
+class FluxTimeData(MonitorData):
+    """Power flux over time of a FluxTimeMonitor."""
+
+    monitor: FluxTimeMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    flux: FluxTimeDataArray = pydantic.Field(..., title="Flux")
+
+
+class DiffractionData(MonitorData):
+    """Diffraction order amplitudes."""
+
+    monitor: DiffractionMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    amps: DiffractionDataArray = pydantic.Field(..., title="Amplitudes")
+    sim_size: Tuple[float, float] = pydantic.Field(...)
+    bloch_vecs: Tuple[float, float] = pydantic.Field(...)
+    medium: Optional[Any] = pydantic.Field(None)
+
+    @property
+    def orders_x(self) -> np.ndarray:
+        return np.atleast_1d(np.asarray(self.amps.coords["orders_x"]))
+
+    @property
+    def orders_y(self) -> np.ndarray:
+        return np.atleast_1d(np.asarray(self.amps.coords["orders_y"]))
+
+    def normalize(self, source_spectrum_fn) -> "DiffractionData":
+        spectrum = source_spectrum_fn(np.asarray(self.amps.coords["f"]))
+        new = self.amps.values / spectrum.reshape(1, 1, -1, 1)
+        return self.copy(update=dict(amps=DiffractionDataArray(
+            new, coords=self.amps.coords)))
+
+    @property
+    def power(self) -> DataArray:
+        """|amp|^2 summed over polarization."""
+        vals = np.sum(np.abs(self.amps.values) ** 2, axis=-1)
+        return DataArray(vals, coords={
+            "orders_x": self.amps.coords["orders_x"],
+            "orders_y": self.amps.coords["orders_y"],
+            "f": self.amps.coords["f"]},
+            dims=("orders_x", "orders_y", "f"))
+
+
+MonitorDataType = Union[
+    FieldData, FieldTimeData, PermittivityData, ModeData, ModeSolverData,
+    FluxData, FluxTimeData, DiffractionData,
+]

@@ -1,0 +1,351 @@
+"""Local TPU execution with the reference's web API shape.
+
+The reference's ``web.run`` is upload -> start -> monitor -> load against a
+cloud solver (/root/reference/tidy3d/web/api/webapi.py:49-155). Here the same
+surface executes in-process: lower -> jit-compile -> time-step on TPU ->
+assemble SimulationData. Signatures are kept so reference notebooks run
+unchanged.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..components.data.data_array import (
+    FluxDataArray,
+    FluxTimeDataArray,
+    ModeAmpsDataArray,
+    ModeIndexDataArray,
+    ScalarFieldDataArray,
+    ScalarFieldTimeDataArray,
+)
+from ..components.data.monitor_data import (
+    FieldData,
+    FieldTimeData,
+    FluxData,
+    FluxTimeData,
+    ModeData,
+    ModeSolverData,
+    PermittivityData,
+    _integrate_plane,
+    _mode_overlaps,
+)
+from ..components.data.sim_data import SimulationData
+from ..components.monitor import (
+    FieldMonitor,
+    FieldTimeMonitor,
+    FluxMonitor,
+    FluxTimeMonitor,
+    ModeMonitor,
+    ModeSolverMonitor,
+    PermittivityMonitor,
+)
+from ..components.simulation import Simulation
+from ..exceptions import SetupError
+from ..log import log
+from ..solver.fdtd import FDTDRunner
+from ..solver.lowering import E_COMPS, H_COMPS, lower
+
+
+def run(
+    simulation: Simulation,
+    task_name: str = "local",
+    folder_name: str = "default",
+    path: str = None,
+    callback_url: str = None,
+    verbose: bool = True,
+    solver_version: str = None,
+    **kwargs,
+) -> SimulationData:
+    """Run a simulation locally on TPU and return its SimulationData."""
+    simulation.validate_pre_upload()
+    t_start = _time.time()
+    plan = lower(simulation)
+    if verbose:
+        nx, ny, nz = plan.shape
+        log.info(f"[{task_name}] lowered: grid {nx}x{ny}x{nz}, "
+                 f"{plan.num_steps} steps, {len(plan.sources)} source terms.")
+    runner = FDTDRunner(plan)
+    raw = runner.run(verbose=verbose)
+    if verbose:
+        ncells = np.prod(plan.shape)
+        rate = ncells * runner.steps_run / max(runner.wall_time, 1e-9)
+        log.info(f"[{task_name}] solved {runner.steps_run} steps in "
+                 f"{runner.wall_time:.2f}s ({rate / 1e9:.2f} Gcell*steps/s).")
+
+    sim_data = assemble_sim_data(simulation, plan, raw, runner, task_name)
+    if path is not None:
+        sim_data.to_file(path)
+    return sim_data
+
+
+def assemble_sim_data(simulation, plan, raw, runner, task_name="local") -> SimulationData:
+    """Build SimulationData from raw monitor accumulators."""
+    log_lines = [
+        f"task: {task_name}",
+        f"steps run: {runner.steps_run} / {plan.num_steps}",
+        f"wall time: {runner.wall_time:.3f} s",
+        f"field decay: {runner.final_decay:.2e}",
+    ]
+
+    # group plans by source monitor (flux monitors have per-surface plans)
+    surface_groups: Dict[str, List[int]] = {}
+    data_list = []
+    handled = set()
+    for idx, mp in enumerate(plan.monitors):
+        parent = (mp.mode_info or {}).get("parent")
+        if parent is not None:
+            surface_groups.setdefault(parent, []).append(idx)
+
+    for idx, mp in enumerate(plan.monitors):
+        if idx in handled:
+            continue
+        monitor = mp.monitor
+        info = mp.mode_info or {}
+        if info.get("parent") is not None:
+            continue  # handled with its parent group below
+        if isinstance(monitor, FieldMonitor):
+            data_list.append(_make_field_data(simulation, mp, raw[idx]))
+        elif isinstance(monitor, FieldTimeMonitor):
+            data_list.append(_make_field_time_data(simulation, plan, mp, raw[idx],
+                                                   runner))
+        elif isinstance(monitor, PermittivityMonitor):
+            data_list.append(_make_permittivity_data(simulation, plan, mp))
+        elif isinstance(monitor, (ModeMonitor, ModeSolverMonitor)):
+            data_list.append(_make_mode_data(simulation, mp, raw[idx]))
+
+    # flux monitors: combine their surface plans
+    for mon in simulation.monitors:
+        if isinstance(mon, FluxMonitor) and mon.name in surface_groups:
+            data_list.append(_make_flux_data(simulation, plan, raw,
+                                             surface_groups[mon.name], mon))
+        elif isinstance(mon, FluxTimeMonitor) and mon.name in surface_groups:
+            data_list.append(_make_flux_time_data(simulation, plan, raw,
+                                                  surface_groups[mon.name], mon,
+                                                  runner))
+
+    sim_data = SimulationData(
+        simulation=simulation, data=tuple(data_list), log="\n".join(log_lines),
+        diverged=False,
+    )
+    # normalize frequency-domain data by the source spectrum
+    if simulation.normalize_index is not None and simulation.sources:
+        spectrum_fn = sim_data.source_spectrum(simulation.normalize_index)
+        data_norm = tuple(md.normalize(spectrum_fn) for md in sim_data.data)
+        sim_data = sim_data.copy(update=dict(data=data_norm))
+    return sim_data
+
+
+# --------------------------------------------------------------------------- #
+# builders
+# --------------------------------------------------------------------------- #
+
+
+def _field_arrays_freq(mp, raw_mon) -> Dict[str, ScalarFieldDataArray]:
+    arrays = {}
+    freqs = np.asarray(mp.freqs)
+    for comp in mp.comps:
+        acc = raw_mon.get(comp)
+        if acc is None:
+            continue
+        coords = dict(mp.coords[comp])
+        coords["f"] = freqs
+        arrays[comp] = ScalarFieldDataArray(acc, coords=coords)
+    return arrays
+
+
+def _make_field_data(simulation, mp, raw_mon) -> FieldData:
+    arrays = _field_arrays_freq(mp, raw_mon)
+    monitor = mp.monitor
+    if monitor.colocate:
+        arrays = _colocate_to_boundaries(simulation, monitor, arrays)
+    return FieldData(monitor=monitor, symmetry=simulation.symmetry, **arrays)
+
+
+def _colocate_to_boundaries(simulation, monitor, arrays):
+    """Interpolate Yee-positioned fields onto primal-grid boundary points
+    within the monitor region (reference colocate semantics)."""
+    sub_grid = simulation.discretize_monitor(monitor)
+    bounds = sub_grid.boundaries
+    out = {}
+    for comp, arr in arrays.items():
+        coords = {}
+        for dim in "xyz":
+            axis = "xyz".index(dim)
+            if monitor.size[axis] == 0.0:
+                continue  # keep the single plane position
+            target = np.asarray(getattr(bounds, dim))[:-1]
+            if len(target) >= 1:
+                coords[dim] = target
+        out[comp] = arr.interp(coords=coords, kwargs=dict(fill_value=None)) \
+            if coords else arr
+        out[comp] = ScalarFieldDataArray(out[comp].values, coords=out[comp].coords) \
+            if set(out[comp].dims) == {"x", "y", "z", "f"} else out[comp]
+    return out
+
+
+def _make_field_time_data(simulation, plan, mp, raw_mon, runner) -> FieldTimeData:
+    monitor = mp.monitor
+    tmesh = plan.tmesh
+    beg, end, interval = mp.t_start, mp.t_stop, mp.t_interval
+    t_coords = tmesh[beg:end:interval] + plan.dt
+    arrays = {}
+    for comp in mp.comps:
+        acc = raw_mon.get(comp)
+        if acc is None:
+            continue
+        # acc shape (n_samples, nx, ny, nz) -> (nx, ny, nz, t)
+        vals = np.moveaxis(acc, 0, -1)[..., :len(t_coords)]
+        coords = dict(mp.coords[comp])
+        coords["t"] = t_coords[:vals.shape[-1]]
+        arrays[comp] = ScalarFieldTimeDataArray(np.real(vals), coords=coords)
+    return FieldTimeData(monitor=monitor, symmetry=simulation.symmetry, **arrays)
+
+
+def _make_permittivity_data(simulation, plan, mp) -> PermittivityData:
+    freqs = np.asarray(mp.freqs)
+    arrays = {}
+    for ci, comp in enumerate(E_COMPS):
+        eps = plan.eps_yee[comp]
+        sl = mp.slices[comp]
+        vals = eps[sl][..., None] * np.ones((1, 1, 1, len(freqs)))
+        coords = dict(mp.coords[comp])
+        coords["f"] = freqs
+        arrays[f"eps_{comp[1]}{comp[1]}"] = ScalarFieldDataArray(
+            vals.astype(np.complex64), coords=coords)
+    return PermittivityData(monitor=mp.monitor, **arrays)
+
+
+def _surface_flux(simulation, plan, raw, idx, normal_dir: str) -> np.ndarray:
+    """Flux through one recorded surface plan (positive along +axis)."""
+    mp = plan.monitors[idx]
+    arrays = _field_arrays_freq(mp, raw[idx])
+    axis = mp.mode_info["axis"]
+    surf_monitor = type("M", (), {})()
+    data = FieldData(
+        monitor=FieldMonitor(
+            center=mp.monitor.center, size=mp.monitor.size,
+            freqs=mp.freqs.tolist(), name=mp.monitor.name, colocate=False,
+        ),
+        **arrays,
+    )
+    flux = data.flux_value()
+    sign = 1.0 if normal_dir == "+" else -1.0
+    return sign * np.asarray(flux.values), np.asarray(mp.freqs)
+
+
+def _make_flux_data(simulation, plan, raw, idxs, monitor) -> FluxData:
+    total = None
+    freqs = None
+    for idx in idxs:
+        mp = plan.monitors[idx]
+        normal_dir = mp.mode_info.get("normal_dir") or "+"
+        vals, freqs = _surface_flux(simulation, plan, raw, idx, normal_dir)
+        total = vals if total is None else total + vals
+    return FluxData(monitor=monitor,
+                    flux=FluxDataArray(total, coords=dict(f=freqs)))
+
+
+def _make_flux_time_data(simulation, plan, raw, idxs, monitor, runner) -> FluxTimeData:
+    total = None
+    t_coords = None
+    for idx in idxs:
+        mp = plan.monitors[idx]
+        normal_dir = mp.mode_info.get("normal_dir") or "+"
+        sign = 1.0 if normal_dir == "+" else -1.0
+        tmesh = plan.tmesh
+        t_coords = tmesh[mp.t_start:mp.t_stop:mp.t_interval] + plan.dt
+        arrays = {}
+        for comp in mp.comps:
+            acc = raw[idx].get(comp)
+            if acc is None:
+                continue
+            vals = np.moveaxis(acc, 0, -1)[..., :len(t_coords)]
+            coords = dict(mp.coords[comp])
+            coords["t"] = t_coords[:vals.shape[-1]]
+            arrays[comp] = ScalarFieldTimeDataArray(np.real(vals), coords=coords)
+        ft = FieldTimeData(
+            monitor=FieldTimeMonitor(
+                center=mp.monitor.center, size=mp.monitor.size,
+                name=mp.monitor.name, colocate=False,
+            ), **arrays)
+        flux = ft.flux_value()
+        vals = sign * np.asarray(flux.values)
+        total = vals if total is None else total + vals
+    return FluxTimeData(monitor=monitor,
+                        flux=FluxTimeDataArray(total, coords=dict(t=t_coords)))
+
+
+def _make_mode_data(simulation, mp, raw_mon):
+    """ModeData / ModeSolverData: overlap DFT fields with solver modes."""
+    from ..plugins.mode.mode_solver import ModeSolver
+
+    monitor = mp.monitor
+    arrays = _field_arrays_freq(mp, raw_mon)
+    freqs = np.asarray(mp.freqs)
+    mode_spec = monitor.mode_spec
+
+    solver = ModeSolver(
+        simulation=simulation, plane=monitor.geometry, mode_spec=mode_spec,
+        freqs=freqs.tolist(), colocate=False,
+    )
+    mode_data_raw = solver.data_raw
+
+    field_data = FieldData(
+        monitor=FieldMonitor(
+            center=monitor.center, size=monitor.size, freqs=freqs.tolist(),
+            name=monitor.name, colocate=False,
+        ),
+        **{k: v for k, v in arrays.items() if k in
+           ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz")},
+    )
+
+    if isinstance(monitor, ModeSolverMonitor):
+        return ModeSolverData(
+            monitor=monitor,
+            Ex=mode_data_raw.Ex, Ey=mode_data_raw.Ey, Ez=mode_data_raw.Ez,
+            Hx=mode_data_raw.Hx, Hy=mode_data_raw.Hy, Hz=mode_data_raw.Hz,
+            n_complex=mode_data_raw.n_complex,
+        )
+
+    # amplitudes in both directions via overlap with the (unit-power) modes
+    num_modes = mode_spec.num_modes
+    amps = np.zeros((2, len(freqs), num_modes), dtype=np.complex128)
+    axis = mp.mode_info["axis"]
+
+    mode_fields = mode_data_raw  # ModeSolverData-like with mode_index dim
+    amp_plus = _mode_overlaps(mode_fields, field_data, axis, conjugate=True)
+    # backward modes: tangential H negated -> overlap with flipped H
+    flipped = {}
+    for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
+        arr = getattr(mode_fields, comp, None)
+        if arr is None:
+            continue
+        if comp[0] == "H":
+            flipped[comp] = type(arr)(-arr.values, coords=arr.coords)
+        else:
+            flipped[comp] = arr
+    from ..components.data.dataset import ModeSolverDataset
+
+    mode_fields_minus = ModeSolverDataset(**flipped)
+    amp_minus = _mode_overlaps(mode_fields_minus, field_data, axis, conjugate=True)
+
+    def to_np(arr):
+        vals = np.asarray(arr.values if hasattr(arr, "values") else arr)
+        # dims (f, mode_index) expected
+        if hasattr(arr, "dims") and tuple(arr.dims) != ("f", "mode_index"):
+            order = [arr.dims.index("f"), arr.dims.index("mode_index")]
+            vals = np.transpose(vals, order)
+        return vals
+
+    amps[0] = to_np(amp_plus)   # '+' direction
+    amps[1] = to_np(amp_minus)  # '-' direction
+
+    amps_arr = ModeAmpsDataArray(
+        amps, coords=dict(direction=np.array(["+", "-"]), f=freqs,
+                          mode_index=np.arange(num_modes)))
+    return ModeData(monitor=monitor, amps=amps_arr,
+                    n_complex=mode_data_raw.n_complex)
