@@ -1,0 +1,98 @@
+"""Medium models: eps evaluation, pole-residue conversions, validators."""
+
+import numpy as np
+import pytest
+
+import tidy3d_tpu as td
+
+F0 = 2e14
+
+
+def test_medium_eps():
+    med = td.Medium(permittivity=4.0, conductivity=1e-4)
+    eps = med.eps_model(F0)
+    assert np.isclose(eps.real, 4.0)
+    assert eps.imag > 0
+
+
+def test_medium_from_nk():
+    med = td.Medium.from_nk(n=2.0, k=0.1, freq=F0)
+    n, k = med.nk_model(F0)
+    assert np.isclose(n, 2.0, rtol=1e-6)
+    assert np.isclose(k, 0.1, rtol=1e-6)
+
+
+def test_gain_validation():
+    with pytest.raises(Exception):
+        td.Medium(conductivity=-1e-4)
+    td.Medium(conductivity=-1e-4, allow_gain=True)
+
+
+@pytest.mark.parametrize("med", [
+    td.Sellmeier(coeffs=((0.6961663, 0.0684043**2), (0.4079426, 0.1162414**2))),
+    td.Lorentz(eps_inf=2.0, coeffs=((1.5, 3e14, 1e13),)),
+    td.Lorentz(eps_inf=2.0, coeffs=((1.5, 3e14, 5e14),)),  # overdamped
+    td.Drude(eps_inf=1.0, coeffs=((2e15, 1e13),)),
+    td.Debye(eps_inf=2.0, coeffs=((1.5, 1e-15),)),
+])
+def test_pole_residue_equivalence(med):
+    freqs = np.array([1e14, 2e14, 4e14])
+    direct = med.eps_model(freqs)
+    via_pr = med.pole_residue.eps_model(freqs)
+    assert np.allclose(direct, via_pr, rtol=1e-8)
+
+
+def test_pole_residue_causality():
+    with pytest.raises(Exception):
+        td.PoleResidue(eps_inf=1.0, poles=(((1e13 + 1e15j), (1e15 + 0j)),))
+
+
+def test_pec():
+    assert td.PEC.is_pec
+    assert td.Medium().is_pec is False
+
+
+def test_anisotropic():
+    med = td.AnisotropicMedium(xx=td.Medium(permittivity=2),
+                               yy=td.Medium(permittivity=3),
+                               zz=td.Medium(permittivity=4))
+    eps = med.eps_diagonal(F0)
+    assert np.isclose(eps[0].real, 2)
+    assert np.isclose(eps[2].real, 4)
+    assert np.isclose(med.n_cfl, np.sqrt(2))
+
+
+def test_fully_anisotropic():
+    med = td.FullyAnisotropicMedium(
+        permittivity=[[2, 0.1, 0], [0.1, 2.5, 0], [0, 0, 3]])
+    assert np.isclose(med.eps_comp(0, 1, F0).real, 0.1)
+    with pytest.raises(Exception):
+        td.FullyAnisotropicMedium(permittivity=[[2, 0.5, 0], [0, 2, 0], [0, 0, 3]])
+
+
+def test_custom_medium():
+    coords = dict(x=np.linspace(-1, 1, 5), y=np.linspace(-1, 1, 5),
+                  z=np.linspace(-1, 1, 5))
+    eps_data = td.SpatialDataArray(np.full((5, 5, 5), 4.0), coords=coords)
+    med = td.CustomMedium(permittivity=eps_data)
+    arrs = med.eps_dataarray_freq(F0)
+    assert np.allclose(arrs[0].values.real, 4.0)
+    assert med.n_cfl == 2.0
+    cropped = med.sel_inside(((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)))
+    assert cropped.permittivity.values.shape[0] <= 5
+
+
+def test_medium2d():
+    sheet = td.Medium2D(ss=td.Medium(permittivity=2),
+                        tt=td.Medium(permittivity=2, conductivity=1e-4))
+    vol = sheet.volumetric_equivalent(axis=2, adjacent_media=(td.Medium(), td.Medium()),
+                                      adjacent_dls=(0.01, 0.01))
+    assert isinstance(vol, td.AnisotropicMedium)
+
+
+def test_serialization_roundtrip():
+    for med in [td.Medium(permittivity=2.3),
+                td.PoleResidue(eps_inf=1.5, poles=(((-1e13 + 2e15j), (1e15 + 0j)),)),
+                td.PEC]:
+        med2 = type(med).model_validate(type(med)._parse_json_string(med._json_string))
+        assert med2 == med

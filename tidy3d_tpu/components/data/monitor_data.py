@@ -98,9 +98,10 @@ def _colocated_tangential_fields(data, normal_axis: int) -> Dict[str, np.ndarray
     """Colocate the 4 tangential components onto a common grid on the plane
     (in-plane coords of the first tangential E component; normal coordinate
     interpolated to the monitor plane position and squeezed out)."""
-    dims = ["x", "y", "z"]
-    n_dim = dims.pop(normal_axis)
-    b_dim, c_dim = dims
+    # cyclic ordering (a, b, c) so that S_a = E_b H_c - E_c H_b keeps its sign
+    n_dim = "xyz"[normal_axis]
+    b_dim = "xyz"[(normal_axis + 1) % 3]
+    c_dim = "xyz"[(normal_axis + 2) % 3]
     comps = {}
     field_components = data.field_components
     names = []
@@ -234,9 +235,9 @@ def _integrate_plane(arr: DataArray, b_dim: str, c_dim: str, bounds=None,
         else:
             lo, hi = coords.min(), coords.max()
         if len(coords) == 1:
+            # single-point dim: unit weight (2D simulations measure flux per
+            # micron of the collapsed dimension)
             out = out.isel(**{dim: 0})
-            if hi > lo:
-                out = out * (hi - lo)
             continue
         w = _overlap_weights(coords, lo, hi)
         axis = out.dims.index(dim)

@@ -139,9 +139,14 @@ def _read_stl_ascii(filename: str) -> np.ndarray:
 
 
 def _points_in_mesh_z(pts: np.ndarray, v0, v1, v2) -> np.ndarray:
-    """Even-odd test casting rays along +z. pts: (P, 3); v*: (T, 3)."""
-    px = pts[:, 0:1]
-    py = pts[:, 1:2]
+    """Even-odd test casting rays along +z. pts: (P, 3); v*: (T, 3).
+
+    Query points are nudged by a tiny irrational offset so rays avoid hitting
+    shared triangle edges exactly (grid points regularly align with mesh
+    edges during rasterization, which would double-count crossings)."""
+    scale = max(float(np.max(np.abs(pts))) if pts.size else 1.0, 1.0)
+    px = pts[:, 0:1] + 1.3721e-9 * scale
+    py = pts[:, 1:2] + 2.7183e-9 * scale
     pz = pts[:, 2:3]
     # 2D barycentric test in (x, y)
     x0, y0 = v0[:, 0], v0[:, 1]

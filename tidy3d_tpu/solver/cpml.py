@@ -71,6 +71,7 @@ def _bc_coeffs(sigma: np.ndarray, kappa: np.ndarray, alpha: np.ndarray
 
 def make_pml_coeffs(
     coords: np.ndarray,
+    bounds: np.ndarray,
     num_lo: int,
     num_hi: int,
     params_lo: Optional[PMLParams],
@@ -79,40 +80,49 @@ def make_pml_coeffs(
 ) -> PmlCoeffs1D:
     """CPML coefficients for field points along one axis.
 
-    coords : positions of the field points along the axis (length N).
-        For primal-located derivatives (E updates differentiating H) pass the
-        E-point positions; for dual pass H-point positions.
+    coords : positions of the field points (length N). For the E-update
+        (derivatives of H at E points) pass the boundary positions
+        (``dual=True``); for the H-update pass cell centers.
+    bounds : the N+1 cell boundary coordinates — they define the PHYSICAL PML
+        interval [wall, interface] shared by both staggered families. The
+        profile must be sampled at each family's true positions within that
+        common interval (a half-cell-misaligned profile between E and H points
+        is a classic CPML reflection-floor killer).
     num_lo/num_hi : number of PML *cells* on each side.
     """
     n = len(coords)
     inv_kappa = np.ones(n)
     b = np.zeros(n)
     c = np.zeros(n)
+    bounds = np.asarray(bounds)
 
     if num_lo > 0 and params_lo is not None and n > 2 * num_lo:
-        # PML spans the first num_lo cells: inner edge at coords index num_lo
-        edge = coords[num_lo] if not dual else coords[num_lo]
-        width = edge - coords[0]
+        wall = bounds[0]
+        interface = bounds[num_lo]
+        width = interface - wall
         if width > 0:
-            pts = coords[:num_lo + 1]
-            dists = np.clip((edge - pts) / width, 0.0, 1.0)
+            n_pts = num_lo + 1
+            pts = coords[:n_pts]
+            dists = np.clip((interface - pts) / width, 0.0, 1.0)
             sigma, kappa, alpha = _profiles(dists, params_lo)
             bb, cc = _bc_coeffs(sigma, kappa, alpha)
-            inv_kappa[: num_lo + 1] = 1.0 / kappa
-            b[: num_lo + 1] = bb
-            c[: num_lo + 1] = cc
+            inv_kappa[:n_pts] = 1.0 / kappa
+            b[:n_pts] = bb
+            c[:n_pts] = cc
 
     if num_hi > 0 and params_hi is not None and n > 2 * num_hi:
-        edge = coords[n - 1 - num_hi]
-        width = coords[-1] - edge
+        wall = bounds[-1]
+        interface = bounds[len(bounds) - 1 - num_hi]
+        width = wall - interface
         if width > 0:
-            pts = coords[n - 1 - num_hi:]
-            dists = np.clip((pts - edge) / width, 0.0, 1.0)
+            n_pts = num_hi + 1
+            pts = coords[n - n_pts:]
+            dists = np.clip((pts - interface) / width, 0.0, 1.0)
             sigma, kappa, alpha = _profiles(dists, params_hi)
             bb, cc = _bc_coeffs(sigma, kappa, alpha)
-            inv_kappa[n - 1 - num_hi:] = 1.0 / kappa
-            b[n - 1 - num_hi:] = bb
-            c[n - 1 - num_hi:] = cc
+            inv_kappa[n - n_pts:] = 1.0 / kappa
+            b[n - n_pts:] = bb
+            c[n - n_pts:] = cc
 
     return PmlCoeffs1D(inv_kappa=inv_kappa, b=b, c=c, n_lo=num_lo, n_hi=num_hi)
 

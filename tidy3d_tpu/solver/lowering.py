@@ -240,9 +240,9 @@ def lower(simulation: Simulation) -> SimulationPlan:
         # E update: derivative of H along `axis` lives at boundary-located
         # positions (bounds[:-1]); H update: derivative of E at centers.
         pml_dual.append(cpml_mod.make_pml_coeffs(
-            bounds[dim][:-1], n_lo, n_hi, p_lo, p_hi, dual=True))
+            bounds[dim][:-1], bounds[dim], n_lo, n_hi, p_lo, p_hi, dual=True))
         pml_primal.append(cpml_mod.make_pml_coeffs(
-            centers[dim], n_lo, n_hi, p_lo, p_hi, dual=False))
+            centers[dim], bounds[dim], n_lo, n_hi, p_lo, p_hi, dual=False))
 
     is_complex = any(abs(p - 1.0) > 1e-12 for p in bloch_phases)
 
