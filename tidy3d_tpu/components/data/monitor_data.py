@@ -259,14 +259,26 @@ def _mode_overlaps(data1, data2, axis: int, conjugate: bool = True):
     # interp data2 components onto comps1 grid
     f1 = comps1
     fc2 = data2.field_components
+    n_dim = "xyz"[axis]
     target = {b_dim: f1[f"E{b_dim}"].coords[b_dim],
               c_dim: f1[f"E{b_dim}"].coords[c_dim]}
+    n_pos = None
+    if hasattr(data2, "monitor") and data2.monitor is not None:
+        n_pos = float(np.asarray(data2.monitor.center)[axis])
+    elif hasattr(data1, "monitor") and data1.monitor is not None:
+        n_pos = float(np.asarray(data1.monitor.center)[axis])
     f2 = {}
     for name in (f"E{b_dim}", f"E{c_dim}", f"H{b_dim}", f"H{c_dim}"):
         arr = fc2.get(name)
         if arr is None:
             raise DataError(f"missing component {name} in second dataset")
-        f2[name] = arr.interp(coords=target, kwargs=dict(fill_value=None))
+        out = arr.interp(coords=target, kwargs=dict(fill_value=None))
+        if n_dim in out.dims:
+            if n_pos is not None and len(out.coords[n_dim]) > 1:
+                out = out.interp(coords={n_dim: n_pos})
+            else:
+                out = out.isel(**{n_dim: 0})
+        f2[name] = out
 
     def maybe_conj(x):
         return np.conj(x) if conjugate else x
@@ -283,11 +295,13 @@ def _mode_overlaps(data1, data2, axis: int, conjugate: bool = True):
         av, bv, coords, dims = _broadcast_arrays(a, b)
         return DataArray(av * bv, coords=coords, dims=dims)
 
+    # 1/4 integral [E1c x H2 + E2 x H1c] . n  (c = conj when conjugate=True):
+    # (E1c x H2)_n = e1b_c h2c - e1c_c h2b ; (E2 x H1c)_n = e2b h1c_c - e2c h1b_c
     integrand = (
         term(e1b._maybe_same_cls(maybe_conj(e1b.values)), h2c)
         - term(e1c._maybe_same_cls(maybe_conj(e1c.values)), h2b)
-        - term(h1c._maybe_same_cls(maybe_conj(h1c.values)), e2b)
-        + term(h1b._maybe_same_cls(maybe_conj(h1b.values)), e2c)
+        + term(h1c._maybe_same_cls(maybe_conj(h1c.values)), e2b)
+        - term(h1b._maybe_same_cls(maybe_conj(h1b.values)), e2c)
     )
     result = _integrate_plane(integrand * 0.25, b_dim, c_dim)
     return result

@@ -1,0 +1,2 @@
+from .mode_solver import ModeSolver
+from .solver import compute_modes

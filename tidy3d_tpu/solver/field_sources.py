@@ -192,6 +192,17 @@ def _mode_source_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
     data = solver.data_raw
     slices_coords = _tangential_slices_coords(simulation, source, plane_axis)
 
+    # propagation phase across the staggered sheet offsets: each Yee component
+    # sits at a slightly different normal position z_comp; the mode varies as
+    # exp(+/- i beta (z - z0)), which sets the J/M relative phase that makes
+    # the injection unidirectional
+    n_eff = complex(data.n_complex.values[0, int(source.mode_index)])
+    k0 = 2 * np.pi * freq0 / C_0
+    beta = k0 * n_eff
+    sign = 1.0 if source.direction == "+" else -1.0
+    z0 = source.center[plane_axis]
+    n_dim = "xyz"[plane_axis]
+
     fields = {}
     for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
         sl, coords = slices_coords[comp]
@@ -204,7 +215,10 @@ def _mode_source_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
             x=coords["x"], y=coords["y"], z=coords["z"],
             kwargs=dict(fill_value=0.0),
         ).values
-        fields[comp] = {"profile": np.asarray(prof, dtype=np.complex64), "slices": sl}
+        delta = float(coords[n_dim][0]) - z0
+        phase = np.exp(1j * sign * beta * delta)
+        fields[comp] = {"profile": np.asarray(prof * phase, dtype=np.complex64),
+                        "slices": sl}
     return fields
 
 
