@@ -2,30 +2,31 @@
 source injection, and on-device running-DFT monitor accumulation.
 
 This is the component the reference keeps server-side (its cloud GPU engine —
-see SURVEY.md section 2.3 item 1). Design notes (TPU-first):
+see SURVEY.md §2.3 item 1). TPU-first design:
 
-* One jitted ``chunk`` function advances C steps with ``lax.fori_loop``; the
-  host loop over chunks implements the field-decay shutoff check
-  (reference contract: Simulation.shutoff, webapi monitor loop).
-* All constant arrays (material coefficients, PML profiles, source profiles,
-  DFT kernels) are passed as jit ARGUMENTS, not closure captures — closure
-  constants would be fetched from the device during lowering (pathological
-  over a remote-device tunnel) and embedded into the HLO (pathological for
-  large grids). As arguments they are device-resident and donated-safe.
-* Stencils are expressed as slice+concat shifts (not gathers); XLA fuses the
-  curl + CPML + material update into a few elementwise kernels over
-  VMEM-resident tiles. A fused Pallas kernel path plugs in behind the same
-  interface (solver/kernels/).
-* CPML psi memories live only in boundary slabs (concat composition), so the
-  bulk update touches exactly E, H, and coefficients — HBM-bandwidth-bound.
-* Complex (Bloch) simulations switch the field dtype to complex64; everything
-  else is float32.
+* **Ghost-cell field layout.** E/H live in (nx+2, ny+2, nz+2) arrays with a
+  1-cell ghost margin. Every stencil shift is then a pure overlapping SLICE of
+  a stored array — XLA fuses slice→elementwise→dynamic-update-slice chains
+  into single HBM-bandwidth-bound kernels, unlike concat/pad-based shifts
+  which materialize intermediates (measured 3-10x slower). The interior write
+  is an in-place dynamic-update-slice on the loop carry. Ghosts encode the
+  boundary condition: zero = PEC-backed, refreshed wrap plane = periodic,
+  mirrored plane = PMC.
+* **CPML as fold + correction.** The 1/kappa stretch folds into the inverse
+  step-size vectors (free); the recursive psi memories live only in boundary
+  slabs and enter as small slab-sized corrections added to the interior
+  update.
+* The whole run is ONE jitted dispatch: a while_loop over chunks with the
+  field-decay shutoff evaluated on device (critical behind a high-latency
+  device tunnel; also optimal on-prem).
+* All device math is real f32: complex values (DFT phasors, pole states) are
+  explicit (re, im) pairs. TPU has no native complex support.
+* Uniform material coefficients collapse to scalars (less HBM traffic).
 """
 
 from __future__ import annotations
 
 import time as _time
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -38,9 +39,9 @@ from ..constants import EPSILON_0
 from ..log import log
 from .lowering import E_COMPS, H_COMPS, SimulationPlan
 
-# number of chunks used for the shutoff check
 NUM_CHUNKS = 20
 SHUTOFF_MIN_CHUNKS = 4
+G = 1  # ghost width
 
 
 def _axis_reshape(vec: np.ndarray, axis: int) -> np.ndarray:
@@ -49,16 +50,38 @@ def _axis_reshape(vec: np.ndarray, axis: int) -> np.ndarray:
     return vec.reshape(shape)
 
 
+def _is_trivial(sl) -> bool:
+    return all(s == slice(None) for s in sl)
+
+
+def _take(arr, sl):
+    """arr[sl], skipping the indexing op entirely when the slice is trivial
+    (jnp emits a real lax.slice even for all-full slices)."""
+    if _is_trivial(sl):
+        return arr
+    return arr[sl]
+
+
+def _bslice(vec_3d: np.ndarray, sl) -> np.ndarray:
+    """Slice a (1, n, 1)-style broadcast vector consistently with a 3D slice."""
+    if jnp.ndim(vec_3d) == 0 or _is_trivial(sl):
+        return vec_3d
+    take = tuple(s if vec_3d.shape[ax] != 1 else slice(None)
+                 for ax, s in enumerate(sl))
+    if _is_trivial(take):
+        return vec_3d
+    return vec_3d[take]
+
+
 class FDTDRunner:
     """Compiles and runs the time-stepping loop for one SimulationPlan."""
 
-    def __init__(self, plan: SimulationPlan, precision: str = "float32"):
+    def __init__(self, plan: SimulationPlan, precision: str = "float32",
+                 sharding_plan=None):
         self.plan = plan
-        self.shape = plan.shape
-        # device math is strictly real f32: complex numbers (DFT phasors,
-        # dispersive pole states) are carried as explicit (re, im) pairs.
-        # TPU has no native complex support, so this is both a requirement
-        # of the backend and faster than emulated complex64.
+        self.shape = plan.shape           # interior (physical) shape
+        self.gshape = tuple(n + 2 * G for n in plan.shape)
+        self.sharding = sharding_plan
         if plan.is_complex:
             raise NotImplementedError(
                 "Bloch boundaries with non-trivial phase are not yet supported "
@@ -78,8 +101,6 @@ class FDTDRunner:
         f32 = np.float32
 
         def compact(arr: np.ndarray):
-            """Spatially-uniform coefficient arrays collapse to scalars: far
-            less H2D traffic and far fewer HBM bytes in the hot loop."""
             arr = np.asarray(arr, f32)
             flat0 = arr.flat[0]
             if np.all(arr == flat0):
@@ -91,36 +112,53 @@ class FDTDRunner:
                               for c, (a, b) in plan.coeffs_E.items()}
         consts["coeffs_H"] = {c: (compact(a), compact(b))
                               for c, (a, b) in plan.coeffs_H.items()}
-        consts["inv_primal"] = [
-            _axis_reshape(v.astype(f32), a) for a, v in enumerate(plan.inv_primal)]
-        consts["inv_dual"] = [
-            _axis_reshape(v.astype(f32), a) for a, v in enumerate(plan.inv_dual)]
 
-        # static pml slab widths; coefficient vectors go into consts
+        # inverse steps with the CPML 1/kappa stretch folded in
         self.pml_meta: Dict[Tuple[str, int], Tuple[int, int]] = {}
         consts["pml"] = {}
-        for fam, coeffs in (("dual", plan.pml_dual), ("primal", plan.pml_primal)):
-            for axis, cf in enumerate(coeffs):
-                n = self.shape[axis]
+        inv_dual_eff = []
+        inv_primal_eff = []
+        for axis in range(3):
+            n = self.shape[axis]
+            cf_d = plan.pml_dual[axis]
+            cf_p = plan.pml_primal[axis]
+            inv_dual_eff.append(
+                _axis_reshape((plan.inv_dual[axis] * cf_d.inv_kappa).astype(f32), axis))
+            inv_primal_eff.append(
+                _axis_reshape((plan.inv_primal[axis] * cf_p.inv_kappa).astype(f32),
+                              axis))
+            # round slab widths up to the hardware tile quantum of the axis
+            # (1 / 8 sublanes / 128 lanes) so that the region-concat pieces are
+            # tile-aligned; the extra slab cells carry b=c=0 (psi stays zero)
+            quantum = (1, 8, 128)[axis]
+            for fam, cf in (("dual", cf_d), ("primal", cf_p)):
                 w_lo = min(cf.n_lo + 1, n) if cf.n_lo else 0
                 w_hi = min(cf.n_hi + 1, n) if cf.n_hi else 0
+                w_lo_q = -(-w_lo // quantum) * quantum if w_lo else 0
+                w_hi_q = -(-w_hi // quantum) * quantum if w_hi else 0
+                if w_lo_q + w_hi_q <= n and (n - w_lo_q - w_hi_q) % quantum == 0:
+                    w_lo, w_hi = w_lo_q, w_hi_q
+                elif w_lo_q + w_hi_q <= n:
+                    w_lo, w_hi = w_lo_q, w_hi_q  # middle misaligned; still better
                 self.pml_meta[(fam, axis)] = (w_lo, w_hi)
                 if w_lo == 0 and w_hi == 0:
                     continue
+                # c_eff = c * kappa compensates the kappa folded into inv_*
+                kappa = 1.0 / np.where(cf.inv_kappa == 0, 1.0, cf.inv_kappa)
+                c_eff = cf.c * kappa
                 consts["pml"][f"{fam}{axis}"] = dict(
-                    inv_kappa=_axis_reshape(cf.inv_kappa.astype(f32), axis),
                     b_lo=_axis_reshape(cf.b[:w_lo].astype(f32), axis),
-                    c_lo=_axis_reshape(cf.c[:w_lo].astype(f32), axis),
+                    c_lo=_axis_reshape(c_eff[:w_lo].astype(f32), axis),
                     b_hi=_axis_reshape(cf.b[n - w_hi:].astype(f32), axis),
-                    c_hi=_axis_reshape(cf.c[n - w_hi:].astype(f32), axis),
+                    c_hi=_axis_reshape(c_eff[n - w_hi:].astype(f32), axis),
                 )
+        consts["inv_dual"] = inv_dual_eff
+        consts["inv_primal"] = inv_primal_eff
 
         consts["waveforms"] = np.asarray(plan.waveforms)
         consts["src_profiles"] = [np.asarray(sp.profile) for sp in plan.sources]
 
-        # 1D PEC-wall masks: zero tangential E on lower domain walls of
-        # non-periodic axes (upper-wall E planes are not stored). Kept 1D so
-        # the masking is a fused broadcast multiply, not an array read.
+        # 1D PEC-wall masks for tangential E on lower domain walls
         consts["wall_masks"] = {}
         for i, comp in enumerate(E_COMPS):
             masks = []
@@ -134,18 +172,17 @@ class FDTDRunner:
             if masks:
                 consts["wall_masks"][comp] = masks
 
-        # dispersive poles: scalars stay static, residue maps are arguments
-        # (complex values carried as explicit re/im pairs of f32 arrays)
+        # dispersive poles (complex scalars static; residue maps as re/im)
         dt = plan.dt
         self.pole_scalars = []
         consts["pole_B"] = []
         for pole in plan.poles:
             a = pole.a
             A = (1.0 + a * dt / 2.0) / (1.0 - a * dt / 2.0)
-            G = a * (A + 1.0)
-            self.pole_scalars.append((complex(A), complex(G)))
+            Gc = a * (A + 1.0)
+            self.pole_scalars.append((complex(A), complex(Gc)))
             consts["pole_B"].append([
-                (np.asarray(np.real(Bm), np.float32), np.asarray(np.imag(Bm), np.float32))
+                (np.asarray(np.real(Bm), f32), np.asarray(np.imag(Bm), f32))
                 for Bm in (EPSILON_0 * cm * (dt / 2.0) / (1.0 - a * dt / 2.0)
                            for cm in pole.c_maps)
             ])
@@ -159,16 +196,16 @@ class FDTDRunner:
                 apod = mp.monitor.apodization.apodization_weights(tmesh) \
                     if getattr(mp.monitor, "apodization", None) is not None \
                     else np.ones_like(tmesh)
-                t_e = tmesh + plan.dt          # E^{n+1} at t_{n+1}
-                t_h = tmesh + 1.5 * plan.dt    # H^{n+3/2}
+                t_e = tmesh + plan.dt
+                t_h = tmesh + 1.5 * plan.dt
                 w = plan.dt * apod
                 ang_e = 2 * np.pi * t_e[:, None] * freqs[None, :]
                 ang_h = 2 * np.pi * t_h[:, None] * freqs[None, :]
                 consts["dft"][str(mi)] = (
-                    (w[:, None] * np.cos(ang_e)).astype(np.float32),
-                    (w[:, None] * np.sin(ang_e)).astype(np.float32),
-                    (w[:, None] * np.cos(ang_h)).astype(np.float32),
-                    (w[:, None] * np.sin(ang_h)).astype(np.float32),
+                    (w[:, None] * np.cos(ang_e)).astype(f32),
+                    (w[:, None] * np.sin(ang_e)).astype(f32),
+                    (w[:, None] * np.cos(ang_h)).astype(f32),
+                    (w[:, None] * np.sin(ang_h)).astype(f32),
                 )
         self.consts = consts
 
@@ -179,14 +216,20 @@ class FDTDRunner:
     def init_state(self) -> dict:
         dtype = self.dtype
         shape = self.shape
+
+        def zeros(s):
+            z = jnp.zeros(s, dtype)
+            if self.sharding is not None and len(s) == 3:
+                z = self.sharding.constrain(z)
+            return z
+
         state = {
-            "E": {c: jnp.zeros(shape, dtype) for c in E_COMPS},
-            "H": {c: jnp.zeros(shape, dtype) for c in H_COMPS},
+            "E": {c: zeros(shape) for c in E_COMPS},
+            "H": {c: zeros(shape) for c in H_COMPS},
             "psi": {},
             "Q": [],
             "mon": [],
         }
-        # psi slabs: key "comp|axis|side"
         for comp in E_COMPS + H_COMPS:
             fam = "dual" if comp[0] == "E" else "primal"
             i = "xyz".index(comp[1])
@@ -197,13 +240,9 @@ class FDTDRunner:
                         continue
                     s = list(shape)
                     s[deriv_axis] = width
-                    state["psi"][f"{comp}|{deriv_axis}|{side}"] = jnp.zeros(
-                        tuple(s), dtype)
+                    state["psi"][f"{comp}|{deriv_axis}|{side}"] = zeros(tuple(s))
         for _ in self.pole_scalars:
-            # complex pole state as (re, im) pairs of f32
-            state["Q"].append({c: (jnp.zeros(shape, jnp.float32),
-                                   jnp.zeros(shape, jnp.float32))
-                               for c in E_COMPS})
+            state["Q"].append({c: (zeros(shape), zeros(shape)) for c in E_COMPS})
         for mi, mp in enumerate(self.plan.monitors):
             acc = {}
             if mp.kind == "field" and str(mi) in self.consts["dft"]:
@@ -223,151 +262,226 @@ class FDTDRunner:
         return state
 
     # ------------------------------------------------------------------ #
-    # shifts and pml
+    # stencil shifts (concat-based: one aligned materialization per shift)
     # ------------------------------------------------------------------ #
 
-    def _shift_down(self, F, axis: int):
-        """Return F_{i-1} along axis (wrap per boundary kind at the low side)."""
+    def _int(self, F):
+        return F
+
+    def _sh_dn(self, F, axis: int):
+        """F_{i-1} along axis (wrap per boundary kind at the low side)."""
         n = F.shape[axis]
         kind = self.plan.boundaries[axis][0]
         last = lax.slice_in_dim(F, n - 1, n, axis=axis)
-        if kind == "periodic":
-            phase = self.plan.bloch_phases[axis]
-            if abs(phase - 1.0) > 1e-12:
-                last = last * jnp.asarray(np.conj(phase), self.dtype)
-        elif kind == "pec":
+        if kind == "pec":
             last = jnp.zeros_like(last)
-        else:  # pmc: mirror -> zero derivative
+        elif kind == "pmc":
             last = lax.slice_in_dim(F, 0, 1, axis=axis)
         rest = lax.slice_in_dim(F, 0, n - 1, axis=axis)
         return lax.concatenate([last, rest], dimension=axis)
 
-    def _shift_up(self, F, axis: int):
-        """Return F_{i+1} along axis (wrap per boundary kind at the high side)."""
+    def _sh_up(self, F, axis: int):
+        """F_{i+1} along axis (wrap per boundary kind at the high side)."""
         n = F.shape[axis]
         kind = self.plan.boundaries[axis][1]
         first = lax.slice_in_dim(F, 0, 1, axis=axis)
-        if kind == "periodic":
-            phase = self.plan.bloch_phases[axis]
-            if abs(phase - 1.0) > 1e-12:
-                first = first * jnp.asarray(phase, self.dtype)
-        elif kind == "pec":
+        if kind == "pec":
             first = jnp.zeros_like(first)
-        else:  # pmc
+        elif kind == "pmc":
             first = lax.slice_in_dim(F, n - 1, n, axis=axis)
         rest = lax.slice_in_dim(F, 1, n, axis=axis)
         return lax.concatenate([rest, first], dimension=axis)
 
-    def _apply_pml(self, consts, d, fam: str, axis: int, psi_lo, psi_hi):
-        """d -> d/kappa + psi within PML slabs; returns (term, psi_lo', psi_hi')."""
-        w_lo, w_hi = self.pml_meta[(fam, axis)]
-        if w_lo == 0 and w_hi == 0:
-            return d, psi_lo, psi_hi
-        pml = consts["pml"][f"{fam}{axis}"]
-        n = d.shape[axis]
-        term = d * pml["inv_kappa"]
-        parts = []
-        if w_lo:
-            d_lo = lax.slice_in_dim(d, 0, w_lo, axis=axis)
-            psi_lo = pml["b_lo"] * psi_lo + pml["c_lo"] * d_lo
-            parts.append(lax.slice_in_dim(term, 0, w_lo, axis=axis) + psi_lo)
-        parts.append(lax.slice_in_dim(term, w_lo, n - w_hi, axis=axis))
-        if w_hi:
-            d_hi = lax.slice_in_dim(d, n - w_hi, n, axis=axis)
-            psi_hi = pml["b_hi"] * psi_hi + pml["c_hi"] * d_hi
-            parts.append(lax.slice_in_dim(term, n - w_hi, n, axis=axis) + psi_hi)
-        term = lax.concatenate(parts, dimension=axis)
-        return term, psi_lo, psi_hi
+    def _slab_slices(self, axis: int, side: str, width: int):
+        """Interior-coordinate slices selecting a PML slab along axis."""
+        sl = [slice(None)] * 3
+        n = self.shape[axis]
+        sl[axis] = slice(0, width) if side == "lo" else slice(n - width, n)
+        return tuple(sl)
 
     # ------------------------------------------------------------------ #
     # the step
     # ------------------------------------------------------------------ #
 
+    @staticmethod
+    def _region_ranges(n: int, w_lo: int, w_hi: int):
+        """[(start, stop, kind)] partition of [0, n): lo-slab / mid / hi-slab."""
+        regions = []
+        if w_lo:
+            regions.append((0, w_lo, "lo"))
+        if n - w_hi > w_lo:
+            regions.append((w_lo, n - w_hi, None))
+        if w_hi:
+            regions.append((n - w_hi, n, "hi"))
+        return regions
+
+    def _update_field_family(self, step, state, consts, family: str, newE=None):
+        """One half-step: family 'E' (uses H) or 'H' (uses E^{n+1}).
+
+        CPML handling: the update is assembled as a 3x3 region concat over the
+        two derivative axes (j, k) of each component — psi terms appear only
+        in the slab pieces, every piece is a pure elementwise expression over
+        slices, and the concat is the single output materialization. This
+        avoids both full-size psi traffic and scatter (dynamic-update-slice)
+        writes, which measure 1.5-3x slower on TPU."""
+        plan = self.plan
+        is_e = family == "E"
+        out_comps = E_COMPS if is_e else H_COMPS
+        src_fields = state["H"] if is_e else newE
+        coeffs = consts["coeffs_E"] if is_e else consts["coeffs_H"]
+        inv = consts["inv_dual"] if is_e else consts["inv_primal"]
+        fam = "dual" if is_e else "primal"
+        shift = self._sh_dn if is_e else self._sh_up
+        sign_shift = 1.0 if is_e else -1.0  # backward vs forward difference
+
+        new_fields = {}
+        new_psi = {}
+        Q = state["Q"]
+        for i, comp in enumerate(out_comps):
+            j, k = (i + 1) % 3, (i + 2) % 3
+            other = H_COMPS if is_e else E_COMPS
+            Fk = src_fields[other[k]]
+            Fj = src_fields[other[j]]
+            # shifted copies (one aligned materialization each)
+            Fk_sh = shift(Fk, j)
+            Fj_sh = shift(Fj, k)
+            ca, cb = coeffs[comp]
+            F_old = state[family][comp]
+
+            def d1_of(sl):
+                return sign_shift * (_take(Fk, sl) - _take(Fk_sh, sl)) \
+                    * _bslice(inv[j], sl)
+
+            def d2_of(sl):
+                return sign_shift * (_take(Fj, sl) - _take(Fj_sh, sl)) \
+                    * _bslice(inv[k], sl)
+
+            # psi slab updates (full slabs, spanning corners)
+            w_lo_j, w_hi_j = self.pml_meta[(fam, j)]
+            w_lo_k, w_hi_k = self.pml_meta[(fam, k)]
+            pml_j = consts["pml"].get(f"{fam}{j}")
+            pml_k = consts["pml"].get(f"{fam}{k}")
+            psi1 = {}
+            psi2 = {}
+            for side, width in (("lo", w_lo_j), ("hi", w_hi_j)):
+                key = f"{comp}|{j}|{side}"
+                if width and key in state["psi"]:
+                    sl = self._slab_slices(j, side, width)
+                    psi_new = pml_j[f"b_{side}"] * state["psi"][key] \
+                        + pml_j[f"c_{side}"] * d1_of(sl)
+                    new_psi[key] = psi_new
+                    psi1[side] = (psi_new, sl)
+            for side, width in (("lo", w_lo_k), ("hi", w_hi_k)):
+                key = f"{comp}|{k}|{side}"
+                if width and key in state["psi"]:
+                    sl = self._slab_slices(k, side, width)
+                    psi_new = pml_k[f"b_{side}"] * state["psi"][key] \
+                        + pml_k[f"c_{side}"] * d2_of(sl)
+                    new_psi[key] = psi_new
+                    psi2[side] = (psi_new, sl)
+
+            # region assembly over (j, k)
+            regions_j = self._region_ranges(self.shape[j], w_lo_j if "lo" in psi1
+                                            else 0, w_hi_j if "hi" in psi1 else 0)
+            regions_k = self._region_ranges(self.shape[k], w_lo_k if "lo" in psi2
+                                            else 0, w_hi_k if "hi" in psi2 else 0)
+            wall = consts["wall_masks"].get(comp, ()) if is_e else ()
+
+            def piece(rj, rk):
+                sl = [slice(None)] * 3
+                if not (rj[0] == 0 and rj[1] == self.shape[j]):
+                    sl[j] = slice(rj[0], rj[1])
+                if not (rk[0] == 0 and rk[1] == self.shape[k]):
+                    sl[k] = slice(rk[0], rk[1])
+                sl = tuple(sl)
+                rhs = d1_of(sl) - d2_of(sl)
+                if rj[2] is not None:
+                    psi_new, slab_sl = psi1[rj[2]]
+                    psi_piece_sl = [slice(None)] * 3
+                    psi_piece_sl[j] = slice(rj[0] - slab_sl[j].start,
+                                            rj[1] - slab_sl[j].start)
+                    psi_piece_sl[k] = sl[k]
+                    rhs = rhs + psi_new[tuple(psi_piece_sl)]
+                if rk[2] is not None:
+                    psi_new, slab_sl = psi2[rk[2]]
+                    psi_piece_sl = [slice(None)] * 3
+                    psi_piece_sl[k] = slice(rk[0] - slab_sl[k].start,
+                                            rk[1] - slab_sl[k].start)
+                    psi_piece_sl[j] = sl[j]
+                    rhs = rhs - psi_new[tuple(psi_piece_sl)]
+                if is_e:
+                    for (A, Gc), Qp in zip(self.pole_scalars, Q):
+                        qr, qi = Qp[comp]
+                        rhs = rhs - (Gc.real * _take(qr, sl)
+                                     - Gc.imag * _take(qi, sl))
+                ca_p = _take(ca, sl) if jnp.ndim(ca) else ca
+                cb_p = _take(cb, sl) if jnp.ndim(cb) else cb
+                if is_e:
+                    out = ca_p * _take(F_old, sl) + cb_p * rhs
+                    for mask in wall:
+                        out = out * _bslice(mask, sl)
+                else:
+                    out = ca_p * _take(F_old, sl) - cb_p * rhs
+                return out
+
+            if len(regions_j) == 1 and len(regions_k) == 1:
+                new_fields[comp] = piece(regions_j[0], regions_k[0])
+            else:
+                rows = []
+                for rj in regions_j:
+                    cols = [piece(rj, rk) for rk in regions_k]
+                    rows.append(cols[0] if len(cols) == 1
+                                else lax.concatenate(cols, dimension=k))
+                new_fields[comp] = rows[0] if len(rows) == 1 \
+                    else lax.concatenate(rows, dimension=j)
+        return new_fields, new_psi
+
     def _step(self, step, state, consts):
-        E, H, psi, Q = state["E"], state["H"], state["psi"], state["Q"]
         plan = self.plan
 
         # ---------------- E update ---------------- #
-        newE = {}
-        new_psi = dict(psi)
-        for i, comp in enumerate(E_COMPS):
-            j, k = (i + 1) % 3, (i + 2) % 3
-            Hk = H[H_COMPS[k]]
-            Hj = H[H_COMPS[j]]
-            d1 = (Hk - self._shift_down(Hk, j)) * consts["inv_dual"][j]
-            d2 = (Hj - self._shift_down(Hj, k)) * consts["inv_dual"][k]
-            t1, p1l, p1h = self._apply_pml(
-                consts, d1, "dual", j,
-                psi.get(f"{comp}|{j}|lo"), psi.get(f"{comp}|{j}|hi"))
-            t2, p2l, p2h = self._apply_pml(
-                consts, d2, "dual", k,
-                psi.get(f"{comp}|{k}|lo"), psi.get(f"{comp}|{k}|hi"))
-            for key, val in ((f"{comp}|{j}|lo", p1l), (f"{comp}|{j}|hi", p1h),
-                             (f"{comp}|{k}|lo", p2l), (f"{comp}|{k}|hi", p2h)):
-                if val is not None and key in psi:
-                    new_psi[key] = val
-            curl = t1 - t2
-            ca, cb = consts["coeffs_E"][comp]
-            rhs = curl
-            for (A, G), Qp in zip(self.pole_scalars, Q):
-                qr, qi = Qp[comp]
-                # Re(G * Q) with complex scalar G and real-pair Q
-                rhs = rhs - (G.real * qr - G.imag * qi)
-            newE[comp] = ca * E[comp] + cb * rhs
-            for mask in consts["wall_masks"].get(comp, ()):
-                newE[comp] = newE[comp] * mask
+        newE_int, psi_E = self._update_field_family(step, state, consts, "E")
 
-        # source injection into E (J terms)
+        # source injection into E (J terms) on interior intermediates
         for si, sp in enumerate(plan.sources):
             if sp.comp in E_COMPS:
                 _, cb = consts["coeffs_E"][sp.comp]
                 cb_sl = cb[sp.slices] if jnp.ndim(cb) else cb
                 wf = consts["waveforms"][sp.waveform_key, step]
-                add = (-cb_sl * consts["src_profiles"][si] * wf).astype(self.dtype)
-                newE[sp.comp] = newE[sp.comp].at[sp.slices].add(add)
+                add = -cb_sl * consts["src_profiles"][si] * wf
+                newE_int[sp.comp] = newE_int[sp.comp].at[sp.slices].add(add)
 
-        # dispersive Q update (needs E^{n+1} + E^n); complex as re/im pairs
+        # dispersive Q update (needs E^{n+1} + E^n on the interior)
         newQ = []
-        for (A, G), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"], Q):
+        for (A, Gc), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"],
+                                       state["Q"]):
             newQp = {}
             for ci, comp in enumerate(E_COMPS):
-                esum = newE[comp] + E[comp]
+                esum = newE_int[comp] + self._int(state["E"][comp])
                 qr, qi = Qp[comp]
                 br, bi = B_maps[ci]
                 newQp[comp] = (A.real * qr - A.imag * qi + br * esum,
                                A.imag * qr + A.real * qi + bi * esum)
             newQ.append(newQp)
 
-        # ---------------- H update ---------------- #
-        newH = {}
-        for i, comp in enumerate(H_COMPS):
-            j, k = (i + 1) % 3, (i + 2) % 3
-            Ek = newE[E_COMPS[k]]
-            Ej = newE[E_COMPS[j]]
-            d1 = (self._shift_up(Ek, j) - Ek) * consts["inv_primal"][j]
-            d2 = (self._shift_up(Ej, k) - Ej) * consts["inv_primal"][k]
-            t1, p1l, p1h = self._apply_pml(
-                consts, d1, "primal", j,
-                psi.get(f"{comp}|{j}|lo"), psi.get(f"{comp}|{j}|hi"))
-            t2, p2l, p2h = self._apply_pml(
-                consts, d2, "primal", k,
-                psi.get(f"{comp}|{k}|lo"), psi.get(f"{comp}|{k}|hi"))
-            for key, val in ((f"{comp}|{j}|lo", p1l), (f"{comp}|{j}|hi", p1h),
-                             (f"{comp}|{k}|lo", p2l), (f"{comp}|{k}|hi", p2h)):
-                if val is not None and key in psi:
-                    new_psi[key] = val
-            curl = t1 - t2
-            da, db = consts["coeffs_H"][comp]
-            newH[comp] = da * H[comp] - db * curl
+        newE = newE_int
 
-        # source injection into H (M terms)
+        # ---------------- H update ---------------- #
+        newH_int, psi_H = self._update_field_family(step, state, consts, "H",
+                                                    newE=newE)
         for si, sp in enumerate(plan.sources):
             if sp.comp in H_COMPS:
                 _, db = consts["coeffs_H"][sp.comp]
                 db_sl = db[sp.slices] if jnp.ndim(db) else db
                 wf = consts["waveforms"][sp.waveform_key, step]
-                add = (-db_sl * consts["src_profiles"][si] * wf).astype(self.dtype)
-                newH[sp.comp] = newH[sp.comp].at[sp.slices].add(add)
+                add = -db_sl * consts["src_profiles"][si] * wf
+                newH_int[sp.comp] = newH_int[sp.comp].at[sp.slices].add(add)
+
+        newH = newH_int
+
+        new_psi = dict(state["psi"])
+        new_psi.update(psi_E)
+        new_psi.update(psi_H)
 
         # ---------------- monitors ---------------- #
         new_mon = []
@@ -383,8 +497,8 @@ class FDTDRunner:
                 }
                 new_acc = {}
                 for comp in mp.comps:
-                    fields = newE if comp in E_COMPS else newH
-                    vals = fields[comp][mp.slices[comp]][..., None]
+                    ints = newE_int if comp in E_COMPS else newH_int
+                    vals = ints[comp][mp.slices[comp]][..., None]
                     cos_t, sin_t = ph[comp[0]]
                     acc_re, acc_im = acc[comp]
                     new_acc[comp] = (acc_re + vals * cos_t, acc_im + vals * sin_t)
@@ -397,8 +511,8 @@ class FDTDRunner:
                 sample_idx = jnp.maximum((step - mp.t_start) // mp.t_interval, 0)
                 new_acc = {}
                 for comp in mp.comps:
-                    fields = newE if comp in E_COMPS else newH
-                    vals = fields[comp][mp.slices[comp]]
+                    ints = newE_int if comp in E_COMPS else newH_int
+                    vals = ints[comp][mp.slices[comp]]
                     cur = acc[comp]
                     idx = jnp.where(in_window, sample_idx, 0)
                     updated = lax.dynamic_update_index_in_dim(
@@ -430,16 +544,11 @@ class FDTDRunner:
         return jax.jit(chunk, donate_argnums=(0,))
 
     def _make_run_fn(self, chunk_size: int, num_chunks: int):
-        """The whole time loop as ONE jitted call: a while_loop over chunks
-        with the field-decay shutoff evaluated on device. Exactly one host
-        dispatch and one device->host transfer per simulation (critical when
-        the device sits behind a high-latency tunnel; also optimal on-prem)."""
         shutoff = float(self.plan.simulation.shutoff or 0.0)
 
         def run_all(consts):
-            # state is created inside the jit so initialization is part of the
-            # single compiled program (no per-buffer eager dispatches)
             state = self.init_state()
+
             def cond(carry):
                 ci, st, max_ever, cur = carry
                 not_done = ci < num_chunks
@@ -464,10 +573,6 @@ class FDTDRunner:
                      jnp.zeros((), jnp.float32))
             ci, state, max_ever, cur = lax.while_loop(cond, body, carry)
             stats = jnp.stack([ci.astype(jnp.float32), max_ever, cur])
-            # pack every monitor accumulator + stats into ONE flat f32 vector:
-            # a single device->host transfer for the whole simulation result
-            # (re, im) accumulator pairs are stacked into single arrays so the
-            # result pytree has one buffer per monitor component
             mon_out = []
             for acc in state["mon"]:
                 packed = {}
@@ -482,8 +587,8 @@ class FDTDRunner:
         return jax.jit(run_all)
 
     def run(self, verbose: bool = False) -> dict:
-        """Execute the time loop; returns raw monitor data (numpy) keyed by
-        monitor-plan index. The whole loop is one device dispatch."""
+        """Execute the time loop (single device dispatch); returns raw monitor
+        data (numpy) keyed by monitor-plan index."""
         plan = self.plan
         num_steps = self.num_steps
         chunk_size = max(num_steps // NUM_CHUNKS, 1)
@@ -492,11 +597,14 @@ class FDTDRunner:
         run_fn = self._make_run_fn(chunk_size, num_chunks)
 
         start_time = _time.time()
-        consts = jax.device_put(self.consts)
+        if self.sharding is not None:
+            consts = self.sharding.put_consts(self.consts)
+        else:
+            consts = jax.device_put(self.consts)
         mon_out, stats = run_fn(consts)
         stats_np = np.asarray(jax.device_get(stats))
         self.wall_time = _time.time() - start_time
-        self.compile_time = 0.0  # folded into wall_time (single dispatch)
+        self.compile_time = 0.0
 
         chunks_run = int(stats_np[0])
         max_ever = float(stats_np[1])
@@ -519,7 +627,7 @@ class FDTDRunner:
             mon = {}
             for comp, arr in acc.items():
                 vals = np.asarray(jax.device_get(arr))
-                if mp.kind == "field":  # stacked (2, ..., nf) re/im
+                if mp.kind == "field":
                     mon[comp] = vals[0] + 1j * vals[1]
                 else:
                     mon[comp] = vals
