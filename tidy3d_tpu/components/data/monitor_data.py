@@ -22,6 +22,9 @@ from ..base import Tidy3dBaseModel, cached_property
 from ..monitor import (
     DiffractionMonitor,
     FieldMonitor,
+    FieldProjectionAngleMonitor,
+    FieldProjectionCartesianMonitor,
+    FieldProjectionKSpaceMonitor,
     FieldTimeMonitor,
     FluxMonitor,
     FluxTimeMonitor,
@@ -35,6 +38,9 @@ from ..types import Direction, EMField, Symmetry, annotate_type
 from .data_array import (
     DataArray,
     DiffractionDataArray,
+    FieldProjectionAngleDataArray,
+    FieldProjectionCartesianDataArray,
+    FieldProjectionKSpaceDataArray,
     FluxDataArray,
     FluxTimeDataArray,
     FreqDataArray,
@@ -398,6 +404,84 @@ class FluxTimeData(MonitorData):
     flux: FluxTimeDataArray = pydantic.Field(..., title="Flux")
 
 
+class AbstractFieldProjectionData(MonitorData):
+    """Far-field projection data base: spherical field components."""
+
+    projection_surfaces: Tuple = pydantic.Field((), title="Projection surfaces")
+
+    @property
+    def field_components(self) -> Dict[str, DataArray]:
+        return {k: getattr(self, k) for k in ("Er", "Etheta", "Ephi",
+                                              "Hr", "Htheta", "Hphi")
+                if getattr(self, k, None) is not None}
+
+    def normalize(self, source_spectrum_fn) -> "AbstractFieldProjectionData":
+        update = {}
+        for name, arr in self.field_components.items():
+            spectrum = source_spectrum_fn(np.asarray(arr.coords["f"]))
+            update[name] = type(arr)(
+                arr.values / spectrum.reshape((1,) * (arr.values.ndim - 1) + (-1,)),
+                coords=arr.coords)
+        return self.copy(update=update)
+
+    @property
+    def fields_spherical(self):
+        return self.field_components
+
+    @property
+    def power(self) -> DataArray:
+        """Radiated power density |E|^2 / (2 eta)."""
+        from ...constants import ETA_0
+
+        e2 = sum(np.abs(arr.values) ** 2 for name, arr in
+                 self.field_components.items() if name.startswith("E"))
+        ref = self.Etheta
+        return ref._maybe_same_cls(e2 / (2 * ETA_0))
+
+    @property
+    def radar_cross_section(self) -> DataArray:
+        ref = self.Etheta
+        e2 = (np.abs(self.Etheta.values) ** 2 + np.abs(self.Ephi.values) ** 2)
+        r = float(np.asarray(ref.coords.get("r", [1e6]))[0])
+        return ref._maybe_same_cls(4 * np.pi * r**2 * e2)
+
+
+class FieldProjectionAngleData(AbstractFieldProjectionData):
+    """Far fields at spherical angles."""
+
+    monitor: FieldProjectionAngleMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    Er: Optional[FieldProjectionAngleDataArray] = pydantic.Field(None)
+    Etheta: Optional[FieldProjectionAngleDataArray] = pydantic.Field(None)
+    Ephi: Optional[FieldProjectionAngleDataArray] = pydantic.Field(None)
+    Hr: Optional[FieldProjectionAngleDataArray] = pydantic.Field(None)
+    Htheta: Optional[FieldProjectionAngleDataArray] = pydantic.Field(None)
+    Hphi: Optional[FieldProjectionAngleDataArray] = pydantic.Field(None)
+
+
+class FieldProjectionCartesianData(AbstractFieldProjectionData):
+    """Far fields on a cartesian observation plane."""
+
+    monitor: FieldProjectionCartesianMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    Er: Optional[FieldProjectionCartesianDataArray] = pydantic.Field(None)
+    Etheta: Optional[FieldProjectionCartesianDataArray] = pydantic.Field(None)
+    Ephi: Optional[FieldProjectionCartesianDataArray] = pydantic.Field(None)
+    Hr: Optional[FieldProjectionCartesianDataArray] = pydantic.Field(None)
+    Htheta: Optional[FieldProjectionCartesianDataArray] = pydantic.Field(None)
+    Hphi: Optional[FieldProjectionCartesianDataArray] = pydantic.Field(None)
+
+
+class FieldProjectionKSpaceData(AbstractFieldProjectionData):
+    """Far fields in k-space."""
+
+    monitor: FieldProjectionKSpaceMonitor = pydantic.Field(...)  # type: ignore[assignment]
+    Er: Optional[FieldProjectionKSpaceDataArray] = pydantic.Field(None)
+    Etheta: Optional[FieldProjectionKSpaceDataArray] = pydantic.Field(None)
+    Ephi: Optional[FieldProjectionKSpaceDataArray] = pydantic.Field(None)
+    Hr: Optional[FieldProjectionKSpaceDataArray] = pydantic.Field(None)
+    Htheta: Optional[FieldProjectionKSpaceDataArray] = pydantic.Field(None)
+    Hphi: Optional[FieldProjectionKSpaceDataArray] = pydantic.Field(None)
+
+
 class DiffractionData(MonitorData):
     """Diffraction order amplitudes."""
 
@@ -434,5 +518,6 @@ class DiffractionData(MonitorData):
 
 MonitorDataType = Union[
     FieldData, FieldTimeData, PermittivityData, ModeData, ModeSolverData,
-    FluxData, FluxTimeData, DiffractionData,
+    FluxData, FluxTimeData, DiffractionData, FieldProjectionAngleData,
+    FieldProjectionCartesianData, FieldProjectionKSpaceData,
 ]

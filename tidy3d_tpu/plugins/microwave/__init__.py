@@ -1,0 +1,6 @@
+from .path_integrals import (
+    AxisAlignedPathIntegral,
+    CurrentIntegralAxisAligned,
+    ImpedanceCalculator,
+    VoltageIntegralAxisAligned,
+)

@@ -44,6 +44,8 @@ from ..components.medium import (
     PoleResidue,
 )
 from ..components.monitor import (
+    AbstractFieldProjectionMonitor,
+    DiffractionMonitor,
     FieldMonitor,
     FieldTimeMonitor,
     FluxMonitor,
@@ -711,6 +713,23 @@ def _lower_monitors(simulation, grid, tmesh, dt) -> List[MonitorPlan]:
                 plan.mode_info = {"parent": monitor.name, "surface": surf.name,
                                   "axis": axis, "normal_dir": surf.normal_dir}
                 plans.append(plan)
+        elif isinstance(monitor, AbstractFieldProjectionMonitor):
+            for surf in monitor.projection_surfaces:
+                axis = tuple(surf.size).index(0.0)
+                b, c = (axis + 1) % 3, (axis + 2) % 3
+                comps = (f"E{'xyz'[b]}", f"E{'xyz'[c]}", f"H{'xyz'[b]}", f"H{'xyz'[c]}")
+                plan = _field_monitor_plan(grid, surf, comps, "field")
+                plan.mode_info = {"parent": monitor.name, "surface": surf.name,
+                                  "axis": axis, "normal_dir": surf.normal_dir,
+                                  "projection": True}
+                plans.append(plan)
+        elif isinstance(monitor, DiffractionMonitor):
+            axis = tuple(monitor.size).index(0.0)
+            b, c = (axis + 1) % 3, (axis + 2) % 3
+            comps = (f"E{'xyz'[b]}", f"E{'xyz'[c]}", f"H{'xyz'[b]}", f"H{'xyz'[c]}")
+            plan = _field_monitor_plan(grid, monitor, comps, "field")
+            plan.mode_info = {"axis": axis, "diffraction": True}
+            plans.append(plan)
         elif isinstance(monitor, (ModeMonitor, ModeSolverMonitor)):
             axis = tuple(monitor.size).index(0.0)
             b, c = (axis + 1) % 3, (axis + 2) % 3

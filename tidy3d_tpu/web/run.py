@@ -35,6 +35,8 @@ from ..components.data.monitor_data import (
 )
 from ..components.data.sim_data import SimulationData
 from ..components.monitor import (
+    AbstractFieldProjectionMonitor,
+    DiffractionMonitor,
     FieldMonitor,
     FieldTimeMonitor,
     FluxMonitor,
@@ -116,8 +118,10 @@ def assemble_sim_data(simulation, plan, raw, runner, task_name="local") -> Simul
             data_list.append(_make_permittivity_data(simulation, plan, mp))
         elif isinstance(monitor, (ModeMonitor, ModeSolverMonitor)):
             data_list.append(_make_mode_data(simulation, mp, raw[idx]))
+        elif isinstance(monitor, DiffractionMonitor):
+            data_list.append(_make_diffraction_data(simulation, mp, raw[idx]))
 
-    # flux monitors: combine their surface plans
+    # flux / projection monitors: combine their surface plans
     for mon in simulation.monitors:
         if isinstance(mon, FluxMonitor) and mon.name in surface_groups:
             data_list.append(_make_flux_data(simulation, plan, raw,
@@ -126,6 +130,10 @@ def assemble_sim_data(simulation, plan, raw, runner, task_name="local") -> Simul
             data_list.append(_make_flux_time_data(simulation, plan, raw,
                                                   surface_groups[mon.name], mon,
                                                   runner))
+        elif isinstance(mon, AbstractFieldProjectionMonitor) \
+                and mon.name in surface_groups:
+            data_list.append(_make_projection_data(simulation, plan, raw,
+                                                   surface_groups[mon.name], mon))
 
     sim_data = SimulationData(
         simulation=simulation, data=tuple(data_list), log="\n".join(log_lines),
@@ -277,6 +285,112 @@ def _make_flux_time_data(simulation, plan, raw, idxs, monitor, runner) -> FluxTi
         total = vals if total is None else total + vals
     return FluxTimeData(monitor=monitor,
                         flux=FluxTimeDataArray(total, coords=dict(t=t_coords)))
+
+
+def _make_projection_data(simulation, plan, raw, idxs, monitor):
+    """Assemble near-field surfaces and project to the far zone."""
+    from ..components.field_projection import FieldProjector
+
+    surfaces = []
+    for idx in idxs:
+        mp = plan.monitors[idx]
+        arrays = _field_arrays_freq(mp, raw[idx])
+        fd = FieldData(
+            monitor=FieldMonitor(
+                center=mp.monitor.center, size=mp.monitor.size,
+                freqs=mp.freqs.tolist(), name=mp.monitor.name, colocate=False,
+            ),
+            **arrays,
+        )
+        surfaces.append((fd, mp.mode_info.get("normal_dir") or "+"))
+    eps_bg = simulation.medium.eps_model(float(np.asarray(plan.monitors[idxs[0]].freqs)[0]))
+    medium_n = float(np.real(np.sqrt(eps_bg)))
+    projector = FieldProjector(sim_data=None, surfaces=tuple(surfaces),
+                               medium_n=medium_n)
+    return projector.project_fields(monitor)
+
+
+def _make_diffraction_data(simulation, mp, raw_mon):
+    """Diffraction order amplitudes from the DFT fields on the plane.
+
+    For a plane normal to `axis` in a transversely-periodic simulation, the
+    order (m, n) amplitudes are the 2D Fourier coefficients of the tangential
+    fields, decomposed into s/p polarizations
+    (reference: monitor_data.py DiffractionData:2672, ux/uy conventions)."""
+    from ..components.data.data_array import DiffractionDataArray
+    from ..components.data.monitor_data import DiffractionData
+    from ..constants import C_0, ETA_0
+
+    monitor = mp.monitor
+    axis = mp.mode_info["axis"]
+    b_ax, c_ax = (axis + 1) % 3, (axis + 2) % 3
+    arrays = _field_arrays_freq(mp, raw_mon)
+    freqs = np.asarray(mp.freqs)
+
+    fd = FieldData(
+        monitor=FieldMonitor(center=monitor.center, size=monitor.size,
+                             freqs=freqs.tolist(), name=monitor.name,
+                             colocate=False),
+        **arrays,
+    )
+    from ..components.data.monitor_data import _colocated_tangential_fields
+
+    comps, (b_dim, c_dim) = _colocated_tangential_fields(fd, axis)
+    e_b = comps[f"E{b_dim}"]
+    e_c = comps[f"E{c_dim}"]
+    bb = np.asarray(e_b.coords[b_dim], dtype=float)
+    cc = np.asarray(e_b.coords[c_dim], dtype=float)
+    # periodic lengths from the simulation domain
+    rmin, rmax = simulation.bounds
+    Lb = rmax[b_ax] - rmin[b_ax]
+    Lc = rmax[c_ax] - rmin[c_ax]
+    eps_bg = simulation.medium.eps_model(float(freqs[0]))
+    n_med = float(np.real(np.sqrt(eps_bg)))
+
+    # allowed orders at the highest frequency
+    k_max = 2 * np.pi * freqs.max() * n_med / C_0
+    m_max = int(np.floor(k_max * Lb / (2 * np.pi))) if Lb > 0 else 0
+    n_max = int(np.floor(k_max * Lc / (2 * np.pi))) if Lc > 0 else 0
+    orders_b = np.arange(-m_max, m_max + 1)
+    orders_c = np.arange(-n_max, n_max + 1)
+
+    # Fourier coefficients via direct projection (nonuniform-grid-safe)
+    wb = np.zeros(len(bb))
+    wb[:] = np.gradient(bb) if len(bb) > 1 else Lb
+    wc = np.zeros(len(cc))
+    wc[:] = np.gradient(cc) if len(cc) > 1 else Lc
+    amps = np.zeros((len(orders_b), len(orders_c), len(freqs), 2), dtype=complex)
+    for mi_, m in enumerate(orders_b):
+        for ni_, n in enumerate(orders_c):
+            kb = 2 * np.pi * m / Lb if Lb > 0 else 0.0
+            kc = 2 * np.pi * n / Lc if Lc > 0 else 0.0
+            phase = np.exp(-1j * (kb * bb[:, None] + kc * cc[None, :]))
+            w2 = (wb[:, None] * wc[None, :]) / (Lb * Lc if Lb * Lc > 0 else 1.0)
+            for fi in range(len(freqs)):
+                k0 = 2 * np.pi * freqs[fi] * n_med / C_0
+                kt2 = kb**2 + kc**2
+                if kt2 >= k0**2:
+                    continue  # evanescent
+                coef_b = np.sum(e_b.values[..., fi] * phase * w2)
+                coef_c = np.sum(e_c.values[..., fi] * phase * w2)
+                # s/p decomposition relative to the in-plane k direction
+                if kt2 > 0:
+                    ub, uc = kb / np.sqrt(kt2), kc / np.sqrt(kt2)
+                else:
+                    ub, uc = 1.0, 0.0
+                # p: in the plane of incidence (along u); s: perpendicular
+                amp_p = coef_b * ub + coef_c * uc
+                amp_s = -coef_b * uc + coef_c * ub
+                amps[mi_, ni_, fi, 0] = amp_s
+                amps[mi_, ni_, fi, 1] = amp_p
+
+    amps_da = DiffractionDataArray(amps, coords=dict(
+        orders_x=orders_b, orders_y=orders_c, f=freqs,
+        polarization=np.array(["s", "p"])))
+    bloch_b = getattr(simulation.boundary_spec.to_list[b_ax][0], "bloch_vec", 0.0) or 0.0
+    bloch_c = getattr(simulation.boundary_spec.to_list[c_ax][0], "bloch_vec", 0.0) or 0.0
+    return DiffractionData(monitor=monitor, amps=amps_da,
+                           sim_size=(Lb, Lc), bloch_vecs=(bloch_b, bloch_c))
 
 
 def _make_mode_data(simulation, mp, raw_mon):
