@@ -1,0 +1,1 @@
+from .material_library import MaterialItem, VariantItem, material_library

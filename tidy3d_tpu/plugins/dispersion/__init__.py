@@ -1,0 +1,2 @@
+from .fit import DispersionFitter, StableDispersionFitter
+from .fit_fast import FastDispersionFitter
