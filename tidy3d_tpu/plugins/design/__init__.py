@@ -1,0 +1,11 @@
+from .design import (
+    DesignSpace,
+    MethodGrid,
+    MethodMonteCarlo,
+    MethodRandom,
+    MethodRandomCustom,
+    ParameterAny,
+    ParameterFloat,
+    ParameterInt,
+    Result,
+)

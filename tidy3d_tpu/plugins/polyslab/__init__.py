@@ -1,0 +1,1 @@
+from .polyslab import ComplexPolySlab
