@@ -586,6 +586,45 @@ class FDTDRunner:
 
         return jax.jit(run_all)
 
+    def make_differentiable_run(self, num_steps: int = None, checkpoint_chunks:
+                                int = None):
+        """A reverse-mode-differentiable run function: monitor accumulators as
+        a function of the ``consts`` pytree (coefficients included), with the
+        time loop as a checkpointed lax.scan (SURVEY §7.6: jax.grad through
+        the lowered solver with rematerialization). No early shutoff.
+
+        Returns ``fn(consts) -> (mon_out, final_state)`` — jit/grad-able."""
+        num_steps = num_steps or self.num_steps
+        chunks = checkpoint_chunks or NUM_CHUNKS
+        chunk_size = max(num_steps // chunks, 1)
+        num_chunks = (num_steps + chunk_size - 1) // chunk_size
+        self._pad_time_tables(num_chunks * chunk_size)
+
+        def run_fn(consts):
+            state = self.init_state()
+
+            @jax.checkpoint
+            def chunk_body(st, ci):
+                start = ci * chunk_size
+
+                def step_body(n, s):
+                    return self._step(start + n, s, consts)
+
+                st = lax.fori_loop(0, chunk_size, step_body, st)
+                return st, None
+
+            state, _ = lax.scan(chunk_body, state, jnp.arange(num_chunks))
+            mon_out = []
+            for acc in state["mon"]:
+                packed = {}
+                for comp, arr in acc.items():
+                    packed[comp] = jnp.stack([arr[0], arr[1]]) \
+                        if isinstance(arr, tuple) else arr
+                mon_out.append(packed)
+            return mon_out, state
+
+        return run_fn
+
     def run(self, verbose: bool = False) -> dict:
         """Execute the time loop (single device dispatch); returns raw monitor
         data (numpy) keyed by monitor-plan index."""
