@@ -67,16 +67,25 @@ def _background_index(simulation, source) -> float:
 
 def _tangential_slices_coords(simulation, source, plane_axis: int):
     """Per-component slices/coords on the source plane (1 cell thick along
-    the plane axis, at the Yee position nearest the source center)."""
+    the plane axis).
+
+    Discrete TF/SF consistency (Taflove ch. 5): the J sheet on the primal
+    plane i0 must sample the incident H at the dual plane i0+1/2, and the M
+    sheet must sit at that SAME dual plane i0+1/2 sampling the incident E at
+    i0 — for both propagation directions. In array indices (dual point j sits
+    at position j+1/2) this means every tangential component uses plane index
+    i0: independent nearest-point rounding per component lands the pair a full
+    cell apart and leaks ~sin(k dx) backward."""
     grid = simulation.grid
     out = {}
+    dim = "xyz"[plane_axis]
     pos = source.center[plane_axis]
+    primal = np.asarray(grid.boundaries.to_list[plane_axis])
+    i0 = int(np.argmin(np.abs(primal - pos)))
     for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
         sl, coords = slices_for_box(grid, source, comp, extend=False)
-        # restrict to one plane along the normal axis
-        dim = "xyz"[plane_axis]
         axis_coords = yee_coords(grid, comp)[dim]
-        idx = int(np.argmin(np.abs(axis_coords - pos)))
+        idx = min(i0, len(axis_coords) - 1)
         sl = list(sl)
         sl[plane_axis] = slice(idx, idx + 1)
         coords = dict(coords)
@@ -85,10 +94,25 @@ def _tangential_slices_coords(simulation, source, plane_axis: int):
     return out
 
 
-def _wave_vectors(source, plane_axis: int, n_medium: float):
+def _numerical_k(freq: float, n_medium: float, dl: float, dt: float) -> float:
+    """Wavenumber satisfying the discrete 1D Yee dispersion relation
+    sin(k dl / 2)/dl = (n/(c dt)) sin(w dt / 2): using it for source phases
+    makes equivalence-sheet cancellation consistent with the grid's own
+    propagation (reduces TFSF/plane-source leakage substantially)."""
+    omega = 2 * np.pi * freq
+    c_n = C_0 / n_medium
+    arg = (dl / (c_n * dt)) * np.sin(omega * dt / 2.0)
+    arg = np.clip(arg, -1.0, 1.0)
+    return float(2.0 / dl * np.arcsin(arg))
+
+
+def _wave_vectors(source, plane_axis: int, n_medium: float, dl_dt=None):
     """(k_vec, E_pol, H_pol) in global coordinates for an angled wave."""
     freq0 = source.source_time.freq0
     k0 = 2 * np.pi * freq0 * n_medium / C_0
+    if dl_dt is not None:
+        dl, dt = dl_dt
+        k0 = _numerical_k(freq0, n_medium, dl, dt)
     theta = getattr(source, "angle_theta", 0.0)
     phi = getattr(source, "angle_phi", 0.0)
     psi = getattr(source, "pol_angle", 0.0)
@@ -115,9 +139,17 @@ def _wave_vectors(source, plane_axis: int, n_medium: float):
     return k_vec, e_pol, h_pol
 
 
+def _grid_dl_dt(simulation, axis: int):
+    sizes = np.asarray(simulation.grid.sizes.to_list[axis])
+    return float(np.min(sizes)), simulation.dt
+
+
 def _plane_wave_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
     n_medium = _background_index(simulation, source)
-    k_vec, e_pol, h_pol = _wave_vectors(source, plane_axis, n_medium)
+    k_vec, e_pol, h_pol = _wave_vectors(
+        source, plane_axis, n_medium,
+        dl_dt=_grid_dl_dt(simulation, plane_axis)
+        if getattr(source, "angle_theta", 0.0) == 0.0 else None)
     slices_coords = _tangential_slices_coords(simulation, source, plane_axis)
     origin = np.asarray(source.center)
 
@@ -219,6 +251,77 @@ def _mode_source_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
         phase = np.exp(1j * sign * beta * delta)
         fields[comp] = {"profile": np.asarray(prof * phase, dtype=np.complex64),
                         "slices": sl}
+    return fields
+
+
+def make_tfsf_face_fields(simulation, grid, source, face_axis: int, side: str
+                          ) -> Dict[str, dict]:
+    """Incident plane-wave fields evaluated at the Yee points of one face of
+    a TFSF box (global phase reference at the box's injection plane)."""
+    from .lowering_utils import yee_coords
+
+    n_medium = _background_index(simulation, source)
+    k_vec, e_pol, h_pol = _wave_vectors(
+        source, source.injection_axis, n_medium,
+        dl_dt=_grid_dl_dt(simulation, source.injection_axis)
+        if getattr(source, "angle_theta", 0.0) == 0.0 else None)
+
+    rmin, rmax = source.bounds
+    pos = rmin[face_axis] if side == "-" else rmax[face_axis]
+    origin = np.asarray(source.injection_plane_center)
+
+    # primal face indices of the box along every axis; the total-field region
+    # for a primal-staggered component spans indices [t0+1, t1] and for a
+    # dual-staggered one [t0, t1-1] (Taflove discrete TF/SF consistency) —
+    # the sheet transverse extents must match these EXACTLY or corner cells
+    # get extra/missing corrections and leak
+    primal_all = [np.asarray(b) for b in grid.boundaries.to_list]
+    t0t1 = []
+    domain_min, domain_max = simulation.bounds
+    for ax in range(3):
+        full = (rmin[ax] <= domain_min[ax] + 1e-10 * (1 + abs(domain_min[ax]))
+                or rmax[ax] >= domain_max[ax] - 1e-10 * (1 + abs(domain_max[ax])))
+        t0 = int(np.argmin(np.abs(primal_all[ax] - rmin[ax])))
+        t1 = int(np.argmin(np.abs(primal_all[ax] - rmax[ax])))
+        t0t1.append((t0, t1, full))
+    i0 = int(np.argmin(np.abs(primal_all[face_axis]
+                              - (rmin if side == "-" else rmax)[face_axis])))
+
+    fields = {}
+    dims = "xyz"
+    for ci, comp in enumerate(("Ex", "Ey", "Ez", "Hx", "Hy", "Hz")):
+        pol = e_pol if comp[0] == "E" else h_pol
+        amp = pol[ci % 3]
+        all_coords = yee_coords(grid, comp)
+        sl = []
+        coords = {}
+        for ax in range(3):
+            dim = dims[ax]
+            axis_coords = np.asarray(all_coords[dim])
+            if ax == face_axis:
+                # normal: E sheet on primal plane i0, H sheet at dual i0+1/2
+                # (same array index); direction sign handled by the caller
+                idx = min(i0, len(axis_coords) - 1)
+                s = slice(idx, idx + 1)
+            else:
+                t0, t1, full = t0t1[ax]
+                is_dual = (comp[0] == "E") == (comp[1] == dim)
+                if full or len(axis_coords) == 1:
+                    s = slice(0, len(axis_coords))
+                elif is_dual:
+                    s = slice(t0, max(t1, t0 + 1))
+                else:
+                    s = slice(t0 + 1, max(t1 + 1, t0 + 2))
+            sl.append(s)
+            coords[dim] = axis_coords[s]
+        xs, ys, zs = np.meshgrid(coords["x"], coords["y"], coords["z"],
+                                 indexing="ij", sparse=True)
+        phase = np.exp(1j * (k_vec[0] * (xs - origin[0])
+                             + k_vec[1] * (ys - origin[1])
+                             + k_vec[2] * (zs - origin[2])))
+        profile = amp * np.broadcast_to(
+            phase, tuple(len(coords[d]) for d in "xyz")).astype(np.complex64)
+        fields[comp] = {"profile": profile, "slices": tuple(sl)}
     return fields
 
 

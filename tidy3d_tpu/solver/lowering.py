@@ -548,12 +548,13 @@ def _lower_sources(simulation, grid, tmesh, dt):
             comp = source.polarization
             plans.extend(_current_source_plans(grid, source, comp, wf_key))
         elif isinstance(source, CustomCurrentSource):
-            log.warning("CustomCurrentSource lowering not yet implemented; skipped.")
+            plans.extend(_custom_current_plans(grid, source, tmesh, dt, add_waveform))
         elif isinstance(source, (PlaneWave, GaussianBeam, ModeSource, CustomFieldSource)):
             plans.extend(_field_source_plans(simulation, grid, source, tmesh, dt,
                                              add_waveform))
         elif isinstance(source, TFSF):
-            log.warning("TFSF lowering not yet implemented; skipped.")
+            plans.extend(_tfsf_plans(simulation, grid, source, tmesh, dt,
+                                     add_waveform))
         else:
             log.warning(f"source type {type(source).__name__} not lowered yet.")
 
@@ -604,24 +605,14 @@ def _current_source_plans(grid, source, comp: str, wf_key: int) -> List[SourcePl
                        waveform_key=wf_key)]
 
 
-def _field_source_plans(simulation, grid, source, tmesh, dt, add_waveform
-                        ) -> List[SourcePlan]:
-    """Equivalence-principle injection of a field source on a plane:
-    J_s = -n x H, M_s = +n x E give unidirectional injection when E, H are
-    the mode/beam fields of a wave propagating along +n."""
-    from .field_sources import make_source_fields  # deferred: needs mode solver
-
-    try:
-        fields, plane_axis = make_source_fields(simulation, source)
-    except NotImplementedError as exc:
-        log.warning(f"source '{getattr(source, 'name', None)}': {exc}; skipped.")
-        return []
-
-    st = source.source_time
-    plans: List[SourcePlan] = []
+def _sheet_plans(grid, source_time, tmesh, dt, add_waveform, fields,
+                 plane_axis: int, sign: float) -> List[SourcePlan]:
+    """Equivalence-current sheets from field profiles on one plane:
+    J_s = -n x H, M_s = +n x E with n = sign * e_axis; the wave appears on the
+    +n side of the sheet. Component form with cyclic (a, b, c):
+    J_b = +n_a H_c, J_c = -n_a H_b, M_b = -n_a E_c, M_c = +n_a E_b."""
     a = plane_axis
     b, c = (a + 1) % 3, (a + 2) % 3
-    sign = 1.0 if source.direction == "+" else -1.0
 
     # surface current -> volume current: divide by the cell thickness along
     # the normal at the injection plane (dual cell for E points, primal for H)
@@ -632,34 +623,24 @@ def _field_source_plans(simulation, grid, source, tmesh, dt, add_waveform
     def thickness(comp_out: str, slices) -> float:
         idx = slices[a].start
         if comp_out[0] == "E":
-            # E tangential: boundary-located along a; dual cell around it
             if idx == 0 or len(centers_a) < 2:
                 return float(primal_a[min(idx, len(primal_a) - 1)])
             return float(centers_a[idx] - centers_a[idx - 1])
         return float(primal_a[min(idx, len(primal_a) - 1)])
-    # n = sign * e_a;  J = -n x H; M = n x E
-    # (n x H)_b = n_a H_c * eps_{abc}: with cyclic (a,b,c): (n x H)_b = n H_c...
-    # cross product: (n x H)_b = n_c H_a - n_a H_c -> with n = n_a e_a only:
-    # (n x H)_b = -n_a H_c, (n x H)_c = +n_a H_b
-    comp_names = ["x", "y", "z"]
 
-    # E-like currents J: injected into E update
-    # J_b = -(n x H)_b = +n_a H_c ; J_c = -(n x H)_c = -n_a H_b
-    # M_b = +(n x E)_b = -n_a E_c ; M_c = +(n x E)_c = +n_a E_b
+    plans: List[SourcePlan] = []
     for comp_out, src_field, factor, is_e in (
-        (f"E{comp_names[b]}", f"H{comp_names[c]}", +sign, True),
-        (f"E{comp_names[c]}", f"H{comp_names[b]}", -sign, True),
-        (f"H{comp_names[b]}", f"E{comp_names[c]}", -sign, False),
-        (f"H{comp_names[c]}", f"E{comp_names[b]}", +sign, False),
+        (f"E{'xyz'[b]}", f"H{'xyz'[c]}", +sign, True),
+        (f"E{'xyz'[c]}", f"H{'xyz'[b]}", -sign, True),
+        (f"H{'xyz'[b]}", f"E{'xyz'[c]}", -sign, False),
+        (f"H{'xyz'[c]}", f"E{'xyz'[b]}", +sign, False),
     ):
         if src_field not in fields or fields[src_field] is None:
             continue
         profile, slices = fields[src_field]["profile"], fields[src_field]["slices"]
-        # inject Re(profile * complex_amp(t)):
-        # Re[(pr + j pi)(wr + j wi)] = pr*wr + pi*(-wi)
-        # J drives the E update at half steps, M drives the H update at the
-        # following integer step (leapfrog staggering)
-        amp_t = st.amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
+        # inject Re(profile * complex_amp(t)); J drives the E update at half
+        # steps, M drives the H update at the following integer step
+        amp_t = source_time.amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
         key_re = add_waveform(np.real(amp_t))
         key_im = add_waveform(-np.imag(amp_t))
         scale = factor / thickness(comp_out, slices)
@@ -670,6 +651,75 @@ def _field_source_plans(simulation, grid, source, tmesh, dt, add_waveform
                 np.max(np.abs(np.real(profile))) + 1e-300):
             plans.append(SourcePlan(comp=comp_out, slices=slices,
                                     profile=(scale * np.imag(profile)).astype(np.float32),
+                                    waveform_key=key_im))
+    return plans
+
+
+def _field_source_plans(simulation, grid, source, tmesh, dt, add_waveform
+                        ) -> List[SourcePlan]:
+    """Unidirectional injection of a planar field source."""
+    from .field_sources import make_source_fields  # deferred: needs mode solver
+
+    try:
+        fields, plane_axis = make_source_fields(simulation, source)
+    except NotImplementedError as exc:
+        log.warning(f"source '{getattr(source, 'name', None)}': {exc}; skipped.")
+        return []
+    sign = 1.0 if source.direction == "+" else -1.0
+    return _sheet_plans(grid, source.source_time, tmesh, dt, add_waveform,
+                        fields, plane_axis, sign)
+
+
+def _tfsf_plans(simulation, grid, source, tmesh, dt, add_waveform
+                ) -> List[SourcePlan]:
+    """Total-field/scattered-field box: equivalence-current sheets on all six
+    faces with inward normals reproduce the incident plane wave exactly inside
+    the box and nothing outside (reference: source.py TFSF:1204)."""
+    from .field_sources import make_tfsf_face_fields
+
+    plans: List[SourcePlan] = []
+    for face_axis in range(3):
+        for side in ("-", "+"):
+            fields = make_tfsf_face_fields(simulation, grid, source, face_axis,
+                                           side)
+            # inward normal: +axis on the '-' face, -axis on the '+' face
+            sign = 1.0 if side == "-" else -1.0
+            plans.extend(_sheet_plans(grid, source.source_time, tmesh, dt,
+                                      add_waveform, fields, face_axis, sign))
+    return plans
+
+
+def _custom_current_plans(grid, source, tmesh, dt, add_waveform
+                          ) -> List[SourcePlan]:
+    """Volume injection of user-supplied J (E keys) / M (H keys) datasets."""
+    dataset = source.current_dataset
+    if dataset is None:
+        return []
+    get = (dataset.get if isinstance(dataset, dict)
+           else lambda k: getattr(dataset, k, None))
+    plans: List[SourcePlan] = []
+    st = source.source_time
+    for comp in E_COMPS + H_COMPS:
+        arr = get(comp)
+        if arr is None:
+            continue
+        sl, coords = _slices_for_box(grid, source, comp, extend=False)
+        prof = arr.interp(x=coords["x"], y=coords["y"], z=coords["z"],
+                          kwargs=dict(fill_value=0.0)).values
+        prof = np.asarray(prof, dtype=np.complex64)
+        if prof.ndim == 4:  # trailing frequency axis: take the first
+            prof = prof[..., 0]
+        is_e = comp in E_COMPS
+        amp_t = st.amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
+        key_re = add_waveform(np.real(amp_t))
+        key_im = add_waveform(-np.imag(amp_t))
+        plans.append(SourcePlan(comp=comp, slices=sl,
+                                profile=np.real(prof).astype(np.float32),
+                                waveform_key=key_re))
+        if np.max(np.abs(np.imag(prof))) > 1e-12 * (np.max(np.abs(np.real(prof)))
+                                                    + 1e-300):
+            plans.append(SourcePlan(comp=comp, slices=sl,
+                                    profile=np.imag(prof).astype(np.float32),
                                     waveform_key=key_im))
     return plans
 
