@@ -83,6 +83,45 @@ def test_gaussian_beam_focus():
     assert 0.5 * w_theory < w_meas < 1.7 * w_theory
 
 
+def test_angled_plane_wave_bloch():
+    """Complex-field (Bloch) run: angled plane wave injects at unit amplitude
+    and carries flux cos(theta) relative to normal incidence."""
+    theta = np.deg2rad(25)
+    ly = 4.0
+    pw = td.PlaneWave(center=(-1, 0, 0), size=(0, td.inf, td.inf), direction="+",
+                      source_time=PULSE, pol_angle=np.pi / 2, angle_theta=theta)
+    bloch = td.BlochBoundary.from_source(source=pw, domain_size=ly, axis=1)
+    mons = [td.FieldMonitor(center=(1, 0.3, 0), size=(0, 0, 0), freqs=[FREQ0],
+                            name="fwd"),
+            td.FieldMonitor(center=(-2, 0.3, 0), size=(0, 0, 0), freqs=[FREQ0],
+                            name="bwd"),
+            td.FluxMonitor(center=(1.2, 0, 0), size=(0, td.inf, td.inf),
+                           freqs=[FREQ0], name="flux")]
+    sim = td.Simulation(
+        center=(0, 0, 0), size=(5, ly, 0), run_time=1.5e-13,
+        sources=[pw], monitors=mons, shutoff=0.0,
+        boundary_spec=td.BoundarySpec(x=td.Boundary.pml(),
+                                      y=td.Boundary(minus=bloch, plus=bloch),
+                                      z=td.Boundary.periodic()),
+        grid_spec=td.GridSpec.uniform(dl=0.05))
+    assert sim.complex_fields
+    data = td.web.run(sim, verbose=False)
+    fwd = np.abs(data["fwd"].Ez.values).max()
+    bwd = np.abs(data["bwd"].Ez.values).max()
+    assert abs(fwd - 1.0) < 0.01
+    assert bwd / fwd < 1e-2
+
+    sim0 = sim.updated_copy(
+        sources=[pw.updated_copy(angle_theta=0.0)],
+        boundary_spec=td.BoundarySpec(x=td.Boundary.pml(),
+                                      y=td.Boundary.periodic(),
+                                      z=td.Boundary.periodic()))
+    data0 = td.web.run(sim0, verbose=False)
+    flux = float(np.asarray(data["flux"].flux).ravel()[0])
+    flux0 = float(np.asarray(data0["flux"].flux).ravel()[0])
+    assert abs(flux / flux0 - np.cos(theta)) < 0.01
+
+
 def test_custom_current_source():
     from tidy3d_tpu.components.data.data_array import ScalarFieldDataArray
 

@@ -79,8 +79,11 @@ class SimulationData(AbstractSimulationData):
         times = self.simulation.tmesh
         dt = self.simulation.dt
 
+        complex_fields = self.simulation.complex_fields
+
         def source_spectrum_fn(freqs):
-            spectrum = source_time.spectrum(times, np.asarray(freqs), dt)
+            spectrum = source_time.spectrum(times, np.asarray(freqs), dt,
+                                            complex_fields=complex_fields)
             # only normalize out the pulse shape, not user amplitude/phase
             return spectrum / source_time.amplitude / np.exp(1j * source_time.phase)
 

@@ -419,6 +419,17 @@ class Simulation(Box):
         return float(n_cfl * self.courant * dl_avg / C_0)
 
     @cached_property
+    def complex_fields(self) -> bool:
+        """Whether time-domain fields are complex (non-trivial Bloch phase);
+        such runs inject the full analytic source signal (reference:
+        simulation.py Simulation.complex_fields:2740)."""
+        for boundary in self.boundary_spec.to_list:
+            for bc in boundary:
+                if isinstance(bc, BlochBoundary) and bc.bloch_vec % 1.0 != 0:
+                    return True
+        return False
+
+    @cached_property
     def tmesh(self) -> np.ndarray:
         dt = self.dt
         return np.arange(0.0, self.run_time + dt, dt)

@@ -57,11 +57,16 @@ class AbstractTimeDependence(Tidy3dBaseModel, ABC):
     def amp_time(self, time: float) -> complex:
         """Complex-valued amplitude at time [s]."""
 
-    def spectrum(self, times: np.ndarray, freqs: np.ndarray, dt: float) -> np.ndarray:
-        """Complex spectrum: DTFT of Re(amp_time) with kernel exp(+2j pi f t)."""
+    def spectrum(self, times: np.ndarray, freqs: np.ndarray, dt: float,
+                 complex_fields: bool = False) -> np.ndarray:
+        """Complex spectrum with kernel exp(+2j pi f t): DTFT of Re(amp_time),
+        or of the full complex amp_time for complex-field (Bloch) runs, whose
+        injected current is the analytic signal (reference: source.py
+        spectrum:120 with the same complex_fields switch)."""
         times = np.asarray(times)
         freqs = np.asarray(freqs)
-        time_amps = np.real(self.amp_time(times))
+        amps = self.amp_time(times)
+        time_amps = amps if complex_fields else np.real(amps)
 
         if np.all(time_amps == 0.0):
             return np.zeros_like(freqs, dtype=complex)

@@ -82,12 +82,16 @@ class FDTDRunner:
         self.shape = plan.shape           # interior (physical) shape
         self.gshape = tuple(n + 2 * G for n in plan.shape)
         self.sharding = sharding_plan
-        if plan.is_complex:
-            raise NotImplementedError(
-                "Bloch boundaries with non-trivial phase are not yet supported "
-                "by the real-valued TPU stepping core (planned: real-pair "
-                "field representation)."
-            )
+        # complex (Bloch) runs step TWO real field copies (re, im) that couple
+        # only at the Bloch wrap planes and in source injection — TPU has no
+        # native complex dtype, and away from the wrap the update is identical
+        self.is_complex = plan.is_complex
+        self._bloch_cs = []
+        for ph in plan.bloch_phases:
+            if abs(ph - 1.0) > 1e-12:
+                self._bloch_cs.append((float(np.real(ph)), float(np.imag(ph))))
+            else:
+                self._bloch_cs.append(None)
         self.dtype = jnp.float32
         self.num_steps = plan.num_steps
         self._build_constants()
@@ -243,6 +247,12 @@ class FDTDRunner:
                     state["psi"][f"{comp}|{deriv_axis}|{side}"] = zeros(tuple(s))
         for _ in self.pole_scalars:
             state["Q"].append({c: (zeros(shape), zeros(shape)) for c in E_COMPS})
+        if self.is_complex:
+            state["E1"] = {c: zeros(shape) for c in E_COMPS}
+            state["H1"] = {c: zeros(shape) for c in H_COMPS}
+            state["psi1"] = {k: jnp.zeros_like(v) for k, v in state["psi"].items()}
+            state["Q1"] = [{c: (zeros(shape), zeros(shape)) for c in E_COMPS}
+                           for _ in self.pole_scalars]
         for mi, mp in enumerate(self.plan.monitors):
             acc = {}
             if mp.kind == "field" and str(mi) in self.consts["dft"]:
@@ -268,8 +278,12 @@ class FDTDRunner:
     def _int(self, F):
         return F
 
-    def _sh_dn(self, F, axis: int):
-        """F_{i-1} along axis (wrap per boundary kind at the low side)."""
+    def _sh_dn(self, F, axis: int, Fp=None, part: int = 0):
+        """F_{i-1} along axis (wrap per boundary kind at the low side).
+
+        With a Bloch phase e^{i phi} = c + i s across the axis, the low wrap is
+        F(-1) = e^{-i phi} F(N-1): re part c*Fr + s*Fi, im part c*Fi - s*Fr —
+        the ONLY place the two real copies of a complex run couple."""
         n = F.shape[axis]
         kind = self.plan.boundaries[axis][0]
         last = lax.slice_in_dim(F, n - 1, n, axis=axis)
@@ -277,11 +291,17 @@ class FDTDRunner:
             last = jnp.zeros_like(last)
         elif kind == "pmc":
             last = lax.slice_in_dim(F, 0, 1, axis=axis)
+        elif Fp is not None and self._bloch_cs[axis] is not None:
+            c, s = self._bloch_cs[axis]
+            lastp = lax.slice_in_dim(Fp, n - 1, n, axis=axis)
+            last = c * last + (s if part == 0 else -s) * lastp
         rest = lax.slice_in_dim(F, 0, n - 1, axis=axis)
         return lax.concatenate([last, rest], dimension=axis)
 
-    def _sh_up(self, F, axis: int):
-        """F_{i+1} along axis (wrap per boundary kind at the high side)."""
+    def _sh_up(self, F, axis: int, Fp=None, part: int = 0):
+        """F_{i+1} along axis (wrap per boundary kind at the high side).
+
+        Bloch: F(N) = e^{+i phi} F(0): re part c*Fr - s*Fi, im c*Fi + s*Fr."""
         n = F.shape[axis]
         kind = self.plan.boundaries[axis][1]
         first = lax.slice_in_dim(F, 0, 1, axis=axis)
@@ -289,6 +309,10 @@ class FDTDRunner:
             first = jnp.zeros_like(first)
         elif kind == "pmc":
             first = lax.slice_in_dim(F, n - 1, n, axis=axis)
+        elif Fp is not None and self._bloch_cs[axis] is not None:
+            c, s = self._bloch_cs[axis]
+            firstp = lax.slice_in_dim(Fp, 0, 1, axis=axis)
+            first = c * first + (-s if part == 0 else s) * firstp
         rest = lax.slice_in_dim(F, 1, n, axis=axis)
         return lax.concatenate([rest, first], dimension=axis)
 
@@ -315,7 +339,8 @@ class FDTDRunner:
             regions.append((n - w_hi, n, "hi"))
         return regions
 
-    def _update_field_family(self, step, state, consts, family: str, newE=None):
+    def _update_field_family(self, step, state, consts, family: str, newE=None,
+                             partner_src=None, part: int = 0):
         """One half-step: family 'E' (uses H) or 'H' (uses E^{n+1}).
 
         CPML handling: the update is assembled as a 3x3 region concat over the
@@ -342,9 +367,12 @@ class FDTDRunner:
             other = H_COMPS if is_e else E_COMPS
             Fk = src_fields[other[k]]
             Fj = src_fields[other[j]]
-            # shifted copies (one aligned materialization each)
-            Fk_sh = shift(Fk, j)
-            Fj_sh = shift(Fj, k)
+            # shifted copies (one aligned materialization each); partner_src
+            # supplies the other real copy for Bloch wrap mixing
+            Fk_p = partner_src[other[k]] if partner_src is not None else None
+            Fj_p = partner_src[other[j]] if partner_src is not None else None
+            Fk_sh = shift(Fk, j, Fk_p, part)
+            Fj_sh = shift(Fj, k, Fj_p, part)
             ca, cb = coeffs[comp]
             F_old = state[family][comp]
 
@@ -436,52 +464,76 @@ class FDTDRunner:
                     else lax.concatenate(rows, dimension=j)
         return new_fields, new_psi
 
+    def _views(self, state):
+        """Per-copy views of the field state: one for real runs, two (re, im)
+        for complex Bloch runs."""
+        views = [{"E": state["E"], "H": state["H"], "psi": state["psi"],
+                  "Q": state["Q"]}]
+        if self.is_complex:
+            views.append({"E": state["E1"], "H": state["H1"],
+                          "psi": state["psi1"], "Q": state["Q1"]})
+        return views
+
     def _step(self, step, state, consts):
         plan = self.plan
+        cx = self.is_complex
+        views = self._views(state)
 
-        # ---------------- E update ---------------- #
-        newE_int, psi_E = self._update_field_family(step, state, consts, "E")
-
-        # source injection into E (J terms) on interior intermediates
-        for si, sp in enumerate(plan.sources):
-            if sp.comp in E_COMPS:
+        # ---------------- E update (per copy) ---------------- #
+        newE, psi_E, newQ = [], [], []
+        for p, view in enumerate(views):
+            partner = views[1 - p]["H"] if cx else None
+            nE, pE = self._update_field_family(step, view, consts, "E",
+                                               partner_src=partner, part=p)
+            # source injection into E (J terms) on interior intermediates
+            for si, sp in enumerate(plan.sources):
+                if sp.comp not in E_COMPS:
+                    continue
+                wf_key = sp.waveform_key if p == 0 else sp.waveform_key_im
+                if wf_key is None:
+                    continue
                 _, cb = consts["coeffs_E"][sp.comp]
                 cb_sl = cb[sp.slices] if jnp.ndim(cb) else cb
-                wf = consts["waveforms"][sp.waveform_key, step]
+                wf = consts["waveforms"][wf_key, step]
                 add = -cb_sl * consts["src_profiles"][si] * wf
-                newE_int[sp.comp] = newE_int[sp.comp].at[sp.slices].add(add)
+                nE[sp.comp] = nE[sp.comp].at[sp.slices].add(add)
 
-        # dispersive Q update (needs E^{n+1} + E^n on the interior)
-        newQ = []
-        for (A, Gc), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"],
-                                       state["Q"]):
-            newQp = {}
-            for ci, comp in enumerate(E_COMPS):
-                esum = newE_int[comp] + self._int(state["E"][comp])
-                qr, qi = Qp[comp]
-                br, bi = B_maps[ci]
-                newQp[comp] = (A.real * qr - A.imag * qi + br * esum,
-                               A.imag * qr + A.real * qi + bi * esum)
-            newQ.append(newQp)
+            # dispersive Q update (needs E^{n+1} + E^n on the interior)
+            nQ = []
+            for (A, Gc), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"],
+                                           view["Q"]):
+                newQp = {}
+                for ci, comp in enumerate(E_COMPS):
+                    esum = nE[comp] + self._int(view["E"][comp])
+                    qr, qi = Qp[comp]
+                    br, bi = B_maps[ci]
+                    newQp[comp] = (A.real * qr - A.imag * qi + br * esum,
+                                   A.imag * qr + A.real * qi + bi * esum)
+                nQ.append(newQp)
+            newE.append(nE)
+            psi_E.append(pE)
+            newQ.append(nQ)
 
-        newE = newE_int
-
-        # ---------------- H update ---------------- #
-        newH_int, psi_H = self._update_field_family(step, state, consts, "H",
-                                                    newE=newE)
-        for si, sp in enumerate(plan.sources):
-            if sp.comp in H_COMPS:
+        # ---------------- H update (per copy) ---------------- #
+        newH, psi_H = [], []
+        for p, view in enumerate(views):
+            partner = newE[1 - p] if cx else None
+            nH, pH = self._update_field_family(step, view, consts, "H",
+                                               newE=newE[p],
+                                               partner_src=partner, part=p)
+            for si, sp in enumerate(plan.sources):
+                if sp.comp not in H_COMPS:
+                    continue
+                wf_key = sp.waveform_key if p == 0 else sp.waveform_key_im
+                if wf_key is None:
+                    continue
                 _, db = consts["coeffs_H"][sp.comp]
                 db_sl = db[sp.slices] if jnp.ndim(db) else db
-                wf = consts["waveforms"][sp.waveform_key, step]
+                wf = consts["waveforms"][wf_key, step]
                 add = -db_sl * consts["src_profiles"][si] * wf
-                newH_int[sp.comp] = newH_int[sp.comp].at[sp.slices].add(add)
-
-        newH = newH_int
-
-        new_psi = dict(state["psi"])
-        new_psi.update(psi_E)
-        new_psi.update(psi_H)
+                nH[sp.comp] = nH[sp.comp].at[sp.slices].add(add)
+            newH.append(nH)
+            psi_H.append(pH)
 
         # ---------------- monitors ---------------- #
         new_mon = []
@@ -497,11 +549,21 @@ class FDTDRunner:
                 }
                 new_acc = {}
                 for comp in mp.comps:
-                    ints = newE_int if comp in E_COMPS else newH_int
+                    is_e_comp = comp in E_COMPS
+                    ints = newE[0] if is_e_comp else newH[0]
                     vals = ints[comp][mp.slices[comp]][..., None]
                     cos_t, sin_t = ph[comp[0]]
                     acc_re, acc_im = acc[comp]
-                    new_acc[comp] = (acc_re + vals * cos_t, acc_im + vals * sin_t)
+                    new_re = acc_re + vals * cos_t
+                    new_im = acc_im + vals * sin_t
+                    if cx:
+                        # (v0 + i v1) e^{i w t}: the imaginary copy rotates
+                        # into both quadratures
+                        ints1 = newE[1] if is_e_comp else newH[1]
+                        vals1 = ints1[comp][mp.slices[comp]][..., None]
+                        new_re = new_re - vals1 * sin_t
+                        new_im = new_im + vals1 * cos_t
+                    new_acc[comp] = (new_re, new_im)
                 new_mon.append(new_acc)
             elif mp.kind == "field_time":
                 in_window = jnp.logical_and(
@@ -511,7 +573,7 @@ class FDTDRunner:
                 sample_idx = jnp.maximum((step - mp.t_start) // mp.t_interval, 0)
                 new_acc = {}
                 for comp in mp.comps:
-                    ints = newE_int if comp in E_COMPS else newH_int
+                    ints = newE[0] if comp in E_COMPS else newH[0]
                     vals = ints[comp][mp.slices[comp]]
                     cur = acc[comp]
                     idx = jnp.where(in_window, sample_idx, 0)
@@ -522,7 +584,18 @@ class FDTDRunner:
             else:
                 new_mon.append(acc)
 
-        return {"E": newE, "H": newH, "psi": new_psi, "Q": newQ, "mon": new_mon}
+        new_psi = dict(state["psi"])
+        new_psi.update(psi_E[0])
+        new_psi.update(psi_H[0])
+        out = {"E": newE[0], "H": newH[0], "psi": new_psi, "Q": newQ[0],
+               "mon": new_mon}
+        if cx:
+            new_psi1 = dict(state["psi1"])
+            new_psi1.update(psi_E[1])
+            new_psi1.update(psi_H[1])
+            out.update({"E1": newE[1], "H1": newH[1], "psi1": new_psi1,
+                        "Q1": newQ[1]})
+        return out
 
     # ------------------------------------------------------------------ #
     # run
@@ -533,6 +606,9 @@ class FDTDRunner:
         for comp in E_COMPS:
             max_e = jnp.maximum(max_e, jnp.max(jnp.abs(state["E"][comp]))
                                 .astype(jnp.float32))
+            if self.is_complex:
+                max_e = jnp.maximum(max_e, jnp.max(jnp.abs(state["E1"][comp]))
+                                    .astype(jnp.float32))
         return max_e
 
     def _make_chunk_fn(self, chunk_size: int):

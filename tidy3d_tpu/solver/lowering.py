@@ -106,6 +106,9 @@ class SourcePlan:
     profile: np.ndarray             # spatial profile over the slice (complex or float)
     waveform_key: int               # index into the waveform table
     phase: complex = 1.0 + 0j       # extra static phase (e.g. H half-step factors)
+    # waveform driving the imaginary field copy in complex (Bloch) runs: the
+    # injected current is profile * (wf[waveform_key] + 1j wf[waveform_key_im])
+    waveform_key_im: Optional[int] = None
 
 
 @dataclass
@@ -541,12 +544,15 @@ def _lower_sources(simulation, grid, tmesh, dt):
         st = source.source_time
         # J injected in E update at integer steps; waveform evaluated at
         # t_n + dt/2 (current between E^n and E^{n+1}), standard staggering
-        wf_e = np.real(st.amp_time(tmesh + dt / 2))
-        wf_key = add_waveform(wf_e)
+        amp_e = st.amp_time(tmesh + dt / 2)
+        wf_key = add_waveform(np.real(amp_e))
+        wf_key_im = (add_waveform(np.imag(amp_e))
+                     if np.max(np.abs(np.imag(amp_e))) > 0 else None)
 
         if isinstance(source, (PointDipole, UniformCurrentSource)):
             comp = source.polarization
-            plans.extend(_current_source_plans(grid, source, comp, wf_key))
+            plans.extend(_current_source_plans(grid, source, comp, wf_key,
+                                               wf_key_im))
         elif isinstance(source, CustomCurrentSource):
             plans.extend(_custom_current_plans(grid, source, tmesh, dt, add_waveform))
         elif isinstance(source, (PlaneWave, GaussianBeam, ModeSource, CustomFieldSource)):
@@ -570,7 +576,8 @@ def _lower_sources(simulation, grid, tmesh, dt):
     return plans, waveforms
 
 
-def _current_source_plans(grid, source, comp: str, wf_key: int) -> List[SourcePlan]:
+def _current_source_plans(grid, source, comp: str, wf_key: int,
+                          wf_key_im: Optional[int] = None) -> List[SourcePlan]:
     """Current source: inject J at Yee points of `comp` within the source box,
     with linear interpolation weights for off-grid positions."""
     coords_all = yee_coords(grid, comp)
@@ -602,7 +609,7 @@ def _current_source_plans(grid, source, comp: str, wf_key: int) -> List[SourcePl
     profile = (weights[0][:, None, None] * weights[1][None, :, None]
                * weights[2][None, None, :]).astype(np.float32)
     return [SourcePlan(comp=comp, slices=tuple(slices), profile=profile,
-                       waveform_key=wf_key)]
+                       waveform_key=wf_key, waveform_key_im=wf_key_im)]
 
 
 def _sheet_plans(grid, source_time, tmesh, dt, add_waveform, fields,
@@ -641,17 +648,21 @@ def _sheet_plans(grid, source_time, tmesh, dt, add_waveform, fields,
         # inject Re(profile * complex_amp(t)); J drives the E update at half
         # steps, M drives the H update at the following integer step
         amp_t = source_time.amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
-        key_re = add_waveform(np.real(amp_t))
-        key_im = add_waveform(-np.imag(amp_t))
+        has_im = np.max(np.abs(np.imag(amp_t))) > 0
+        key_ar = add_waveform(np.real(amp_t))
+        key_nai = add_waveform(-np.imag(amp_t))
+        # imaginary-copy waveforms (complex Bloch runs): Im(P a) uses
+        # +Im(a) against Re(P) and +Re(a) against Im(P)
+        key_ai = add_waveform(np.imag(amp_t)) if has_im else None
         scale = factor / thickness(comp_out, slices)
         plans.append(SourcePlan(comp=comp_out, slices=slices,
                                 profile=(scale * np.real(profile)).astype(np.float32),
-                                waveform_key=key_re))
+                                waveform_key=key_ar, waveform_key_im=key_ai))
         if np.iscomplexobj(profile) and np.max(np.abs(np.imag(profile))) > 1e-12 * (
                 np.max(np.abs(np.real(profile))) + 1e-300):
             plans.append(SourcePlan(comp=comp_out, slices=slices,
                                     profile=(scale * np.imag(profile)).astype(np.float32),
-                                    waveform_key=key_im))
+                                    waveform_key=key_nai, waveform_key_im=key_ar))
     return plans
 
 
@@ -711,16 +722,18 @@ def _custom_current_plans(grid, source, tmesh, dt, add_waveform
             prof = prof[..., 0]
         is_e = comp in E_COMPS
         amp_t = st.amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
+        has_im = np.max(np.abs(np.imag(amp_t))) > 0
         key_re = add_waveform(np.real(amp_t))
-        key_im = add_waveform(-np.imag(amp_t))
+        key_nai = add_waveform(-np.imag(amp_t))
+        key_ai = add_waveform(np.imag(amp_t)) if has_im else None
         plans.append(SourcePlan(comp=comp, slices=sl,
                                 profile=np.real(prof).astype(np.float32),
-                                waveform_key=key_re))
+                                waveform_key=key_re, waveform_key_im=key_ai))
         if np.max(np.abs(np.imag(prof))) > 1e-12 * (np.max(np.abs(np.real(prof)))
                                                     + 1e-300):
             plans.append(SourcePlan(comp=comp, slices=sl,
                                     profile=np.imag(prof).astype(np.float32),
-                                    waveform_key=key_im))
+                                    waveform_key=key_nai, waveform_key_im=key_re))
     return plans
 
 
