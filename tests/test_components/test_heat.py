@@ -1,0 +1,149 @@
+"""Native steady-state heat solver tests against analytic conduction."""
+
+import numpy as np
+import pytest
+
+import tidy3d_tpu as td
+
+
+def _solid(k, cap=1.0, name=None):
+    return td.Medium(heat_spec=td.SolidSpec(conductivity=k, capacity=cap),
+                     name=name)
+
+
+def test_linear_profile_between_plates():
+    """Slab between two pinned plates: linear temperature profile."""
+    t_hot, t_cold = 400.0, 300.0
+    plate_l = td.Structure(
+        geometry=td.Box(center=(-4.5, 0, 0), size=(1, 10, 10)),
+        medium=_solid(100.0), name="hot")
+    plate_r = td.Structure(
+        geometry=td.Box(center=(4.5, 0, 0), size=(1, 10, 10)),
+        medium=_solid(100.0), name="cold")
+    slab = td.Structure(
+        geometry=td.Box(center=(0, 0, 0), size=(8, 10, 10)),
+        medium=_solid(1.3), name="slab")
+    sim = td.HeatSimulation(
+        center=(0, 0, 0), size=(10, 10, 10),
+        medium=_solid(1.3),
+        structures=[slab, plate_l, plate_r],
+        boundary_spec=[
+            td.HeatBoundarySpec(
+                condition=td.TemperatureBC(temperature=t_hot),
+                placement=td.StructureBoundary(structure="hot")),
+            td.HeatBoundarySpec(
+                condition=td.TemperatureBC(temperature=t_cold),
+                placement=td.StructureBoundary(structure="cold")),
+        ],
+        monitors=[td.TemperatureMonitor(center=(0, 0, 0), size=(8, 0, 0),
+                                        name="line")],
+        grid_spec=td.GridSpec.uniform(dl=0.5),
+    )
+    data = sim.run()
+    temp = data["line"].temperature
+    tvals = np.asarray(temp.values).squeeze()
+    xvals = np.asarray(temp.coords["x"])
+    # linear between the plate temperatures
+    t_theory = t_hot + (t_cold - t_hot) * (xvals - (-4.0)) / 8.0
+    assert np.max(np.abs(tvals - t_theory)) < 1.0
+
+
+def test_volumetric_source_parabola():
+    """Uniform heating of a slab with both walls pinned: parabolic profile
+    with peak rise q L^2 / (8 k)."""
+    k, q, L = 2.0, 5.0, 8.0
+    t_wall = 300.0
+    heater = td.Structure(
+        geometry=td.Box(center=(0, 0, 0), size=(td.inf, td.inf, td.inf)),
+        medium=_solid(k), name="heater")
+    sim = td.HeatSimulation(
+        center=(0, 0, 0), size=(L, 4, 4),
+        medium=_solid(k),
+        structures=[heater],
+        sources=[td.UniformHeatSource(structures=["heater"], rate=q)],
+        boundary_spec=[
+            td.HeatBoundarySpec(condition=td.TemperatureBC(temperature=t_wall),
+                                placement=td.SimulationBoundary()),
+        ],
+        monitors=[td.TemperatureMonitor(center=(0, 0, 0), size=(L, 0, 0),
+                                        name="line")],
+        grid_spec=td.GridSpec.uniform(dl=0.25),
+    )
+    data = sim.run()
+    tvals = np.asarray(data["line"].temperature.values).squeeze()
+    # 3D box with all walls pinned: compare against the series solution for
+    # a cube is overkill; instead check symmetry + that the peak is below the
+    # 1D slab bound and above the pinned walls
+    assert np.argmax(tvals) in (len(tvals) // 2 - 1, len(tvals) // 2)
+    t_peak_1d = t_wall + q * L**2 / (8 * k)
+    assert t_wall + 1.0 < tvals.max() < t_peak_1d + 1.0
+    assert abs(tvals[0] - tvals[-1]) < 0.5
+
+
+def test_two_layer_series_resistance():
+    """Two slabs in series: interface temperature follows resistance ratio."""
+    t_hot, t_cold = 400.0, 300.0
+    k1, k2 = 1.0, 4.0
+    plate_l = td.Structure(geometry=td.Box(center=(-4.75, 0, 0), size=(0.5, 4, 4)),
+                           medium=_solid(500.0), name="hot")
+    plate_r = td.Structure(geometry=td.Box(center=(4.75, 0, 0), size=(0.5, 4, 4)),
+                           medium=_solid(500.0), name="cold")
+    left = td.Structure(geometry=td.Box(center=(-2.25, 0, 0), size=(4.5, 4, 4)),
+                        medium=_solid(k1), name="left")
+    right = td.Structure(geometry=td.Box(center=(2.25, 0, 0), size=(4.5, 4, 4)),
+                         medium=_solid(k2), name="right")
+    sim = td.HeatSimulation(
+        center=(0, 0, 0), size=(10, 4, 4),
+        medium=_solid(k1),
+        structures=[left, right, plate_l, plate_r],
+        boundary_spec=[
+            td.HeatBoundarySpec(condition=td.TemperatureBC(temperature=t_hot),
+                                placement=td.StructureBoundary(structure="hot")),
+            td.HeatBoundarySpec(condition=td.TemperatureBC(temperature=t_cold),
+                                placement=td.StructureBoundary(structure="cold")),
+        ],
+        monitors=[td.TemperatureMonitor(center=(0, 0, 0), size=(0, 0, 0),
+                                        name="mid")],
+        grid_spec=td.GridSpec.uniform(dl=0.25),
+    )
+    data = sim.run()
+    t_mid = float(np.asarray(data["mid"].temperature.values).squeeze())
+    # series resistances over each 4.5-um layer: interface temperature
+    r1, r2 = 4.5 / k1, 4.5 / k2
+    t_theory = t_hot + (t_cold - t_hot) * r1 / (r1 + r2)
+    assert abs(t_mid - t_theory) < 2.0
+
+
+def test_convection_boundary():
+    """Heated slab with convective walls: total convected power equals the
+    generated power."""
+    k, q = 10.0, 3.0
+    h, t_amb = 2.0, 300.0
+    heater = td.Structure(
+        geometry=td.Box(center=(0, 0, 0), size=(td.inf, td.inf, td.inf)),
+        medium=_solid(k), name="heater")
+    sim = td.HeatSimulation(
+        center=(0, 0, 0), size=(4, 4, 4),
+        medium=_solid(k),
+        structures=[heater],
+        sources=[td.UniformHeatSource(structures=["heater"], rate=q)],
+        boundary_spec=[
+            td.HeatBoundarySpec(
+                condition=td.ConvectionBC(ambient_temperature=t_amb,
+                                          transfer_coeff=h),
+                placement=td.SimulationBoundary()),
+        ],
+        monitors=[td.TemperatureMonitor(center=(0, 0, 0), size=(4, 4, 4),
+                                        name="vol")],
+        grid_spec=td.GridSpec.uniform(dl=0.25),
+    )
+    data = sim.run()
+    tvals = np.asarray(data["vol"].temperature.values)
+    # energy balance: q*V = h*A*(T_wall_avg - T_amb); with V=64, A=96:
+    # mean wall superheat = q*V/(h*A) = 1.0 K
+    wall_mean = np.mean([tvals[0].mean(), tvals[-1].mean(),
+                         tvals[:, 0].mean(), tvals[:, -1].mean(),
+                         tvals[:, :, 0].mean(), tvals[:, :, -1].mean()])
+    superheat_theory = q * 64.0 / (h * 96.0)
+    assert abs((wall_mean - t_amb) - superheat_theory) / superheat_theory < 0.15
+    assert tvals.max() > wall_mean  # interior hotter than walls

@@ -165,6 +165,56 @@ from .components.data.monitor_data import (
 )
 from .components.data.sim_data import SimulationData
 
+# --- EME ------------------------------------------------------------------- #
+from .components.eme.data import EMESimulationData, EMESMatrixDataset
+from .components.eme.grid import (
+    EMECompositeGrid,
+    EMEExplicitGrid,
+    EMEModeSpec,
+    EMEUniformGrid,
+)
+from .components.eme.simulation import EMESimulation
+from .components.eme.sweep import EMEFreqSweep, EMELengthSweep, EMEModeSweep
+
+# --- heat ------------------------------------------------------------------ #
+from .components.heat.boundary import (
+    ConvectionBC,
+    HeatBoundarySpec,
+    HeatFluxBC,
+    MediumMediumInterface,
+    SimulationBoundary,
+    StructureBoundary,
+    StructureSimulationBoundary,
+    StructureStructureInterface,
+    TemperatureBC,
+)
+from .components.heat.data import HeatSimulationData, TemperatureData
+from .components.heat.heat_spec import FluidSpec, SolidSpec
+from .components.heat.monitor import TemperatureMonitor
+from .components.heat.simulation import HeatSimulation
+from .components.heat.source import UniformHeatSource
+
+# --- lumped elements / perturbations / modulation -------------------------- #
+from .components.lumped_element import CoaxialLumpedResistor, LumpedResistor
+from .components.parameter_perturbation import (
+    CustomChargePerturbation,
+    CustomHeatPerturbation,
+    IndexPerturbation,
+    LinearChargePerturbation,
+    LinearHeatPerturbation,
+    ParameterPerturbation,
+    PermittivityPerturbation,
+)
+from .components.time_modulation import (
+    ContinuousWaveTimeModulation,
+    ModulationSpec,
+    SpaceTimeModulation,
+    SpatialModulationCustom,
+    SpatialModulationUniform,
+)
+from .components.run_time_spec import RunTimeSpec
+from .updater import Updater
+
 # --- execution ------------------------------------------------------------- #
 from . import web
 

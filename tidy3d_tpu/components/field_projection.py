@@ -64,8 +64,17 @@ class FieldProjector(Tidy3dBaseModel):
         axis = tuple(monitor.size).index(0.0)
         comps, (b_dim, c_dim) = _colocated_tangential_fields(field_data, axis)
         sign = 1.0 if normal_dir == "+" else -1.0
-        e_b, e_c = comps[f"E{b_dim}"], comps[f"E{c_dim}"]
-        h_b, h_c = comps[f"H{b_dim}"], comps[f"H{c_dim}"]
+        # enforce (b, c, f) memory layout: the colocated arrays keep the
+        # original xyz dim order, which is transposed relative to the cyclic
+        # (b, c) ordering for y-normal surfaces
+        def _ordered(arr):
+            want = tuple(d for d in (b_dim, c_dim, "f") if d in arr.dims)
+            if tuple(arr.dims) != want:
+                arr = arr.transpose(*want)
+            return arr
+
+        e_b, e_c = _ordered(comps[f"E{b_dim}"]), _ordered(comps[f"E{c_dim}"])
+        h_b, h_c = _ordered(comps[f"H{b_dim}"]), _ordered(comps[f"H{c_dim}"])
         # n = sign * e_a with (a, b, c) cyclic:
         # (n x H)_b = -sign*H_c ; (n x H)_c = +sign*H_b
         j_b = -sign * h_c.values

@@ -29,13 +29,24 @@ from .boundary import (
     ConvectionBC,
     HeatBoundarySpec,
     HeatFluxBC,
+    MediumMediumInterface,
     SimulationBoundary,
+    StructureBoundary,
+    StructureSimulationBoundary,
+    StructureStructureInterface,
     TemperatureBC,
 )
 from .data import HeatSimulationData, TemperatureData
 from .heat_spec import SolidSpec
 from .monitor import TemperatureMonitor
 from .source import UniformHeatSource
+
+
+def _axis_view(vec: np.ndarray, axis: int) -> np.ndarray:
+    """Reshape a 1D per-cell vector for broadcasting along `axis`."""
+    shape = [1, 1, 1]
+    shape[axis] = len(vec)
+    return vec.reshape(shape)
 
 
 class HeatSimulation(Box):
@@ -64,17 +75,36 @@ class HeatSimulation(Box):
     # ------------------------------------------------------------------ #
 
     def run(self, verbose: bool = False) -> HeatSimulationData:
-        """Solve div(k grad T) = -q with the configured BCs."""
+        """Solve steady-state div(k grad T) = -q on the structured grid.
+
+        Vectorized 7-point finite-volume assembly (harmonic-mean face
+        conductivities) with BC placements (reference: heat/boundary.py
+        bc_placement variants):
+
+        * ``SimulationBoundary``: BC on all outer faces of solid cells.
+        * ``StructureSimulationBoundary``: same, restricted to cells of the
+          named structure.
+        * ``StructureBoundary`` + ``TemperatureBC``: cells of the named
+          structure are pinned (Dirichlet plate approximation).
+        * ``StructureBoundary`` + ``ConvectionBC``/``HeatFluxBC``: applied on
+          faces between the named structure's solid cells and fluid cells.
+        * ``MediumMediumInterface`` / ``StructureStructureInterface`` +
+          ``ConvectionBC``: Robin link on the interface faces.
+
+        Fluid cells (no ``SolidSpec``) are adiabatic holes reported at the
+        ambient temperature.
+        """
         grid = self.grid
         xs = np.asarray(grid.centers.x)
         ys = np.asarray(grid.centers.y)
         zs = np.asarray(grid.centers.z)
         nx, ny, nz = len(xs), len(ys), len(zs)
-        N = nx * ny * nz
+        shape = (nx, ny, nz)
 
-        # conductivity map at cell centers (0 for fluids)
-        k_map = np.zeros((nx, ny, nz))
-        q_map = np.zeros((nx, ny, nz))
+        # material maps at cell centers (conductivity 0 marks fluid)
+        k_map = np.zeros(shape)
+        q_map = np.zeros(shape)
+        struct_masks = {}
         bg_spec = getattr(self.medium, "heat_spec", None)
         if isinstance(bg_spec, SolidSpec):
             k_map[:] = bg_spec.conductivity
@@ -83,9 +113,16 @@ class HeatSimulation(Box):
         for src in self.sources:
             for name in src.structures:
                 source_rates[name] = src.rate
+        medium_masks = {}
         for structure in self.structures:
             spec = getattr(structure.medium, "heat_spec", None)
-            mask = structure.geometry.inside(xg, yg, zg)
+            mask = np.broadcast_to(structure.geometry.inside(xg, yg, zg), shape)
+            if structure.name is not None:
+                struct_masks[structure.name] = mask
+            med_name = getattr(structure.medium, "name", None)
+            if med_name is not None:
+                medium_masks[med_name] = np.logical_or(
+                    medium_masks.get(med_name, False), mask)
             if isinstance(spec, SolidSpec):
                 k_map = np.where(mask, spec.conductivity, k_map)
             else:
@@ -96,84 +133,198 @@ class HeatSimulation(Box):
         dx = np.diff(np.asarray(grid.boundaries.x))
         dy = np.diff(np.asarray(grid.boundaries.y))
         dz = np.diff(np.asarray(grid.boundaries.z))
+        steps = (dx, dy, dz)
+        vol = dx[:, None, None] * dy[None, :, None] * dz[None, None, :]
+        solid = k_map > 0
 
-        # assemble 7-point FV Laplacian with harmonic-mean face conductivity
-        def idx(i, j, k):
-            return (i * ny + j) * nz + k
+        # ---- classify boundary specs ---------------------------------- #
+        ambient = 300.0
+        sim_bcs = []           # (condition, cell mask restriction or None)
+        pinT = np.full(shape, np.nan)
+        fluid_face_bcs = []    # (condition, solid-side mask)
+        interface_bcs = []     # (condition, mask_a, mask_b)
+        for bc in self.boundary_spec:
+            cond, placement = bc.condition, bc.placement
+            if isinstance(placement, SimulationBoundary):
+                sim_bcs.append((cond, None))
+                if isinstance(cond, TemperatureBC):
+                    ambient = cond.temperature
+                elif isinstance(cond, ConvectionBC):
+                    ambient = cond.ambient_temperature
+            elif isinstance(placement, StructureSimulationBoundary):
+                mask = struct_masks.get(placement.structure)
+                if mask is None:
+                    raise SetupError(
+                        f"unknown structure '{placement.structure}' in BC")
+                sim_bcs.append((cond, mask))
+            elif isinstance(placement, StructureBoundary):
+                mask = struct_masks.get(placement.structure)
+                if mask is None:
+                    raise SetupError(
+                        f"unknown structure '{placement.structure}' in BC")
+                if isinstance(cond, TemperatureBC):
+                    pinT = np.where(mask, cond.temperature, pinT)
+                else:
+                    fluid_face_bcs.append((cond, mask))
+            elif isinstance(placement, StructureStructureInterface):
+                m_a = struct_masks.get(placement.structures[0])
+                m_b = struct_masks.get(placement.structures[1])
+                if m_a is None or m_b is None:
+                    raise SetupError("unknown structure in interface BC")
+                interface_bcs.append((cond, m_a, m_b))
+            elif isinstance(placement, MediumMediumInterface):
+                m_a = medium_masks.get(placement.mediums[0])
+                m_b = medium_masks.get(placement.mediums[1])
+                if m_a is None or m_b is None:
+                    raise SetupError("unknown medium name in interface BC")
+                interface_bcs.append((cond, m_a, m_b))
+
+        pinned = solid & ~np.isnan(pinT)
+        free = solid & ~pinned
+        n_free = int(np.count_nonzero(free))
+        gidx = -np.ones(shape, dtype=np.int64)
+        gidx[free] = np.arange(n_free)
 
         rows, cols, vals = [], [], []
-        rhs = np.zeros(N)
+        diag = np.zeros(shape)
+        rhs = np.where(free, q_map * vol, 0.0)
 
-        # domain-boundary condition (one global spec supported natively)
-        bc_temp = None
-        bc_conv = None
-        bc_flux = None
-        for bc in self.boundary_spec:
-            if isinstance(bc.placement, SimulationBoundary):
-                if isinstance(bc.condition, TemperatureBC):
-                    bc_temp = bc.condition.temperature
-                elif isinstance(bc.condition, ConvectionBC):
-                    bc_conv = bc.condition
-                elif isinstance(bc.condition, HeatFluxBC):
-                    bc_flux = bc.condition.flux
-            else:
-                log.warning("only SimulationBoundary placements are handled by "
-                            "the native heat solver in this version; other "
-                            "placements ignored.")
+        # ---- interior faces per axis ---------------------------------- #
+        for axis in range(3):
+            sl_a = [slice(None)] * 3
+            sl_b = [slice(None)] * 3
+            sl_a[axis] = slice(0, shape[axis] - 1)
+            sl_b[axis] = slice(1, shape[axis])
+            sl_a, sl_b = tuple(sl_a), tuple(sl_b)
+            k_a, k_b = k_map[sl_a], k_map[sl_b]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                k_face = np.where((k_a > 0) & (k_b > 0),
+                                  2 * k_a * k_b / np.where(k_a + k_b > 0,
+                                                           k_a + k_b, 1.0), 0.0)
+            d = steps[axis]
+            d_a = _axis_view(d[:-1], axis)
+            d_b = _axis_view(d[1:], axis)
+            area = (vol[sl_a] / _axis_view(d[:-1], axis))
+            dist = 0.5 * (d_a + d_b)
+            g = k_face * area / dist
 
-        steps = (dx, dy, dz)
-        for i in range(nx):
-            for j in range(ny):
-                for k_ in range(nz):
-                    p = idx(i, j, k_)
-                    k_c = k_map[i, j, k_]
-                    if k_c <= 0:
-                        # fluid: pin to ambient/BC temperature
-                        rows.append(p), cols.append(p), vals.append(1.0)
-                        rhs[p] = bc_temp if bc_temp is not None else 300.0
+            free_a, free_b = free[sl_a], free[sl_b]
+            pin_a, pin_b = pinned[sl_a], pinned[sl_b]
+
+            # free-free: symmetric off-diagonal pair
+            ff = (g > 0) & free_a & free_b
+            ia, ib = gidx[sl_a][ff], gidx[sl_b][ff]
+            gv = g[ff]
+            rows.extend([ia, ib])
+            cols.extend([ib, ia])
+            vals.extend([-gv, -gv])
+            d_add = np.zeros_like(g)
+            d_add[ff] = gv
+            diag[sl_a] += d_add
+            dbb = np.zeros_like(g)
+            dbb[ff] = gv
+            diag[sl_b] += dbb
+
+            # free-pinned: Dirichlet elimination into rhs
+            for m_free, m_pin, sl_f, sl_p in (((free_a & pin_b), None, sl_a, sl_b),
+                                              ((free_b & pin_a), None, sl_b, sl_a)):
+                fp = (g > 0) & m_free
+                add_d = np.zeros_like(g)
+                add_d[fp] = g[fp]
+                diag[sl_f] += add_d
+                add_r = np.zeros_like(g)
+                add_r[fp] = g[fp] * pinT[sl_p][fp]
+                rhs[sl_f] += add_r
+
+            # solid-fluid faces: convection/flux BCs on structure boundaries
+            fl_a, fl_b = ~solid[sl_a], ~solid[sl_b]
+            for cond, mask in fluid_face_bcs:
+                for m_solid, m_fluid, sl_s in (((free_a & mask[sl_a] & fl_b), None, sl_a),
+                                               ((free_b & mask[sl_b] & fl_a), None, sl_b)):
+                    sel = m_solid
+                    if not np.any(sel):
                         continue
-                    vol = dx[i] * dy[j] * dz[k_]
-                    diag = 0.0
-                    for axis, (ii, jj, kk) in enumerate(((1, 0, 0), (0, 1, 0),
-                                                         (0, 0, 1))):
-                        for sign in (-1, 1):
-                            ni, nj, nk = i + sign * ii, j + sign * jj, k_ + sign * kk
-                            in_domain = (0 <= ni < nx and 0 <= nj < ny
-                                         and 0 <= nk < nz)
-                            d_self = steps[axis][(i, j, k_)[axis]]
-                            if in_domain:
-                                k_n = k_map[ni, nj, nk]
-                                if k_n <= 0:
-                                    continue  # adiabatic to fluid
-                                d_n = steps[axis][(ni, nj, nk)[axis]]
-                                k_face = 2 * k_c * k_n / (k_c + k_n)
-                                area = vol / d_self
-                                g = k_face * area / (0.5 * (d_self + d_n))
-                                q = idx(ni, nj, nk)
-                                rows.append(p), cols.append(q), vals.append(-g)
-                                diag += g
-                            else:
-                                area = vol / d_self
-                                if bc_temp is not None:
-                                    g = k_c * area / (0.5 * d_self)
-                                    diag += g
-                                    rhs[p] += g * bc_temp
-                                elif bc_conv is not None:
-                                    g = bc_conv.transfer_coeff * area
-                                    diag += g
-                                    rhs[p] += g * bc_conv.ambient_temperature
-                                elif bc_flux is not None:
-                                    rhs[p] += bc_flux * area
-                                # else adiabatic
-                    rows.append(p), cols.append(p), vals.append(diag if diag > 0
-                                                                else 1.0)
-                    rhs[p] += q_map[i, j, k_] * vol
+                    if isinstance(cond, ConvectionBC):
+                        add_d = np.zeros_like(g)
+                        add_d[sel] = cond.transfer_coeff * area[sel]
+                        diag[sl_s] += add_d
+                        add_r = np.zeros_like(g)
+                        add_r[sel] = (cond.transfer_coeff * area[sel]
+                                      * cond.ambient_temperature)
+                        rhs[sl_s] += add_r
+                    elif isinstance(cond, HeatFluxBC):
+                        add_r = np.zeros_like(g)
+                        add_r[sel] = cond.flux * area[sel]
+                        rhs[sl_s] += add_r
 
-        A = sp.csr_matrix((vals, (rows, cols)), shape=(N, N))
-        T, info = spl.cg(A, rhs, rtol=1e-8, maxiter=10000)
-        if info != 0:
-            T = spl.spsolve(A.tocsc(), rhs)
-        T3 = T.reshape(nx, ny, nz)
+            # named interface faces (Robin link between two solids, or Robin
+            # to ambient when one side is fluid)
+            for cond, m_a, m_b in interface_bcs:
+                iface = ((m_a[sl_a] & m_b[sl_b]) | (m_b[sl_a] & m_a[sl_b]))
+                if not isinstance(cond, ConvectionBC) or not np.any(iface):
+                    continue
+                h = cond.transfer_coeff
+                t_amb = cond.ambient_temperature
+                for m_s, sl_s, m_o, sl_o in ((free_a & iface, sl_a, fl_b, sl_b),
+                                             (free_b & iface, sl_b, fl_a, sl_a)):
+                    sel = m_s & m_o
+                    if not np.any(sel):
+                        continue
+                    add_d = np.zeros_like(g)
+                    add_d[sel] = h * area[sel]
+                    diag[sl_s] += add_d
+                    add_r = np.zeros_like(g)
+                    add_r[sel] = h * area[sel] * t_amb
+                    rhs[sl_s] += add_r
+
+        # ---- domain-boundary faces ------------------------------------ #
+        for axis in range(3):
+            for side in (0, -1):
+                sl = [slice(None)] * 3
+                sl[axis] = slice(0, 1) if side == 0 else slice(shape[axis] - 1,
+                                                               shape[axis])
+                sl = tuple(sl)
+                d_self = steps[axis][0 if side == 0 else -1]
+                area = vol[sl] / d_self
+                k_here = k_map[sl]
+                face_free = free[sl]
+                for cond, restrict in sim_bcs:
+                    sel = face_free if restrict is None \
+                        else (face_free & restrict[sl])
+                    if not np.any(sel):
+                        continue
+                    if isinstance(cond, TemperatureBC):
+                        g = np.where(sel, k_here * area / (0.5 * d_self), 0.0)
+                        diag[sl] += g
+                        rhs[sl] += g * cond.temperature
+                    elif isinstance(cond, ConvectionBC):
+                        g = np.where(sel, cond.transfer_coeff * area, 0.0)
+                        diag[sl] += g
+                        rhs[sl] += g * cond.ambient_temperature
+                    elif isinstance(cond, HeatFluxBC):
+                        rhs[sl] += np.where(sel, cond.flux * area, 0.0)
+
+        # ---- assemble + solve ----------------------------------------- #
+        di = gidx[free]
+        dv = np.where(diag[free] > 0, diag[free], 1.0)
+        rows.append(di)
+        cols.append(di)
+        vals.append(dv)
+        rows = np.concatenate(rows) if rows else np.zeros(0, np.int64)
+        cols = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+        vals = np.concatenate(vals) if vals else np.zeros(0)
+        A = sp.csr_matrix((vals, (rows, cols)), shape=(n_free, n_free))
+        b = rhs[free]
+        if n_free:
+            T_free, info = spl.cg(A, b, rtol=1e-10, maxiter=20000)
+            if info != 0:
+                T_free = spl.spsolve(A.tocsc(), b)
+        else:
+            T_free = np.zeros(0)
+
+        T3 = np.full(shape, ambient)
+        T3[free] = T_free
+        T3[pinned] = pinT[pinned]
 
         data = []
         for monitor in self.monitors:

@@ -184,6 +184,10 @@ class SurfaceIntegrationMonitor(Monitor, ABC):
         surfaces = []
         excluded = set(self.exclude_surfaces or ())
         for axis in range(3):
+            if self.size[axis] >= inf / 2:
+                # an infinite axis has no terminating surfaces (they would sit
+                # at +/- inf); the side faces capture everything in practice
+                continue
             for sign, tag in zip((-1, 1), ("-", "+")):
                 key = f"{'xyz'[axis]}{tag}"
                 if key in excluded:

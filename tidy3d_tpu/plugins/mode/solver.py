@@ -183,12 +183,13 @@ def compute_modes(
     Pt = sp.bmat([[Px, None], [None, Py]]).tocsr()
     M = (Pt @ (-(A @ B)) @ Pt).tocsr()  # beta^2 eigenproblem on (Ex, Ey)
 
-    # target effective index
+    # target effective index (shift) and the physical light line (filter)
+    n_max = float(np.sqrt(np.max(np.real(
+        np.stack([eps_xx, eps_yy, eps_zz])).clip(min=1.0))))
     if mode_spec.target_neff is not None:
         n_target = mode_spec.target_neff
     else:
-        n_target = float(np.sqrt(np.max(np.real(
-            np.stack([eps_xx, eps_yy, eps_zz])).clip(min=1.0))))
+        n_target = n_max
     sigma = (n_target * k0) ** 2
 
     # request extra eigenpairs so spurious ones can be filtered out
@@ -209,7 +210,7 @@ def compute_modes(
     keep = []
     for idx in order:
         ne = n_eff_all[idx]
-        if np.real(ne) > n_target * (1 + 1e-6):
+        if np.real(ne) > n_max * (1 + 1e-6):
             continue  # spurious above light line of max index
         if np.real(ne) <= 0:
             continue

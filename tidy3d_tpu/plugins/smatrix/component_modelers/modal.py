@@ -59,14 +59,16 @@ class ComponentModeler(AbstractComponentModeler):
         return GaussianPulse(freq0=float(freqs.mean()), fwidth=self.fwidth)
 
     def _shift_value(self, port: Port) -> float:
-        """Shift the source two grid cells inward from the port plane, so the
-        port monitor does not sit inside the source injection sheets."""
+        """Shift the source two grid cells BEHIND the port plane (against the
+        injection direction) so the launched wave passes through the port
+        monitor, whose measured amplitude then self-normalizes the column
+        (reference: modal.py _shift_value_signed:208)."""
         normal_axis = tuple(port.size).index(0.0)
         grid = self.simulation.grid
         centers = np.asarray(grid.centers.to_list[normal_axis])
         pos = port.center[normal_axis]
         idx = int(np.argmin(np.abs(centers - pos)))
-        shift = 2 if port.direction == "+" else -2
+        shift = -2 if port.direction == "+" else 2
         idx_new = int(np.clip(idx + shift, 0, len(centers) - 1))
         return float(centers[idx_new] - pos)
 
@@ -136,6 +138,13 @@ class ComponentModeler(AbstractComponentModeler):
             sim_data = batch_data[task]
             col_in = port_names.index(port_in_name)
             port_in = self.get_port_by_name(port_in_name)
+            # self-normalization: the launched amplitude measured at the input
+            # port in the injection direction (reference: modal.py
+            # _normalization_factor:276) — cancels injection imperfections and
+            # backward-mode sign conventions
+            in_data = sim_data[f"smatrix_mnt_{port_in_name}"]
+            source_norm = in_data.amps.sel(
+                direction=port_in.direction).values[:, mode_in]
             for port_out_name, mode_out in self.matrix_indices_monitor:
                 port_out = self.get_port_by_name(port_out_name)
                 mode_data = sim_data[f"smatrix_mnt_{port_out_name}"]
@@ -145,7 +154,7 @@ class ComponentModeler(AbstractComponentModeler):
                 direction = "-" if port_out.direction == "+" else "+"
                 amp = mode_data.amps.sel(direction=direction).values[:, mode_out]
                 row_out = port_names.index(port_out_name)
-                values[row_out, mode_out, col_in, mode_in, :] = amp
+                values[row_out, mode_out, col_in, mode_in, :] = amp / source_norm
 
         # fill elements via symmetry mappings
         for mapping in self.element_mappings:

@@ -24,7 +24,7 @@ from ..components.eme.data import EMESimulationData, EMESMatrixDataset
 from ..components.eme.simulation import EMESimulation
 from ..components.eme.sweep import EMELengthSweep, EMEModeSweep
 from ..components.geometry.base import Box
-from ..constants import C_0
+from ..constants import C_0, inf
 from ..exceptions import SetupError
 from ..log import log
 
@@ -55,6 +55,11 @@ def run_eme(eme_sim: EMESimulation, verbose: bool = False) -> EMESimulationData:
         plane_center[axis] = float(pos)
         plane_size = list(eme_sim.size)
         plane_size[axis] = 0.0
+        # 2D EME sims: a zero-extent transverse dim is the homogeneous axis;
+        # the mode plane spans it fully (same convention as ModeMonitor)
+        for d in range(3):
+            if d != axis and plane_size[d] == 0.0:
+                plane_size[d] = inf
         solver = ModeSolver(
             simulation=fdtd_sim, plane=Box(center=tuple(plane_center),
                                            size=tuple(plane_size)),
@@ -93,6 +98,7 @@ def run_eme(eme_sim: EMESimulation, verbose: bool = False) -> EMESimulationData:
                     T = _interface_transfer(cell_modes[ci], cell_modes[ci + 1],
                                             fi, num_modes, axis) @ T
             s = _transfer_to_smatrix(T, num_modes)
+            s = _apply_constraint(s, eme_sim.constraint, num_modes)
             s11[fi, si], s12[fi, si], s21[fi, si], s22[fi, si] = s
 
     coords = dict(
@@ -177,6 +183,21 @@ def _interface_transfer(data_a, data_b, fi: int, num_modes: int, axis: int
     T[n:, :n] = 0.5 * (M1 - M2)
     T[n:, n:] = 0.5 * (M1 + M2)
     return T
+
+
+def _apply_constraint(s_blocks, constraint, n: int):
+    """Project the S-matrix onto the passive (singular values <= 1) or
+    unitary (= 1) set; truncating the mode basis at an interface can
+    otherwise produce slight gain (reference: eme/simulation.py constraint
+    field)."""
+    if constraint not in ("passive", "unitary"):
+        return s_blocks
+    s11, s12, s21, s22 = s_blocks
+    S = np.block([[s11, s12], [s21, s22]])
+    u, sv, vh = np.linalg.svd(S)
+    sv = np.minimum(sv, 1.0) if constraint == "passive" else np.ones_like(sv)
+    S = (u * sv) @ vh
+    return S[:n, :n], S[:n, n:], S[n:, :n], S[n:, n:]
 
 
 def _transfer_to_smatrix(T: np.ndarray, n: int):

@@ -336,36 +336,57 @@ def _make_diffraction_data(simulation, mp, raw_mon):
     from ..components.data.monitor_data import _colocated_tangential_fields
 
     comps, (b_dim, c_dim) = _colocated_tangential_fields(fd, axis)
-    e_b = comps[f"E{b_dim}"]
-    e_c = comps[f"E{c_dim}"]
+
+    # enforce (b, c, f) layout (cyclic ordering is transposed vs the arrays'
+    # native xyz dim order for y-normal planes)
+    def _ordered(arr):
+        want = tuple(d for d in (b_dim, c_dim, "f") if d in arr.dims)
+        return arr.transpose(*want) if tuple(arr.dims) != want else arr
+
+    e_b = _ordered(comps[f"E{b_dim}"])
+    e_c = _ordered(comps[f"E{c_dim}"])
     bb = np.asarray(e_b.coords[b_dim], dtype=float)
     cc = np.asarray(e_b.coords[c_dim], dtype=float)
-    # periodic lengths from the simulation domain
+    # periodic lengths from the simulation domain; a zero-extent (2D
+    # singleton) transverse axis carries no Fourier decomposition: unit
+    # effective length and weight
     rmin, rmax = simulation.bounds
     Lb = rmax[b_ax] - rmin[b_ax]
     Lc = rmax[c_ax] - rmin[c_ax]
+    Lb_eff = Lb if Lb > 0 else 1.0
+    Lc_eff = Lc if Lc > 0 else 1.0
     eps_bg = simulation.medium.eps_model(float(freqs[0]))
     n_med = float(np.real(np.sqrt(eps_bg)))
 
+    # Bloch wavevector offsets (angled incidence): k_t,m = k_bloch + 2 pi m/L
+    def _bloch_k(ax, L):
+        bv = getattr(simulation.boundary_spec.to_list[ax][0], "bloch_vec", 0.0)
+        return 2 * np.pi * (bv or 0.0) / L if L > 0 else 0.0
+
+    kb0 = _bloch_k(b_ax, Lb)
+    kc0 = _bloch_k(c_ax, Lc)
+
     # allowed orders at the highest frequency
     k_max = 2 * np.pi * freqs.max() * n_med / C_0
-    m_max = int(np.floor(k_max * Lb / (2 * np.pi))) if Lb > 0 else 0
-    n_max = int(np.floor(k_max * Lc / (2 * np.pi))) if Lc > 0 else 0
+    m_max = int(np.floor((k_max + abs(kb0)) * Lb / (2 * np.pi))) if Lb > 0 else 0
+    n_max = int(np.floor((k_max + abs(kc0)) * Lc / (2 * np.pi))) if Lc > 0 else 0
     orders_b = np.arange(-m_max, m_max + 1)
     orders_c = np.arange(-n_max, n_max + 1)
 
     # Fourier coefficients via direct projection (nonuniform-grid-safe)
     wb = np.zeros(len(bb))
-    wb[:] = np.gradient(bb) if len(bb) > 1 else Lb
+    wb[:] = np.gradient(bb) if len(bb) > 1 else Lb_eff
     wc = np.zeros(len(cc))
-    wc[:] = np.gradient(cc) if len(cc) > 1 else Lc
+    wc[:] = np.gradient(cc) if len(cc) > 1 else Lc_eff
+    w2 = (wb[:, None] * wc[None, :]) / (Lb_eff * Lc_eff)
     amps = np.zeros((len(orders_b), len(orders_c), len(freqs), 2), dtype=complex)
     for mi_, m in enumerate(orders_b):
         for ni_, n in enumerate(orders_c):
-            kb = 2 * np.pi * m / Lb if Lb > 0 else 0.0
-            kc = 2 * np.pi * n / Lc if Lc > 0 else 0.0
+            kb = kb0 + (2 * np.pi * m / Lb if Lb > 0 else 0.0)
+            kc = kc0 + (2 * np.pi * n / Lc if Lc > 0 else 0.0)
+            # the recorded (complex) fields carry the full Bloch phase ramp,
+            # so project against the full transverse wavevector
             phase = np.exp(-1j * (kb * bb[:, None] + kc * cc[None, :]))
-            w2 = (wb[:, None] * wc[None, :]) / (Lb * Lc if Lb * Lc > 0 else 1.0)
             for fi in range(len(freqs)):
                 k0 = 2 * np.pi * freqs[fi] * n_med / C_0
                 kt2 = kb**2 + kc**2
@@ -381,8 +402,13 @@ def _make_diffraction_data(simulation, mp, raw_mon):
                 # p: in the plane of incidence (along u); s: perpendicular
                 amp_p = coef_b * ub + coef_c * uc
                 amp_s = -coef_b * uc + coef_c * ub
-                amps[mi_, ni_, fi, 0] = amp_s
-                amps[mi_, ni_, fi, 1] = amp_p
+                # fold obliquity into the amplitudes so |amp|^2 is the order's
+                # diffraction efficiency: P_s = |E_s|^2 cos(theta),
+                # P_p = |E_p,tan|^2 / cos(theta) (reference: DiffractionData
+                # power conventions, monitor_data.py:2672)
+                cos_t = np.sqrt(k0**2 - kt2) / k0
+                amps[mi_, ni_, fi, 0] = amp_s * np.sqrt(cos_t)
+                amps[mi_, ni_, fi, 1] = amp_p / np.sqrt(cos_t)
 
     amps_da = DiffractionDataArray(amps, coords=dict(
         orders_x=orders_b, orders_y=orders_c, f=freqs,
