@@ -215,6 +215,9 @@ from .components.time_modulation import (
 from .components.run_time_spec import RunTimeSpec
 from .updater import Updater
 
+# --- material library ------------------------------------------------------ #
+from .material_library.material_library import material_library
+
 # --- execution ------------------------------------------------------------- #
 from . import web
 

@@ -146,6 +146,15 @@ class Simulation(Box):
     # validators
     # ------------------------------------------------------------------ #
 
+    def to_gds_file(self, fname: str, x: float = None, y: float = None,
+                    z: float = None, gds_layer_dtype_map=None) -> None:
+        """Export structure cross-sections at a plane to a GDSII file
+        (reference: simulation.py Simulation.to_gds_file)."""
+        from .gds import simulation_to_gds_file
+
+        simulation_to_gds_file(self, fname, z=z, y=y, x=x,
+                               gds_layer_dtype_map=gds_layer_dtype_map)
+
     @pydantic.field_validator("monitors")
     @classmethod
     def _monitor_names_unique(cls, val):
