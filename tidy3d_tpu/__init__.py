@@ -215,6 +215,14 @@ from .components.time_modulation import (
 from .components.run_time_spec import RunTimeSpec
 from .updater import Updater
 
+from .components.data.unstructured import (
+    CellDataArray,
+    IndexedDataArray,
+    PointDataArray,
+    TetrahedralGridDataset,
+    TriangularGridDataset,
+)
+
 # --- material library ------------------------------------------------------ #
 from .material_library.material_library import material_library
 
