@@ -110,7 +110,7 @@ class NonlinearSpec(Tidy3dBaseModel):
         (), title="Nonlinear models"
     )
     num_iters: pydantic.PositiveInt = pydantic.Field(
-        1, title="Number of fixed-point iterations per time step", le=100
+        5, title="Number of fixed-point iterations per time step", le=100
     )
 
 

@@ -4,14 +4,15 @@ source injection, and on-device running-DFT monitor accumulation.
 This is the component the reference keeps server-side (its cloud GPU engine —
 see SURVEY.md §2.3 item 1). TPU-first design:
 
-* **Ghost-cell field layout.** E/H live in (nx+2, ny+2, nz+2) arrays with a
-  1-cell ghost margin. Every stencil shift is then a pure overlapping SLICE of
-  a stored array — XLA fuses slice→elementwise→dynamic-update-slice chains
-  into single HBM-bandwidth-bound kernels, unlike concat/pad-based shifts
-  which materialize intermediates (measured 3-10x slower). The interior write
-  is an in-place dynamic-update-slice on the loop carry. Ghosts encode the
-  boundary condition: zero = PEC-backed, refreshed wrap plane = periodic,
-  mirrored plane = PMC.
+* **Tile-aligned stencil shifts.** Stencil neighbors are read through
+  region-sliced expressions (`_shift_take`): interior PML-slab regions use
+  pure offset slices (fused by XLA into the output kernel), and whole-axis
+  regions use one aligned concat with the boundary wrap column. Measured
+  alternatives — ghost-cell arrays with dynamic-update-slice writes, and
+  1-wide edge strips to avoid concat entirely — are 20%-3x slower on TPU:
+  misaligned sublane/lane access dominates over raw HBM traffic. Boundary
+  kinds: zero column = PEC, mirrored = PMC, wrapped = periodic, phase-mixed
+  dual-copy wrap = Bloch.
 * **CPML as fold + correction.** The 1/kappa stretch folds into the inverse
   step-size vectors (free); the recursive psi memories live only in boundary
   slabs and enter as small slab-sized corrections added to the interior
@@ -94,6 +95,10 @@ class FDTDRunner:
                 self._bloch_cs.append(None)
         self.dtype = jnp.float32
         self.num_steps = plan.num_steps
+        if plan.is_complex and plan.nonlinear is not None:
+            raise NotImplementedError(
+                "nonlinear media with Bloch (complex-field) boundaries are "
+                "not supported")
         self._build_constants()
 
     # ------------------------------------------------------------------ #
@@ -191,6 +196,24 @@ class FDTDRunner:
                            for cm in pole.c_maps)
             ])
 
+        # nonlinear response coefficients: the fixed-point iteration solves
+        # E' = E_lin - B (E'^3 - E^3) - K ((E+E')/2)^3 with
+        # B = cb eps0 chi3 / dt (instantaneous chi3 polarization) and
+        # K = cb ktpa (two-photon-absorption conductivity sigma_NL = ktpa E^2)
+        if plan.nonlinear is not None:
+            # iteration count is static (python loop inside the traced step)
+            self.nl_num_iters = int(plan.nonlinear["num_iters"])
+            nl = {"B": {}, "K": {}}
+            for comp in E_COMPS:
+                _, cb = consts["coeffs_E"][comp]
+                chi3 = plan.nonlinear["chi3"].get(comp)
+                ktpa = plan.nonlinear["ktpa"].get(comp)
+                if chi3 is not None:
+                    nl["B"][comp] = compact(cb * EPSILON_0 * chi3 / plan.dt)
+                if ktpa is not None:
+                    nl["K"][comp] = compact(cb * ktpa)
+            consts["nl"] = nl
+
         # DFT kernels per monitor: (num_steps, num_freqs) f32 cos/sin tables
         consts["dft"] = {}
         tmesh = plan.tmesh
@@ -278,43 +301,81 @@ class FDTDRunner:
     def _int(self, F):
         return F
 
-    def _sh_dn(self, F, axis: int, Fp=None, part: int = 0):
-        """F_{i-1} along axis (wrap per boundary kind at the low side).
+    def _wrap_col(self, F, Fp, axis: int, side: str, part: int):
+        """Boundary column entering the stencil across the domain edge.
 
-        With a Bloch phase e^{i phi} = c + i s across the axis, the low wrap is
-        F(-1) = e^{-i phi} F(N-1): re part c*Fr + s*Fi, im part c*Fi - s*Fr —
-        the ONLY place the two real copies of a complex run couple."""
+        'lo': the F(-1) column for a backward difference at i=0 (wraps to
+        F(N-1) for periodic); 'hi': the F(N) column for a forward difference
+        at i=N-1 (wraps to F(0)). With a Bloch phase e^{i phi} = c + i s the
+        wrapped column mixes the two real copies: F(-1)=e^{-i phi}F(N-1),
+        F(N)=e^{+i phi}F(0) — the ONLY place the copies of a complex run
+        couple."""
         n = F.shape[axis]
-        kind = self.plan.boundaries[axis][0]
-        last = lax.slice_in_dim(F, n - 1, n, axis=axis)
-        if kind == "pec":
-            last = jnp.zeros_like(last)
-        elif kind == "pmc":
-            last = lax.slice_in_dim(F, 0, 1, axis=axis)
-        elif Fp is not None and self._bloch_cs[axis] is not None:
-            c, s = self._bloch_cs[axis]
-            lastp = lax.slice_in_dim(Fp, n - 1, n, axis=axis)
-            last = c * last + (s if part == 0 else -s) * lastp
-        rest = lax.slice_in_dim(F, 0, n - 1, axis=axis)
-        return lax.concatenate([last, rest], dimension=axis)
-
-    def _sh_up(self, F, axis: int, Fp=None, part: int = 0):
-        """F_{i+1} along axis (wrap per boundary kind at the high side).
-
-        Bloch: F(N) = e^{+i phi} F(0): re part c*Fr - s*Fi, im c*Fi + s*Fr."""
-        n = F.shape[axis]
+        if side == "lo":
+            kind = self.plan.boundaries[axis][0]
+            col = lax.slice_in_dim(F, n - 1, n, axis=axis)
+            if kind == "pec":
+                return jnp.zeros_like(col)
+            if kind == "pmc":
+                return lax.slice_in_dim(F, 0, 1, axis=axis)
+            if Fp is not None and self._bloch_cs[axis] is not None:
+                c, s = self._bloch_cs[axis]
+                colp = lax.slice_in_dim(Fp, n - 1, n, axis=axis)
+                return c * col + (s if part == 0 else -s) * colp
+            return col
         kind = self.plan.boundaries[axis][1]
-        first = lax.slice_in_dim(F, 0, 1, axis=axis)
+        col = lax.slice_in_dim(F, 0, 1, axis=axis)
         if kind == "pec":
-            first = jnp.zeros_like(first)
-        elif kind == "pmc":
-            first = lax.slice_in_dim(F, n - 1, n, axis=axis)
-        elif Fp is not None and self._bloch_cs[axis] is not None:
+            return jnp.zeros_like(col)
+        if kind == "pmc":
+            return lax.slice_in_dim(F, n - 1, n, axis=axis)
+        if Fp is not None and self._bloch_cs[axis] is not None:
             c, s = self._bloch_cs[axis]
-            firstp = lax.slice_in_dim(Fp, 0, 1, axis=axis)
-            first = c * first + (-s if part == 0 else s) * firstp
-        rest = lax.slice_in_dim(F, 1, n, axis=axis)
-        return lax.concatenate([rest, first], dimension=axis)
+            colp = lax.slice_in_dim(Fp, 0, 1, axis=axis)
+            return c * col + (-s if part == 0 else s) * colp
+        return col
+
+    def _shift_take(self, F, Fp, sl, axis: int, dn: bool, part: int):
+        """The shifted operand F_{i-1} (dn) or F_{i+1} (up) restricted to
+        region slice `sl` — WITHOUT materializing a whole-array shifted copy.
+
+        Interior regions read F through a pure offset slice (XLA fuses the
+        slice+subtract+multiply chain into the output kernel, halving HBM
+        traffic vs a materialized concat shift); only the region touching the
+        domain edge concatenates the small boundary wrap column."""
+        n = F.shape[axis]
+        s = sl[axis]
+        start = 0 if s == slice(None) else (s.start or 0)
+        stop = n if s == slice(None) or s.stop is None else s.stop
+        if dn:
+            if start > 0:
+                sl2 = list(sl)
+                sl2[axis] = slice(start - 1, stop - 1)
+                return _take(F, tuple(sl2))
+            col = self._wrap_col(F, Fp, axis, "lo", part)
+            oth = list(sl)
+            oth[axis] = slice(None)
+            col = _take(col, tuple(oth))
+            if stop <= 1:
+                return col
+            rest_sl = list(sl)
+            rest_sl[axis] = slice(0, stop - 1)
+            return lax.concatenate([col, _take(F, tuple(rest_sl))],
+                                   dimension=axis)
+        if stop < n:
+            sl2 = list(sl)
+            sl2[axis] = slice(start + 1, stop + 1)
+            return _take(F, tuple(sl2))
+        col = self._wrap_col(F, Fp, axis, "hi", part)
+        oth = list(sl)
+        oth[axis] = slice(None)
+        col = _take(col, tuple(oth))
+        if start >= n - 1:
+            return col
+        rest_sl = list(sl)
+        rest_sl[axis] = slice(start + 1, n)
+        return lax.concatenate([_take(F, tuple(rest_sl)), col],
+                               dimension=axis)
 
     def _slab_slices(self, axis: int, side: str, width: int):
         """Interior-coordinate slices selecting a PML slab along axis."""
@@ -356,7 +417,6 @@ class FDTDRunner:
         coeffs = consts["coeffs_E"] if is_e else consts["coeffs_H"]
         inv = consts["inv_dual"] if is_e else consts["inv_primal"]
         fam = "dual" if is_e else "primal"
-        shift = self._sh_dn if is_e else self._sh_up
         sign_shift = 1.0 if is_e else -1.0  # backward vs forward difference
 
         new_fields = {}
@@ -367,21 +427,20 @@ class FDTDRunner:
             other = H_COMPS if is_e else E_COMPS
             Fk = src_fields[other[k]]
             Fj = src_fields[other[j]]
-            # shifted copies (one aligned materialization each); partner_src
-            # supplies the other real copy for Bloch wrap mixing
+            # partner_src supplies the other real copy for Bloch wrap mixing
             Fk_p = partner_src[other[k]] if partner_src is not None else None
             Fj_p = partner_src[other[j]] if partner_src is not None else None
-            Fk_sh = shift(Fk, j, Fk_p, part)
-            Fj_sh = shift(Fj, k, Fj_p, part)
             ca, cb = coeffs[comp]
             F_old = state[family][comp]
 
             def d1_of(sl):
-                return sign_shift * (_take(Fk, sl) - _take(Fk_sh, sl)) \
+                shifted = self._shift_take(Fk, Fk_p, sl, j, is_e, part)
+                return sign_shift * (_take(Fk, sl) - shifted) \
                     * _bslice(inv[j], sl)
 
             def d2_of(sl):
-                return sign_shift * (_take(Fj, sl) - _take(Fj_sh, sl)) \
+                shifted = self._shift_take(Fj, Fj_p, sl, k, is_e, part)
+                return sign_shift * (_take(Fj, sl) - shifted) \
                     * _bslice(inv[k], sl)
 
             # psi slab updates (full slabs, spanning corners)
@@ -408,11 +467,16 @@ class FDTDRunner:
                     new_psi[key] = psi_new
                     psi2[side] = (psi_new, sl)
 
-            # region assembly over (j, k)
+            # region assembly over (j, k); the wrap edge of non-slab regions
+            # is split off so the bulk reads shifted operands as pure slices
             regions_j = self._region_ranges(self.shape[j], w_lo_j if "lo" in psi1
                                             else 0, w_hi_j if "hi" in psi1 else 0)
             regions_k = self._region_ranges(self.shape[k], w_lo_k if "lo" in psi2
                                             else 0, w_hi_k if "hi" in psi2 else 0)
+            # NOTE: splitting a 1-wide strip off the wrap edge (so the bulk
+            # reads pure offset slices) measures ~20% SLOWER on TPU despite
+            # saving the concat materialization — misaligned sublane/lane
+            # slices beat it. Aligned whole-axis concat stays.
             wall = consts["wall_masks"].get(comp, ()) if is_e else ()
 
             def piece(rj, rk):
@@ -497,6 +561,28 @@ class FDTDRunner:
                 wf = consts["waveforms"][wf_key, step]
                 add = -cb_sl * consts["src_profiles"][si] * wf
                 nE[sp.comp] = nE[sp.comp].at[sp.slices].add(add)
+
+            # nonlinear fixed-point iteration (chi3 / Kerr / TPA)
+            if "nl" in consts and not cx:
+                nl = consts["nl"]
+                for comp in E_COMPS:
+                    B = nl["B"].get(comp)
+                    K = nl["K"].get(comp)
+                    if B is None and K is None:
+                        continue
+                    e_old = view["E"][comp]
+                    e_lin = nE[comp]
+                    e_it = e_lin
+                    e_old3 = e_old * e_old * e_old
+                    for _ in range(self.nl_num_iters):
+                        e_new = e_lin
+                        if B is not None:
+                            e_new = e_new - B * (e_it * e_it * e_it - e_old3)
+                        if K is not None:
+                            e_mid = 0.5 * (e_old + e_it)
+                            e_new = e_new - K * (e_mid * e_mid * e_mid)
+                        e_it = e_new
+                    nE[comp] = e_it
 
             # dispersive Q update (needs E^{n+1} + E^n on the interior)
             nQ = []

@@ -154,6 +154,10 @@ class SimulationPlan:
     # E-field coefficient for the ADE implicit term, per component (real)
     # (zero when no dispersive media)
     disp_ee: Optional[Dict[str, np.ndarray]]
+    # nonlinear response maps (None when no nonlinear media): per-E-comp
+    # chi3 [um^2/V^2] and TPA conductivity coefficient K [S*um/V^2] with
+    # sigma_NL = K * E^2, plus the fixed-point iteration count
+    nonlinear: Optional[dict]
     # sources
     sources: List[SourcePlan]
     waveforms: np.ndarray           # (num_waveforms, num_steps) float32/complex
@@ -258,7 +262,8 @@ def lower(simulation: Simulation) -> SimulationPlan:
     if simulation.sources:
         freq0 = float(np.mean([s.source_time.freq0 for s in simulation.sources]))
 
-    eps_arrays, sigma_arrays, pole_plans, disp_ee = _material_arrays(simulation, freq0)
+    eps_arrays, sigma_arrays, pole_plans, disp_ee, nonlinear = _material_arrays(
+        simulation, freq0)
 
     # absorber magnetic/electric conductivity profiles
     abs_sigma = _absorber_profiles(simulation, bounds, centers, dt)
@@ -317,7 +322,7 @@ def lower(simulation: Simulation) -> SimulationPlan:
         inv_primal=tuple(inv_primal), inv_dual=tuple(inv_dual),
         pml_dual=tuple(pml_dual), pml_primal=tuple(pml_primal),
         boundaries=tuple(boundaries), bloch_phases=tuple(bloch_phases),
-        poles=pole_plans, disp_ee=disp_ee,
+        poles=pole_plans, disp_ee=disp_ee, nonlinear=nonlinear,
         sources=source_plans, waveforms=waveforms,
         monitors=monitor_plans, is_complex=is_complex, eps_yee=eps_yee,
     )
@@ -387,6 +392,10 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
     pole_accumulator: Dict[int, Dict[str, np.ndarray]] = {}
     pole_info: Dict[int, complex] = {}
 
+    chi3_arrays: Dict[str, np.ndarray] = {}
+    ktpa_arrays: Dict[str, np.ndarray] = {}
+    nl_num_iters = 0
+
     for ci, comp in enumerate(E_COMPS):
         coords = yee_coords(grid, comp)
         xs, ys, zs = coords["x"], coords["y"], coords["z"]
@@ -394,6 +403,8 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
             simulation.medium, ci, freq0)
         eps = np.full(shape, bg_eps, dtype=np.float64)
         sigma = np.full(shape, bg_sigma, dtype=np.float64)
+        chi3 = np.zeros(shape, dtype=np.float64)
+        ktpa = np.zeros(shape, dtype=np.float64)
         if bg_poles:
             for pole_id, (a, c) in enumerate(bg_poles):
                 key = ("bg", pole_id)
@@ -472,8 +483,52 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                     if key[0] != si and comp in comp_maps:
                         comp_maps[comp][full_mask] = 0.0
 
+            # nonlinear response of this structure (mask-based; applied on
+            # top of whichever eps path was used above)
+            nl_models = getattr(medium, "_nonlinear_models", []) or []
+            if nl_models:
+                from ..components.medium import (
+                    KerrNonlinearity,
+                    NonlinearSpec,
+                    NonlinearSusceptibility,
+                    TwoPhotonAbsorption,
+                )
+
+                spec = medium.nonlinear_spec
+                iters = spec.num_iters if isinstance(spec, NonlinearSpec) else 5
+                nl_num_iters = max(nl_num_iters, int(iters))
+                nl_mask = np.broadcast_to(geometry.inside(xg, yg, zg),
+                                          (len(ix), len(iy), len(iz)))
+                n0_lin = float(np.sqrt(max(s_eps, 1e-12)))
+                chi3_val = 0.0
+                ktpa_val = 0.0
+                for model in nl_models:
+                    if isinstance(model, NonlinearSusceptibility):
+                        chi3_val += float(model.chi3)
+                    elif isinstance(model, KerrNonlinearity):
+                        n0 = float(np.real(model.n0)) if model.n0 is not None \
+                            else n0_lin
+                        # n2 [um^2/W] -> chi3 [um^2/V^2]
+                        chi3_val += (4.0 / 3.0) * n0**2 * EPSILON_0 * C_0 \
+                            * float(np.real(model.n2))
+                    elif isinstance(model, TwoPhotonAbsorption):
+                        n0 = float(np.real(model.n0)) if model.n0 is not None \
+                            else n0_lin
+                        # sigma_NL = beta c^2 eps0^2 n0^2 E_inst^2 gives the
+                        # cycle-averaged absorption alpha = beta I
+                        ktpa_val += float(np.real(model.beta)) * C_0**2 \
+                            * EPSILON_0**2 * n0**2
+                if chi3_val:
+                    chi3[sl] = np.where(nl_mask, chi3_val, chi3[sl])
+                if ktpa_val:
+                    ktpa[sl] = np.where(nl_mask, ktpa_val, ktpa[sl])
+
         eps_arrays[comp] = eps
         sigma_arrays[comp] = sigma
+        if np.any(chi3 != 0):
+            chi3_arrays[comp] = chi3
+        if np.any(ktpa != 0):
+            ktpa_arrays[comp] = ktpa
 
     # build pole plans
     pole_plans: List[PolePlan] = []
@@ -486,7 +541,11 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                 for comp in E_COMPS
             )
             pole_plans.append(PolePlan(a=a, c_maps=c_maps))
-    return eps_arrays, sigma_arrays, pole_plans, (disp_ee or None)
+    nonlinear = None
+    if chi3_arrays or ktpa_arrays:
+        nonlinear = dict(chi3=chi3_arrays, ktpa=ktpa_arrays,
+                         num_iters=max(nl_num_iters, 1))
+    return eps_arrays, sigma_arrays, pole_plans, (disp_ee or None), nonlinear
 
 
 def _accum_pole(acc, info, key, a, c, comp, mask, shape, _):
