@@ -144,3 +144,41 @@ def test_mode_transmission_2d():
     amp_bwd = np.abs(data["T"].amps.sel(direction="-").values[0, 0])
     assert abs(amp_fwd - 1.0) < 0.08
     assert amp_bwd < 0.1
+
+
+def test_bend_radius_modes():
+    """Bend via radial transform: R->inf recovers the straight guide; finite
+    R pushes the mode outward and raises n_eff."""
+    from tidy3d_tpu.plugins.mode.mode_solver import ModeSolver
+    import tidy3d_tpu as td
+    from tidy3d_tpu.constants import C_0
+
+    wl = 1.55
+    f0 = C_0 / wl
+    wg = td.Structure(geometry=td.Box(center=(0, 0, 0), size=(td.inf, 0.5, td.inf)),
+                      medium=td.Medium(permittivity=12.25))
+    sim = td.Simulation(
+        center=(0, 0, 0), size=(4, 4, 0), run_time=1e-13,
+        boundary_spec=td.BoundarySpec.all_sides(td.Periodic()),
+        structures=[wg], grid_spec=td.GridSpec.uniform(dl=0.02))
+
+    def solve(bend_radius):
+        ms = ModeSolver(
+            simulation=sim, plane=td.Box(center=(0, 0, 0), size=(0, 4, td.inf)),
+            mode_spec=td.ModeSpec(num_modes=1, target_neff=3.4,
+                                  bend_radius=bend_radius,
+                                  bend_axis=1 if bend_radius else None),
+            freqs=[f0], colocate=False)
+        d = ms.data_raw
+        ne = complex(np.asarray(d.n_complex.values)[0, 0])
+        ez = np.asarray(d.Ez.isel(f=0, mode_index=0).values).squeeze()
+        ys = np.asarray(d.Ez.coords["y"])
+        cen = np.sum(ys * np.abs(ez) ** 2) / np.sum(np.abs(ez) ** 2)
+        return ne, cen
+
+    n_straight, _ = solve(None)
+    n_huge, _ = solve(1e6)
+    n_bend, cen_bend = solve(5.0)
+    assert abs(n_huge.real - n_straight.real) < 1e-4
+    assert n_bend.real > n_straight.real + 1e-3
+    assert cen_bend > 0.01  # pushed outward (toward larger radius)

@@ -107,9 +107,48 @@ def compute_modes(
     num_modes = mode_spec.num_modes
     k0 = 2 * np.pi * freq / C_0
 
+    # bend: radial transform straightens the bend at the cost of DIAGONAL
+    # anisotropic eps AND mu: with r the distance from the bend center and R
+    # the bend radius, J = diag(1, 1, R/r) gives eps' = J eps J^T/det(J) =
+    # (eps r/R, eps r/R, eps R/r), and identically for mu (reference:
+    # plugins/mode/transforms.py radial_transform:14 — only dw/dz = R/r is
+    # nontrivial). Factors are evaluated at each component's own Yee position
+    # along the radial axis.
+    mu_xx = np.ones((nx, ny))
+    mu_yy = np.ones((nx, ny))
+    mu_zz = np.ones((nx, ny))
     if mode_spec.bend_radius is not None:
-        log.warning("bend_radius in the native mode solver is not yet "
-                    "implemented; solving the straight waveguide instead.")
+        R = float(mode_spec.bend_radius)
+        bend_axis = mode_spec.bend_axis if mode_spec.bend_axis is not None else 1
+        norm_axis = 1 - bend_axis
+        u_b = (x_b, y_b)[norm_axis]
+        u_cen = 0.5 * (u_b[1:] + u_b[:-1])
+        u0 = u_b[len(u_b) // 2]
+        # r/R ratio at primal (boundary) and dual (center) points
+        rr_primal = np.clip(1.0 + (u_b[:-1] - u0) / R, 1e-3, None)
+        rr_dual = np.clip(1.0 + (u_cen - u0) / R, 1e-3, None)
+
+        def fac(vec, axis_):
+            shape_ = [1, 1]
+            shape_[axis_] = len(vec)
+            return vec.reshape(shape_)
+
+        if norm_axis == 0:
+            # Ex/Hy/Hz at dual x; Ey/Ez/Hx at primal x
+            eps_xx *= fac(rr_dual, 0)
+            eps_yy *= fac(rr_primal, 0)
+            eps_zz /= fac(rr_primal, 0)
+            mu_xx = mu_xx * fac(rr_primal, 0)
+            mu_yy = mu_yy * fac(rr_dual, 0)
+            mu_zz = mu_zz / fac(rr_dual, 0)
+        else:
+            # Ey/Hx/Hz at dual y; Ex/Ez/Hy at primal y
+            eps_xx *= fac(rr_primal, 1)
+            eps_yy *= fac(rr_dual, 1)
+            eps_zz /= fac(rr_primal, 1)
+            mu_xx = mu_xx * fac(rr_dual, 1)
+            mu_yy = mu_yy * fac(rr_primal, 1)
+            mu_zz = mu_zz / fac(rr_dual, 1)
 
     # PEC representation: large negative eps -> set large value for stability
     for eps in (eps_xx, eps_yy, eps_zz):
@@ -165,18 +204,21 @@ def compute_modes(
     Py = sp.diags(mask_y.ravel())
 
     inv_eps_z = Pz @ sp.diags(1.0 / eps_zz.ravel())
+    mu_x_d = sp.diags(mu_xx.ravel())
+    mu_y_d = sp.diags(mu_yy.ravel())
+    inv_mu_z = sp.diags(1.0 / mu_zz.ravel())
 
     ik0 = 1j * k0
     # A: i beta e_t = A h_t
     A11 = (1.0 / ik0) * (Dxf @ inv_eps_z @ Dyb)
-    A12 = ik0 * sp.identity(N) - (1.0 / ik0) * (Dxf @ inv_eps_z @ Dxb)
-    A21 = -ik0 * sp.identity(N) + (1.0 / ik0) * (Dyf @ inv_eps_z @ Dyb)
+    A12 = ik0 * mu_y_d - (1.0 / ik0) * (Dxf @ inv_eps_z @ Dxb)
+    A21 = -ik0 * mu_x_d + (1.0 / ik0) * (Dyf @ inv_eps_z @ Dyb)
     A22 = -(1.0 / ik0) * (Dyf @ inv_eps_z @ Dxb)
     # B: i beta h_t = B e_t
-    B11 = -(1.0 / ik0) * (Dxb @ Dyf)
-    B12 = -ik0 * eps_y_d + (1.0 / ik0) * (Dxb @ Dxf)
-    B21 = ik0 * eps_x_d - (1.0 / ik0) * (Dyb @ Dyf)
-    B22 = (1.0 / ik0) * (Dyb @ Dxf)
+    B11 = -(1.0 / ik0) * (Dxb @ inv_mu_z @ Dyf)
+    B12 = -ik0 * eps_y_d + (1.0 / ik0) * (Dxb @ inv_mu_z @ Dxf)
+    B21 = ik0 * eps_x_d - (1.0 / ik0) * (Dyb @ inv_mu_z @ Dyf)
+    B22 = (1.0 / ik0) * (Dyb @ inv_mu_z @ Dxf)
 
     A = sp.bmat([[A11, A12], [A21, A22]]).tocsr()
     B = sp.bmat([[B11, B12], [B21, B22]]).tocsr()
@@ -225,7 +267,8 @@ def compute_modes(
     e_t = vecs[:, keep]  # (2N, M)
 
     fields = _reconstruct_fields(e_t, beta[keep], eps_zz, Dxf, Dxb, Dyf, Dyb,
-                                 k0, nx, ny, mask_z)
+                                 k0, nx, ny, mask_z,
+                                 mu=(mu_xx, mu_yy, mu_zz))
 
     if direction == "-":
         # backward mode: conjugate-free transform E_t -> E_t, H_t -> -H_t,
@@ -262,8 +305,9 @@ def _pml_stretch(bounds: np.ndarray, num_pml: int):
 
 
 def _reconstruct_fields(e_t, betas, eps_zz, Dxf, Dxb, Dyf, Dyb, k0, nx, ny,
-                        mask_z):
-    """All six field components from transverse E eigenvectors."""
+                        mask_z, mu=None):
+    """All six field components from transverse E eigenvectors (diagonal mu
+    support for the bend transform)."""
     N = nx * ny
     num_modes = e_t.shape[1]
     fields = {name: np.zeros((nx, ny, num_modes), dtype=complex)
@@ -271,23 +315,34 @@ def _reconstruct_fields(e_t, betas, eps_zz, Dxf, Dxb, Dyf, Dyb, k0, nx, ny,
     ik0 = 1j * k0
     mz = mask_z.ravel()
     Pz = sp.diags(mz)
+    if mu is None:
+        inv_mux = inv_muy = inv_muz = np.ones(N)
+    else:
+        inv_mux = 1.0 / mu[0].ravel()
+        inv_muy = 1.0 / mu[1].ravel()
+        inv_muz = 1.0 / mu[2].ravel()
+    imx_d = sp.diags(inv_mux)
+    imy_d = sp.diags(inv_muy)
     for m in range(num_modes):
         ex = e_t[:N, m]
         ey = e_t[N:, m]
         beta = betas[m]
-        # hz = (Dxf Ey - Dyf Ex)/(i k0)
-        hz = (Dxf @ ey - Dyf @ ex) / ik0
+        # hz = (Dxf Ey - Dyf Ex)/(i k0 mu_z)
+        hz = inv_muz * (Dxf @ ey - Dyf @ ex) / ik0
         # Ez from the curl equations with h_t eliminated:
         #   -i k0 eps_z Ez = Dxb hy - Dyb hx
-        #   i k0 hx = Dyf Ez - i beta ey ;  i k0 hy = i beta ex - Dxf Ez
-        # => (-k0^2 eps_z + Dxb Dxf + Dyb Dyf) Ez = i beta (Dxb ex + Dyb ey)
+        #   i k0 mu_x hx = Dyf Ez - i beta ey
+        #   i k0 mu_y hy = i beta ex - Dxf Ez
+        # => (-k0^2 eps_z + Dxb (1/mu_y) Dxf + Dyb (1/mu_x) Dyf) Ez
+        #      = i beta (Dxb (1/mu_y) ex + Dyb (1/mu_x) ey)
         # with Ez pinned to zero on the PEC wall rows
-        lhs = (sp.diags(-(k0**2) * eps_zz.ravel()) + Dxb @ Dxf + Dyb @ Dyf)
+        lhs = (sp.diags(-(k0**2) * eps_zz.ravel())
+               + Dxb @ imy_d @ Dxf + Dyb @ imx_d @ Dyf)
         lhs = Pz @ lhs @ Pz + sp.diags(1.0 - mz)
-        rhs = mz * (1j * beta * (Dxb @ ex + Dyb @ ey))
+        rhs = mz * (1j * beta * (Dxb @ (inv_muy * ex) + Dyb @ (inv_mux * ey)))
         ez = spl.spsolve(lhs.tocsc(), rhs)
-        hx = (Dyf @ ez - 1j * beta * ey) / ik0
-        hy = (1j * beta * ex - Dxf @ ez) / ik0
+        hx = inv_mux * (Dyf @ ez - 1j * beta * ey) / ik0
+        hy = inv_muy * (1j * beta * ex - Dxf @ ez) / ik0
         fields["Ex"][:, :, m] = ex.reshape(nx, ny)
         fields["Ey"][:, :, m] = ey.reshape(nx, ny)
         fields["Ez"][:, :, m] = ez.reshape(nx, ny)
