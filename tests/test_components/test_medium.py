@@ -96,3 +96,42 @@ def test_serialization_roundtrip():
                 td.PEC]:
         med2 = type(med).model_validate(type(med)._parse_json_string(med._json_string))
         assert med2 == med
+
+
+def test_drude_debye_reference_convention():
+    """Drude/Debye eps formulas match the reference's exact conventions and
+    their pole-residue conversions reproduce eps_model."""
+    f1, d1 = 2.0e12, 1.0e11
+    dr = td.Drude(coeffs=[(f1, d1)])
+    f = 3e12
+    assert np.allclose(dr.eps_model(f), 1 - f1**2 / (f**2 + 1j * f * d1))
+    assert np.allclose(dr.pole_residue.eps_model(f), dr.eps_model(f))
+    de, tau = 2.0, 1e-13
+    db = td.Debye(coeffs=[(de, tau)])
+    assert np.allclose(db.eps_model(f), 1 + de / (1 - 1j * f * tau))
+    assert np.allclose(db.pole_residue.eps_model(f), db.eps_model(f))
+
+
+def test_graphene_conductivity():
+    """Graphene: universal conductivity plateau above the interband edge and
+    the exact intraband DC limit."""
+    from tidy3d_tpu.constants import HBAR, K_B, Q_e
+
+    g = td.Graphene(mu_c=0.2, include_interband=True)
+    sigma0 = Q_e**2 / (4 * HBAR * Q_e)  # e^2/(4 hbar_SI)
+    f_1ev = 1.0 / (2 * np.pi * HBAR)
+    s = g.numerical_conductivity([f_1ev])[0]
+    assert abs(s.real / sigma0 - 1.0) < 0.01
+    # intraband DC limit
+    intra = g.intraband_drude.pole_residue
+    sdc = intra.sigma_model(1e9)
+    kt = K_B * 300.0
+    fermi_factor = 0.2 / kt + 2 * np.log(np.exp(-0.2 / kt) + 1)
+    sdc_theory = Q_e * kt * fermi_factor / (2 * np.pi * HBAR * g.gamma)
+    assert abs(abs(sdc) / sdc_theory - 1.0) < 1e-4
+    # the fitted sheet medium reproduces the numerical conductivity
+    m = g.medium
+    fs = np.linspace(0.4, 1.5, 6) / (2 * np.pi * HBAR)
+    target = g.numerical_conductivity(fs)
+    fit = np.asarray(m.ss.sigma_model(fs))
+    assert np.max(np.abs(fit - target) / np.abs(target)) < 0.2

@@ -225,6 +225,7 @@ from .components.data.unstructured import (
 
 # --- material library ------------------------------------------------------ #
 from .material_library.material_library import material_library
+from .material_library.parametric_materials import Graphene
 
 # --- execution ------------------------------------------------------------- #
 from . import web

@@ -384,6 +384,129 @@ class ModeSolverData(MonitorData, ModeSolverDataset):
     def normalize(self, source_spectrum_fn) -> "ModeSolverData":
         return self.copy()
 
+    @property
+    def _plane_axes(self):
+        """(normal_axis, in-plane dims) of the mode plane."""
+        axis = tuple(self.monitor.size).index(0.0)
+        dims = [d for i, d in enumerate("xyz") if i != axis]
+        return axis, dims
+
+    def _in_plane_weights(self, arr):
+        """Integration weights over the in-plane dims of `arr`."""
+        _, (d1, d2) = self._plane_axes
+        w1 = np.gradient(np.asarray(arr.coords[d1], dtype=float)) \
+            if len(arr.coords[d1]) > 1 else np.ones(1)
+        w2 = np.gradient(np.asarray(arr.coords[d2], dtype=float)) \
+            if len(arr.coords[d2]) > 1 else np.ones(1)
+        return d1, d2, w1, w2
+
+    def _intensity_integrals(self):
+        """(sum |E|^2 dA, sum |E|^4 dA) per (f, mode_index)."""
+        axis, (d1, d2) = self._plane_axes
+        i2 = None
+        for comp in ("Ex", "Ey", "Ez"):
+            arr = getattr(self, comp)
+            if arr is None:
+                continue
+            d1_, d2_, w1, w2 = self._in_plane_weights(arr)
+            vals = np.abs(np.asarray(arr.values)) ** 2
+            # dims (x, y, z, f, mode_index): move in-plane to front
+            vals = np.squeeze(vals, axis=axis)
+            contrib = vals
+            if i2 is None:
+                i2 = np.zeros_like(contrib)
+            i2 = i2 + contrib
+        w = w1[:, None, None, None] * w2[None, :, None, None]
+        int2 = np.sum(i2 * w, axis=(0, 1))
+        int4 = np.sum(i2**2 * w, axis=(0, 1))
+        return int2, int4
+
+    @property
+    def mode_area(self) -> FreqModeDataArray:
+        """Effective mode area (sum|E|^2)^2 / sum|E|^4 per (f, mode_index)
+        (reference: monitor_data.py ModeSolverData.mode_area)."""
+        int2, int4 = self._intensity_integrals()
+        area = int2**2 / np.maximum(int4, 1e-300)
+        return FreqModeDataArray(
+            np.real(area), coords=dict(
+                f=np.asarray(self.Ex.coords["f"]),
+                mode_index=np.asarray(self.Ex.coords["mode_index"])))
+
+    @property
+    def pol_fraction(self):
+        """TE/TM polarization fractions: TE = |E_1|^2/(|E_1|^2 + |E_2|^2)
+        integrated over the plane, with E_1 the first in-plane axis
+        (reference: monitor_data.py pol_fraction:1626)."""
+        axis, (d1, d2) = self._plane_axes
+        ints = {}
+        for d in (d1, d2):
+            arr = getattr(self, f"E{d}")
+            _, _, w1, w2 = self._in_plane_weights(arr)
+            vals = np.squeeze(np.abs(np.asarray(arr.values)) ** 2, axis=axis)
+            w = w1[:, None, None, None] * w2[None, :, None, None]
+            ints[d] = np.sum(vals * w, axis=(0, 1))
+        total = np.maximum(ints[d1] + ints[d2], 1e-300)
+        coords = dict(f=np.asarray(self.Ex.coords["f"]),
+                      mode_index=np.asarray(self.Ex.coords["mode_index"]))
+        return {"te": FreqModeDataArray(ints[d1] / total, coords=coords),
+                "tm": FreqModeDataArray(ints[d2] / total, coords=coords)}
+
+    def overlap_sort(self, track_freq: str = "central") -> "ModeSolverData":
+        """Reorder mode_index at every frequency to follow the modes at the
+        tracking frequency by maximal field overlap (reference:
+        monitor_data.py overlap_sort:1295)."""
+        freqs = np.asarray(self.Ex.coords["f"])
+        num_modes = len(np.asarray(self.Ex.coords["mode_index"]))
+        if len(freqs) < 2 or num_modes < 2:
+            return self.copy()
+        f_idx = {"lowest": 0, "highest": len(freqs) - 1,
+                 "central": len(freqs) // 2}[track_freq]
+        axis, _ = self._plane_axes
+
+        def fields_at(fi):
+            out = {}
+            for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
+                arr = getattr(self, comp)
+                if arr is not None:
+                    out[comp] = np.asarray(arr.values)[..., fi, :]
+            return out
+
+        ref = fields_at(f_idx)
+        orders = []
+        for fi in range(len(freqs)):
+            cur = fields_at(fi)
+            # overlap matrix: normalized field correlation per mode pair
+            corr = np.zeros((num_modes, num_modes))
+            for comp, rv in ref.items():
+                cv = cur[comp]
+                rv2 = np.conj(rv).reshape(-1, num_modes)
+                cv2 = cv.reshape(-1, num_modes)
+                corr += np.abs(rv2.T @ cv2)
+            # greedy assignment
+            order = -np.ones(num_modes, dtype=int)
+            used = set()
+            for ri in np.argsort(-corr.max(axis=1)):
+                pick = [ci for ci in np.argsort(-corr[ri]) if ci not in used][0]
+                order[ri] = pick
+                used.add(pick)
+            orders.append(order)
+
+        update = {}
+        for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
+            arr = getattr(self, comp)
+            if arr is None:
+                continue
+            vals = np.asarray(arr.values).copy()
+            for fi, order in enumerate(orders):
+                vals[..., fi, :] = vals[..., fi, order]
+            update[comp] = type(arr)(vals, coords=arr.coords)
+        nvals = np.asarray(self.n_complex.values).copy()
+        for fi, order in enumerate(orders):
+            nvals[fi, :] = nvals[fi, order]
+        update["n_complex"] = type(self.n_complex)(nvals,
+                                                   coords=self.n_complex.coords)
+        return self.copy(update=update)
+
 
 class FluxData(MonitorData):
     """Power flux of a FluxMonitor."""

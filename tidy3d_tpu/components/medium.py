@@ -151,6 +151,15 @@ class AbstractMedium(Tidy3dBaseModel, ABC):
         eps_complex = self.eps_model(frequency=frequency)
         return self.eps_complex_to_nk(eps_complex)
 
+    def sigma_model(self, freq) -> complex:
+        """Equivalent complex conductivity sigma = -i w eps0 (eps - eps_inf)
+        (reference: medium.py AbstractMedium.sigma_model:944)."""
+        freq = np.asarray(freq, dtype=float)
+        eps_inf = getattr(self, "eps_inf", 1.0)
+        eps = np.vectorize(self.eps_model)(freq) if freq.ndim else \
+            self.eps_model(float(freq))
+        return -2j * np.pi * freq * EPSILON_0 * (eps - eps_inf)
+
     def eps_diagonal(self, frequency: float) -> Tuple[complex, complex, complex]:
         """Diagonal components of the permittivity tensor at ``frequency``."""
         eps = self.eps_model(frequency)
@@ -518,9 +527,10 @@ class Lorentz(DispersiveMedium):
 
 
 class Drude(DispersiveMedium):
-    """Drude model: eps(f) = eps_inf - sum_i f_i^2 / (f^2 + 2j f delta_i).
+    """Drude model: eps(f) = eps_inf - sum_i f_i^2 / (f^2 + 1j f delta_i).
 
-    Reference: medium.py:4327.
+    Reference: medium.py:4327 (same (f_i, delta_i) convention as the
+    reference's eps_model:4376).
     """
 
     eps_inf: pydantic.PositiveFloat = pydantic.Field(1.0, title="Epsilon at Infinity")
@@ -533,7 +543,7 @@ class Drude(DispersiveMedium):
         eps = self.eps_inf + 0j * np.asarray(frequency)
         f = np.asarray(frequency)
         for fi, delta in self.coeffs:
-            eps = eps - fi**2 / (f**2 + 2j * f * delta)
+            eps = eps - fi**2 / (f**2 + 1j * f * delta)
         return eps
 
     def _pole_residue_dict(self) -> Dict:
@@ -541,9 +551,11 @@ class Drude(DispersiveMedium):
         for fi, delta in self.coeffs:
             wp = 2 * np.pi * fi
             g = 2 * np.pi * delta
-            # -wp^2/(w^2 + 2jwg) decomposes into real poles at a=0 and a=-2g
-            c0 = 0.25 * wp**2 / g + 0j
-            poles += [(0j, c0), (-2 * g + 0j, -c0)]
+            # -wp^2/(w^2 + jwg) = (wp^2/g)[1/(jw - g) - 1/(jw)]; with the
+            # eps = eps_inf - sum[c/(jw+a) + c.c.] storage and REAL poles
+            # (where +c.c. doubles the term), residues are +/- wp^2/(2g)
+            c0 = 0.5 * wp**2 / g + 0j
+            poles += [(0j, c0), (-g + 0j, -c0)]
         return dict(eps_inf=self.eps_inf, poles=poles, frequency_range=self.frequency_range,
                     name=self.name, allow_gain=self.allow_gain)
 
@@ -561,16 +573,20 @@ class Debye(DispersiveMedium):
 
     @ensure_freq_in_range
     def eps_model(self, frequency: float) -> complex:
+        # NOTE reference convention (medium.py:4644): de/(1 - 1j f tau) with
+        # f in Hz (no 2 pi)
         eps = self.eps_inf + 0j * np.asarray(frequency)
         f = np.asarray(frequency)
         for de, tau in self.coeffs:
-            eps = eps + de / (1 - 2j * np.pi * f * tau)
+            eps = eps + de / (1 - 1j * f * tau)
         return eps
 
     def _pole_residue_dict(self) -> Dict:
+        # de/(1 - i f tau) = -de (2 pi/tau)/(s - 2 pi/tau) with s = j omega;
+        # as -2c/(s + a) with real pole: a = -2 pi/tau, c = de pi/tau
         poles = []
         for de, tau in self.coeffs:
-            poles.append((-1 / tau + 0j, 0.5 * de / tau + 0j))
+            poles.append((-2 * np.pi / tau + 0j, np.pi * de / tau + 0j))
         return dict(eps_inf=self.eps_inf, poles=poles, frequency_range=self.frequency_range,
                     name=self.name, allow_gain=self.allow_gain)
 

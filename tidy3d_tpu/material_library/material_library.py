@@ -277,7 +277,7 @@ _add("Graphene_substrate", "Const", Const=_const(2.65, ref="graphite-like"))
 
 def _metal_rakic(eps_inf, wp_ev, f0, gamma0_ev, lorentz_terms, ref):
     """Drude + Lorentz metal model from Rakic-style (f_j, Gamma_j, w_j) eV data."""
-    drude = [(np.sqrt(f0) * wp_ev * EV_TO_HZ, gamma0_ev * EV_TO_HZ / 2)]
+    drude = [(np.sqrt(f0) * wp_ev * EV_TO_HZ, gamma0_ev * EV_TO_HZ)]
     lorentz = []
     for f_j, gamma_j, w_j in lorentz_terms:
         de = f_j * wp_ev**2 / max(w_j, 1e-6)**2
@@ -367,7 +367,7 @@ def _metal_from_nk(n, k, freq, ref):
     gamma = B * w0 / max(A, 1e-6)
     wp2 = w0**2 * (A + B**2 / max(A, 1e-6))
     fp = np.sqrt(max(wp2, 0.0)) / (2 * np.pi)
-    return VariantItem(medium=Drude(eps_inf=1.0, coeffs=((fp, gamma / (4 * np.pi)),)),
+    return VariantItem(medium=Drude(eps_inf=1.0, coeffs=((fp, gamma / (2 * np.pi)),)),
                        reference=ref)
 
 

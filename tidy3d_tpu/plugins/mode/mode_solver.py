@@ -198,6 +198,8 @@ class ModeSolver(Tidy3dBaseModel):
         )
         data = ModeSolverData(monitor=monitor, n_complex=n_da, **data_fields)
 
+        if self.mode_spec.track_freq is not None and len(freqs) > 1:
+            data = data.overlap_sort(self.mode_spec.track_freq)
         if self.mode_spec.group_index_step:
             data = self._add_group_index(data)
         return data
