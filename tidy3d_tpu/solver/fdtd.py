@@ -214,6 +214,44 @@ class FDTDRunner:
                     nl["K"][comp] = compact(cb * ktpa)
             consts["nl"] = nl
 
+        # time-modulation entries: per entry, cos/sin time tables (padded one
+        # step for the implicit n+1 sample) and per-comp B maps so that the
+        # semi-implicit update solves
+        #   E' (1 + Ae_{n+1} + S) = E_lin + (Ae_n - S) E
+        # with Ae = cb eps0 delta_eps/dt and S = cb delta_sigma/2
+        if plan.modulation:
+            mod_list = []
+            tmesh = plan.tmesh
+            for entry in plan.modulation:
+                ce = {}
+                if entry.get("eps_maps"):
+                    w = 2 * np.pi * entry["eps_freq"]
+                    ph = entry["eps_phase"]
+                    amp = entry["eps_amp"]
+                    t_pad = np.concatenate([tmesh, tmesh[-1:] + plan.dt])
+                    ce["eps_c"] = (amp * np.cos(w * t_pad + ph)).astype(f32)
+                    ce["eps_s"] = (-amp * np.sin(w * t_pad + ph)).astype(f32)
+                    ce["Beps"] = {}
+                    for comp, (m1, m2) in entry["eps_maps"].items():
+                        _, cb = consts["coeffs_E"][comp]
+                        scale = cb * EPSILON_0 / plan.dt
+                        ce["Beps"][comp] = (compact(scale * m1),
+                                            compact(scale * m2))
+                if entry.get("sigma_maps"):
+                    w = 2 * np.pi * entry["sigma_freq"]
+                    ph = entry["sigma_phase"]
+                    amp = entry["sigma_amp"]
+                    t_half = tmesh + plan.dt / 2
+                    ce["sig_c"] = (amp * np.cos(w * t_half + ph)).astype(f32)
+                    ce["sig_s"] = (-amp * np.sin(w * t_half + ph)).astype(f32)
+                    ce["Bsig"] = {}
+                    for comp, (m1, m2) in entry["sigma_maps"].items():
+                        _, cb = consts["coeffs_E"][comp]
+                        ce["Bsig"][comp] = (compact(cb * 0.5 * m1),
+                                            compact(cb * 0.5 * m2))
+                mod_list.append(ce)
+            consts["mod"] = mod_list
+
         # DFT kernels per monitor: (num_steps, num_freqs) f32 cos/sin tables
         consts["dft"] = {}
         tmesh = plan.tmesh
@@ -562,6 +600,42 @@ class FDTDRunner:
                 add = -cb_sl * consts["src_profiles"][si] * wf
                 nE[sp.comp] = nE[sp.comp].at[sp.slices].add(add)
 
+            # time-modulated eps/sigma: semi-implicit linear solve (same real
+            # coefficients for both Bloch copies)
+            if "mod" in consts:
+                for ce in consts["mod"]:
+                    for comp in E_COMPS:
+                        num = jnp.zeros(())
+                        den = jnp.zeros(())
+                        has = False
+                        if "Beps" in ce and comp in ce["Beps"]:
+                            b1, b2 = ce["Beps"][comp]
+                            c_n = lax.dynamic_index_in_dim(
+                                ce["eps_c"], step, 0, keepdims=False)
+                            s_n = lax.dynamic_index_in_dim(
+                                ce["eps_s"], step, 0, keepdims=False)
+                            c_n1 = lax.dynamic_index_in_dim(
+                                ce["eps_c"], step + 1, 0, keepdims=False)
+                            s_n1 = lax.dynamic_index_in_dim(
+                                ce["eps_s"], step + 1, 0, keepdims=False)
+                            num = num + (b1 * c_n + b2 * s_n)
+                            den = den + (b1 * c_n1 + b2 * s_n1)
+                            has = True
+                        if "Bsig" in ce and comp in ce["Bsig"]:
+                            b1, b2 = ce["Bsig"][comp]
+                            c_h = lax.dynamic_index_in_dim(
+                                ce["sig_c"], step, 0, keepdims=False)
+                            s_h = lax.dynamic_index_in_dim(
+                                ce["sig_s"], step, 0, keepdims=False)
+                            s_term = b1 * c_h + b2 * s_h
+                            num = num - s_term
+                            den = den + s_term
+                            has = True
+                        if not has:
+                            continue
+                        nE[comp] = (nE[comp] + num * view["E"][comp]) \
+                            / (1.0 + den)
+
             # nonlinear fixed-point iteration (chi3 / Kerr / TPA)
             if "nl" in consts and not cx:
                 nl = consts["nl"]
@@ -845,3 +919,10 @@ class FDTDRunner:
                 k: tuple(np.pad(t, ((0, extra), (0, 0))) for t in tables)
                 for k, tables in self.consts["dft"].items()
             }
+            if "mod" in self.consts:
+                # edge-pad (constant extension) keeps the implicit update
+                # well-defined past the physical run
+                for ce in self.consts["mod"]:
+                    for key in ("eps_c", "eps_s", "sig_c", "sig_s"):
+                        if key in ce:
+                            ce[key] = np.pad(ce[key], (0, extra), mode="edge")

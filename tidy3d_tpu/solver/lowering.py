@@ -158,6 +158,10 @@ class SimulationPlan:
     # chi3 [um^2/V^2] and TPA conductivity coefficient K [S*um/V^2] with
     # sigma_NL = K * E^2, plus the fixed-point iteration count
     nonlinear: Optional[dict]
+    # time-modulation entries (None when absent): list of dicts with keys
+    # freq0/phase/amplitude (time part) and eps_maps/sigma_maps: per-E-comp
+    # (M1, M2) spatial maps so that delta(x, t) = M1 cos(wt+p) - M2 sin(wt+p)
+    modulation: Optional[list]
     # sources
     sources: List[SourcePlan]
     waveforms: np.ndarray           # (num_waveforms, num_steps) float32/complex
@@ -262,8 +266,8 @@ def lower(simulation: Simulation) -> SimulationPlan:
     if simulation.sources:
         freq0 = float(np.mean([s.source_time.freq0 for s in simulation.sources]))
 
-    eps_arrays, sigma_arrays, pole_plans, disp_ee, nonlinear = _material_arrays(
-        simulation, freq0)
+    (eps_arrays, sigma_arrays, pole_plans, disp_ee, nonlinear,
+     modulation) = _material_arrays(simulation, freq0)
 
     # absorber magnetic/electric conductivity profiles
     abs_sigma = _absorber_profiles(simulation, bounds, centers, dt)
@@ -322,7 +326,7 @@ def lower(simulation: Simulation) -> SimulationPlan:
         inv_primal=tuple(inv_primal), inv_dual=tuple(inv_dual),
         pml_dual=tuple(pml_dual), pml_primal=tuple(pml_primal),
         boundaries=tuple(boundaries), bloch_phases=tuple(bloch_phases),
-        poles=pole_plans, disp_ee=disp_ee, nonlinear=nonlinear,
+        poles=pole_plans, disp_ee=disp_ee, nonlinear=nonlinear, modulation=modulation,
         sources=source_plans, waveforms=waveforms,
         monitors=monitor_plans, is_complex=is_complex, eps_yee=eps_yee,
     )
@@ -395,6 +399,9 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
     chi3_arrays: Dict[str, np.ndarray] = {}
     ktpa_arrays: Dict[str, np.ndarray] = {}
     nl_num_iters = 0
+
+    # per-structure modulation entries: si -> entry dict
+    mod_entries: Dict[int, dict] = {}
 
     for ci, comp in enumerate(E_COMPS):
         coords = yee_coords(grid, comp)
@@ -523,6 +530,60 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                 if ktpa_val:
                     ktpa[sl] = np.where(nl_mask, ktpa_val, ktpa[sl])
 
+            # time modulation of this structure's medium
+            mod_spec = getattr(medium, "modulation_spec", None)
+            if mod_spec is not None and getattr(mod_spec, "applied_modulation",
+                                                False):
+                from ..components.data.data_array import SpatialDataArray
+
+                entry = mod_entries.setdefault(si, dict(
+                    eps_maps={}, sigma_maps={}))
+                mod_mask = np.broadcast_to(geometry.inside(xg, yg, zg),
+                                           (len(ix), len(iy), len(iz)))
+
+                def _spatial(stm, what):
+                    """(M1, M2) = A_s (cos phi_s, sin phi_s) on this comp."""
+                    sm = stm.space_modulation
+                    amp = getattr(sm, "amplitude", 1.0)
+                    ph = getattr(sm, "phase", 0.0)
+                    if isinstance(amp, SpatialDataArray):
+                        amp = amp.interp(x=xs[ix], y=ys[iy], z=zs[iz],
+                                         method=getattr(sm, "interp_method",
+                                                        "nearest"),
+                                         kwargs=dict(fill_value=0.0)).values
+                    if isinstance(ph, SpatialDataArray):
+                        ph = ph.interp(x=xs[ix], y=ys[iy], z=zs[iz],
+                                       method=getattr(sm, "interp_method",
+                                                      "nearest"),
+                                       kwargs=dict(fill_value=0.0)).values
+                    m1 = np.zeros(shape)
+                    m2 = np.zeros(shape)
+                    m1_loc = np.where(mod_mask, amp * np.cos(ph), 0.0)
+                    m2_loc = np.where(mod_mask, amp * np.sin(ph), 0.0)
+                    m1[sl] = np.broadcast_to(m1_loc, m1[sl].shape)
+                    m2[sl] = np.broadcast_to(m2_loc, m2[sl].shape)
+                    maps = entry[what].setdefault(comp, [np.zeros(shape),
+                                                         np.zeros(shape)])
+                    maps[0] = maps[0] + m1
+                    maps[1] = maps[1] + m2
+
+                if mod_spec.permittivity is not None and not \
+                        mod_spec.permittivity.negligible_modulation:
+                    stm = mod_spec.permittivity
+                    tm = stm.time_modulation
+                    entry["eps_freq"] = float(tm.freq0)
+                    entry["eps_phase"] = float(tm.phase)
+                    entry["eps_amp"] = float(tm.amplitude)
+                    _spatial(stm, "eps_maps")
+                if mod_spec.conductivity is not None and not \
+                        mod_spec.conductivity.negligible_modulation:
+                    stm = mod_spec.conductivity
+                    tm = stm.time_modulation
+                    entry["sigma_freq"] = float(tm.freq0)
+                    entry["sigma_phase"] = float(tm.phase)
+                    entry["sigma_amp"] = float(tm.amplitude)
+                    _spatial(stm, "sigma_maps")
+
         eps_arrays[comp] = eps
         sigma_arrays[comp] = sigma
         if np.any(chi3 != 0):
@@ -545,7 +606,9 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
     if chi3_arrays or ktpa_arrays:
         nonlinear = dict(chi3=chi3_arrays, ktpa=ktpa_arrays,
                          num_iters=max(nl_num_iters, 1))
-    return eps_arrays, sigma_arrays, pole_plans, (disp_ee or None), nonlinear
+    modulation = list(mod_entries.values()) or None
+    return (eps_arrays, sigma_arrays, pole_plans, (disp_ee or None), nonlinear,
+            modulation)
 
 
 def _accum_pole(acc, info, key, a, c, comp, mask, shape, _):
