@@ -17,6 +17,7 @@ import numpy as np
 
 from ..components.medium import PECMedium
 from ..components.source import (
+    AstigmaticGaussianBeam,
     CustomFieldSource,
     GaussianBeam,
     ModeSource,
@@ -37,7 +38,7 @@ def make_source_fields(simulation, source) -> Tuple[Dict[str, dict], int]:
     plane_axis = tuple(source.size).index(0.0)
     if isinstance(source, PlaneWave):
         return _plane_wave_fields(simulation, source, plane_axis), plane_axis
-    if isinstance(source, GaussianBeam):
+    if isinstance(source, (GaussianBeam, AstigmaticGaussianBeam)):
         return _gaussian_beam_fields(simulation, source, plane_axis), plane_axis
     if isinstance(source, ModeSource):
         return _mode_source_fields(simulation, source, plane_axis), plane_axis
@@ -169,20 +170,26 @@ def _plane_wave_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
 
 
 def _gaussian_beam_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
-    """Paraxial Gaussian beam fields at the source plane (normal incidence
-    exact; angles applied as a phase ramp + polarization rotation)."""
+    """Paraxial (possibly astigmatic) Gaussian beam fields at the source
+    plane (normal incidence exact; angles applied as a phase ramp +
+    polarization rotation). AstigmaticGaussianBeam carries independent
+    waists/waist distances along the two transverse axes (reference:
+    source.py AstigmaticGaussianBeam:1157)."""
     n_medium = _background_index(simulation, source)
     freq0 = source.source_time.freq0
     k0 = 2 * np.pi * freq0 * n_medium / C_0
     k_vec, e_pol, h_pol = _wave_vectors(source, plane_axis, n_medium)
     slices_coords = _tangential_slices_coords(simulation, source, plane_axis)
     origin = np.asarray(source.center)
-    w0 = source.waist_radius
     s = 1.0 if source.direction == "+" else -1.0
-    # distance from waist to source plane along propagation: positive
-    # waist_distance means the waist is *behind* the source plane
-    z_w = source.waist_distance
-    zr = k0 * w0**2 / 2.0
+    # per-transverse-axis (waist, distance): positive waist_distance means
+    # the waist is *behind* the source plane
+    if hasattr(source, "waist_sizes"):
+        w0s = tuple(float(w) for w in source.waist_sizes)
+        z_ws = tuple(float(z) for z in source.waist_distances)
+    else:
+        w0s = (float(source.waist_radius),) * 2
+        z_ws = (float(source.waist_distance),) * 2
 
     b, c = (plane_axis + 1) % 3, (plane_axis + 2) % 3
 
@@ -194,13 +201,15 @@ def _gaussian_beam_fields(simulation, source, plane_axis: int) -> Dict[str, dict
         xs, ys, zs = np.meshgrid(coords["x"], coords["y"], coords["z"],
                                  indexing="ij", sparse=True)
         pts = (xs - origin[0], ys - origin[1], zs - origin[2])
-        r2 = pts[b] ** 2 + pts[c] ** 2
-        z = z_w  # evaluate beam envelope at the plane distance from waist
-        wz = w0 * np.sqrt(1 + (z / zr) ** 2)
-        inv_R = z / (z**2 + zr**2)
-        gouy = np.arctan2(z, zr)
-        envelope = (w0 / wz) * np.exp(-r2 / wz**2) * np.exp(
-            1j * (s * k0 * inv_R * r2 / 2 - gouy))
+        envelope = 1.0 + 0j
+        for t_ax, w0, z in zip((b, c), w0s, z_ws):
+            zr = k0 * w0**2 / 2.0
+            wz = w0 * np.sqrt(1 + (z / zr) ** 2)
+            inv_R = z / (z**2 + zr**2)
+            gouy = np.arctan2(z, zr)
+            u2 = pts[t_ax] ** 2
+            envelope = envelope * np.sqrt(w0 / wz) * np.exp(-u2 / wz**2) \
+                * np.exp(1j * (s * k0 * inv_R * u2 / 2 - gouy / 2))
         phase = np.exp(1j * (k_vec[0] * pts[0] + k_vec[1] * pts[1] + k_vec[2] * pts[2]))
         profile = (amp * envelope * phase)
         profile = np.broadcast_to(profile, tuple(len(coords[d]) for d in "xyz"))

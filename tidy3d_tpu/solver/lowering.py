@@ -57,6 +57,7 @@ from ..components.monitor import (
 )
 from ..components.simulation import Simulation
 from ..components.source import (
+    AstigmaticGaussianBeam,
     CustomCurrentSource,
     CustomFieldSource,
     GaussianBeam,
@@ -677,7 +678,8 @@ def _lower_sources(simulation, grid, tmesh, dt):
                                                wf_key_im))
         elif isinstance(source, CustomCurrentSource):
             plans.extend(_custom_current_plans(grid, source, tmesh, dt, add_waveform))
-        elif isinstance(source, (PlaneWave, GaussianBeam, ModeSource, CustomFieldSource)):
+        elif isinstance(source, (PlaneWave, GaussianBeam, AstigmaticGaussianBeam,
+                                 ModeSource, CustomFieldSource)):
             plans.extend(_field_source_plans(simulation, grid, source, tmesh, dt,
                                              add_waveform))
         elif isinstance(source, TFSF):
