@@ -137,3 +137,47 @@ def test_custom_current_source():
                             name="probe")]
     data = run_2d([src], mons)
     assert np.abs(data["probe"].Ez.values).max() > 1e-4
+
+
+def test_broadband_mode_source():
+    """Broadband (num_freqs) mode source: Chebyshev waveform operator is
+    spectrally exact and injection stays accurate across the band."""
+    from tidy3d_tpu.solver.field_sources import make_cheb_amp_fn
+
+    st = td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 6)
+    bw = 1.5 * st.fwidth
+    dt = 1e-17
+    times = np.arange(0, 4e-13, dt)
+
+    def spec(v, f):
+        return np.sum(v * np.exp(2j * np.pi * f * times)) * dt
+
+    a_ref = st.amp_time(times)
+    for k in (1, 2):
+        wk = make_cheb_amp_fn(st, k, FREQ0, bw)(times)
+        for f in (FREQ0 - 0.8 * bw, FREQ0 + 0.6 * bw):
+            x = (f - FREQ0) / bw
+            target = spec(a_ref, f) * np.cos(k * np.arccos(x))
+            assert abs(spec(wk, f) - target) / abs(spec(a_ref, f)) < 1e-3
+
+    # end-to-end: broadband injection carries the band within a few percent
+    wg = td.Structure(geometry=td.Box(center=(0, 0, 0), size=(td.inf, 0.4, td.inf)),
+                      medium=td.Medium(permittivity=12.25))
+    freqs = [FREQ0 * 0.9, FREQ0, FREQ0 * 1.1]
+    src = td.ModeSource(center=(-1.6, 0, 0), size=(0, 3, td.inf), direction="+",
+                        source_time=st,
+                        mode_spec=td.ModeSpec(num_modes=1, target_neff=3.3),
+                        num_freqs=3)
+    mon = td.ModeMonitor(center=(1.6, 0, 0), size=(0, 3, td.inf), freqs=freqs,
+                         name="m", mode_spec=td.ModeSpec(num_modes=1,
+                                                         target_neff=3.3))
+    sim = td.Simulation(
+        center=(0, 0, 0), size=(4.4, 4, 0), run_time=2e-13, sources=[src],
+        monitors=[mon], structures=[wg], shutoff=0.0,
+        boundary_spec=td.BoundarySpec(x=td.Boundary.pml(), y=td.Boundary.pml(),
+                                      z=td.Boundary.periodic()),
+        grid_spec=td.GridSpec.uniform(dl=0.04))
+    data = td.web.run(sim, verbose=False)
+    amps = np.abs(np.asarray(data["m"].amps.sel(direction="+").values)[:, 0])
+    assert np.all(amps > 0.9)
+    assert np.all(amps < 1.05)

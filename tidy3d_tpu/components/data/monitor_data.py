@@ -147,6 +147,60 @@ class FieldData(AbstractFieldData, FieldDataset):
                 (1,) * (arr.values.ndim - 1) + (-1,)), coords=arr.coords)
         return self.copy(update=update)
 
+    def make_adjoint_sources(self, dataset_names, fwidth: float):
+        """Adjoint sources from field VJPs: point dipoles for point monitors,
+        a CustomCurrentSource with J = -2i E_vjp (M flipped) otherwise
+        (reference: monitor_data.py make_adjoint_sources:1020)."""
+        from ..source import CustomCurrentSource, GaussianPulse, PointDipole
+        from ...constants import MU_0
+        from .data_array import ScalarFieldDataArray
+
+        if np.allclose(tuple(self.monitor.size), 0.0):
+            sources = []
+            for pol, arr in self.field_components.items():
+                if arr is None:
+                    continue
+                for freq0 in np.atleast_1d(np.asarray(arr.coords["f"],
+                                                      dtype=float)):
+                    vals = np.asarray(arr.sel(f=freq0).values).ravel()
+                    amp = complex(np.sum(vals))
+                    if amp == 0.0:
+                        continue
+                    omega0 = 2 * np.pi * freq0
+                    scaling = 33 / (MU_0 * omega0)
+                    sources.append(PointDipole(
+                        center=self.monitor.center, polarization=pol,
+                        source_time=GaussianPulse(
+                            freq0=float(freq0), fwidth=fwidth,
+                            amplitude=float(abs(scaling * amp)),
+                            phase=float(np.pi + np.angle(amp)))))
+            return sources
+
+        sources = []
+        for freq0 in np.atleast_1d(np.asarray(self.monitor.freqs,
+                                              dtype=float)):
+            comps = {}
+            for name, arr in self.field_components.items():
+                if arr is None:
+                    continue
+                vals = 2 * -1j * np.asarray(arr.sel(f=freq0).values)
+                if "H" in name:
+                    vals = -vals
+                if np.all(vals == 0):
+                    continue
+                coords = {d: np.asarray(arr.coords[d]) for d in "xyz"}
+                coords["f"] = np.array([freq0])
+                comps[name] = ScalarFieldDataArray(
+                    vals[..., None] if vals.ndim == 3 else vals,
+                    coords=coords)
+            if not comps:
+                continue
+            sources.append(CustomCurrentSource(
+                center=self.monitor.center, size=self.monitor.size,
+                source_time=GaussianPulse(freq0=float(freq0), fwidth=fwidth),
+                current_dataset=comps))
+        return sources
+
     @cached_property
     def _normal_axis(self) -> int:
         return tuple(self.monitor.size).index(0.0)
@@ -356,6 +410,41 @@ class ModeData(MonitorData):
     n_complex: ModeIndexDataArray = pydantic.Field(..., title="Propagation Index")
     n_group_raw: Optional[GroupIndexDataArray] = pydantic.Field(None)
     dispersion_raw: Optional[ModeDispersionDataArray] = pydantic.Field(None)
+
+    def make_adjoint_sources(self, dataset_names, fwidth: float):
+        """Adjoint ModeSources from amplitude VJPs: one flipped-direction
+        mode source per nonzero amps entry, with amplitude
+        (k0/(4 eta0)) |v| and phase arg(v) (reference: monitor_data.py
+        make_adjoint_sources_amps:1767)."""
+        from ..source import GaussianPulse, ModeSource
+        from ...constants import C_0, ETA_0
+
+        if "amps" not in dataset_names:
+            return []
+        sources = []
+        amps = self.amps
+        freqs = np.atleast_1d(np.asarray(amps.coords["f"], dtype=float))
+        dirs = list(np.atleast_1d(amps.coords["direction"]))
+        m_idx = np.atleast_1d(amps.coords["mode_index"])
+        vals = np.asarray(amps.values)
+        for di, direction in enumerate(dirs):
+            for fi, freq0 in enumerate(freqs):
+                for mi, mode_index in enumerate(m_idx):
+                    v = complex(vals[di, fi, mi])
+                    if v == 0.0:
+                        continue
+                    k0 = 2 * np.pi * freq0 / C_0
+                    src_amp = k0 / 4 / ETA_0 * v
+                    sources.append(ModeSource(
+                        center=self.monitor.center, size=self.monitor.size,
+                        direction="-" if str(direction) == "+" else "+",
+                        mode_spec=self.monitor.mode_spec,
+                        mode_index=int(mode_index),
+                        source_time=GaussianPulse(
+                            freq0=float(freq0), fwidth=fwidth,
+                            amplitude=float(abs(src_amp)),
+                            phase=float(np.angle(src_amp)))))
+        return sources
 
     @property
     def n_eff(self):

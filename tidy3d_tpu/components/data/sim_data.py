@@ -89,6 +89,31 @@ class SimulationData(AbstractSimulationData):
 
         return source_spectrum_fn
 
+    def make_adjoint_sim(self, fwidth: float = None) -> "Simulation":
+        """Build the adjoint simulation: this data's monitor values are
+        interpreted as objective VJPs and synthesized into adjoint sources
+        replacing the forward sources (reference: sim_data.py
+        make_adjoint_sim:1023). The native gradient path
+        (solver.fdtd.make_differentiable_run) does not need this; it exists
+        for reference-API parity and for manual adjoint workflows."""
+        if fwidth is None and self.simulation.sources:
+            fwidth = float(self.simulation.sources[0].source_time.fwidth)
+        elif fwidth is None:
+            fwidth = 1e13
+        adjoint_sources = []
+        for md in self.data:
+            maker = getattr(md, "make_adjoint_sources", None)
+            if maker is None:
+                continue
+            names = ["amps"] + [c for c in ("Ex", "Ey", "Ez", "Hx", "Hy",
+                                            "Hz")]
+            try:
+                adjoint_sources += maker(names, fwidth)
+            except (TypeError, NotImplementedError):
+                continue
+        return self.simulation.copy(update=dict(
+            sources=tuple(adjoint_sources), monitors=()))
+
     def renormalize(self, normalize_index: int) -> "SimulationData":
         """Return a copy normalized by a different source."""
         num_sources = len(self.simulation.sources)

@@ -231,14 +231,21 @@ def _mode_source_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
         colocate=False,
     )
     data = solver.data_raw
+    return _mode_fields_from_data(simulation, source, plane_axis, data, 0,
+                                  freq0)
+
+
+def _mode_fields_from_data(simulation, source, plane_axis, data, f_index,
+                           freq) -> Dict[str, dict]:
+    """Sheet field profiles from solved mode data at one frequency index."""
     slices_coords = _tangential_slices_coords(simulation, source, plane_axis)
 
     # propagation phase across the staggered sheet offsets: each Yee component
     # sits at a slightly different normal position z_comp; the mode varies as
     # exp(+/- i beta (z - z0)), which sets the J/M relative phase that makes
     # the injection unidirectional
-    n_eff = complex(data.n_complex.values[0, int(source.mode_index)])
-    k0 = 2 * np.pi * freq0 / C_0
+    n_eff = complex(data.n_complex.values[f_index, int(source.mode_index)])
+    k0 = 2 * np.pi * freq / C_0
     beta = k0 * n_eff
     sign = 1.0 if source.direction == "+" else -1.0
     z0 = source.center[plane_axis]
@@ -251,7 +258,7 @@ def _mode_source_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
         if arr is None:
             fields[comp] = None
             continue
-        sel = arr.isel(f=0, mode_index=int(source.mode_index))
+        sel = arr.isel(f=f_index, mode_index=int(source.mode_index))
         prof = sel.interp(
             x=coords["x"], y=coords["y"], z=coords["z"],
             kwargs=dict(fill_value=0.0),
@@ -261,6 +268,100 @@ def _mode_source_fields(simulation, source, plane_axis: int) -> Dict[str, dict]:
         fields[comp] = {"profile": np.asarray(prof * phase, dtype=np.complex64),
                         "slices": sl}
     return fields
+
+
+# band half-width of the broadband Chebyshev fit in units of fwidth
+CHEB_GRID_WIDTH = 1.5
+
+
+def make_broadband_mode_fields(simulation, source, plane_axis: int):
+    """Chebyshev-coefficient field maps for a broadband mode source.
+
+    Solves the modes at ``num_freqs`` Chebyshev-Gauss nodes across
+    freq0 +/- CHEB_GRID_WIDTH fwidth (one multi-frequency solve), aligns the
+    eigenvector gauge against the center node, and returns per-order
+    coefficient maps C_k so that sum_k C_k T_k(f~) interpolates the
+    frequency-dependent injection profile (reference: source.py ModeSource
+    broadband num_freqs Chebyshev fit:737-779)."""
+    from ..plugins.mode.mode_solver import ModeSolver
+
+    num_freqs = int(source.num_freqs)
+    f0 = source.source_time.freq0
+    bw = CHEB_GRID_WIDTH * source.source_time.fwidth
+    x_nodes = np.cos(np.pi * (np.arange(num_freqs) + 0.5) / num_freqs)
+    freqs = f0 + bw * x_nodes
+
+    solver = ModeSolver(
+        simulation=simulation, plane=source.geometry,
+        mode_spec=source.mode_spec, freqs=freqs.tolist(),
+        direction=source.direction, colocate=False,
+    )
+    data = solver.data_raw
+
+    per_freq = [_mode_fields_from_data(simulation, source, plane_axis, data,
+                                       j, freqs[j])
+                for j in range(num_freqs)]
+
+    # gauge alignment: remove the eigensolver's arbitrary per-frequency
+    # phase/sign by overlapping each node against the center node
+    j_ref = num_freqs // 2
+    for j in range(num_freqs):
+        if j == j_ref:
+            continue
+        ov = 0.0 + 0j
+        for comp in ("Ex", "Ey", "Ez"):
+            a = per_freq[j_ref][comp]
+            b = per_freq[j][comp]
+            if a is None or b is None:
+                continue
+            ov += np.sum(np.conj(a["profile"]) * b["profile"])
+        if abs(ov) > 0:
+            g = np.conj(ov) / abs(ov)
+            for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
+                if per_freq[j][comp] is not None:
+                    per_freq[j][comp] = {
+                        "profile": per_freq[j][comp]["profile"] * g,
+                        "slices": per_freq[j][comp]["slices"]}
+
+    # Chebyshev coefficients: C_k = (2 - delta_k0)/N sum_j P_j T_k(x_j)
+    coeff_fields = []
+    for k in range(num_freqs):
+        t_k = np.cos(k * np.arccos(np.clip(x_nodes, -1, 1)))
+        scale = (1.0 if k == 0 else 2.0) / num_freqs
+        fk = {}
+        for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz"):
+            if per_freq[0][comp] is None:
+                fk[comp] = None
+                continue
+            acc = sum(t_k[j] * per_freq[j][comp]["profile"]
+                      for j in range(num_freqs))
+            fk[comp] = {"profile": (scale * acc).astype(np.complex64),
+                        "slices": per_freq[0][comp]["slices"]}
+        coeff_fields.append(fk)
+    return coeff_fields, f0, bw
+
+
+def make_cheb_amp_fn(source_time, order: int, f0: float, bw: float):
+    """Waveform for the k-th Chebyshev order: T_k applied to the frequency
+    operator f~ = ((i/2pi) d/dt - f0)/bw acting on the source signal, so the
+    injected spectrum is A(f) T_k((f-f0)/bw)."""
+
+    def fn(times):
+        times = np.asarray(times, dtype=float)
+        a = source_time.amp_time(times)
+        if order == 0:
+            return a
+
+        def op(v):
+            dv = np.gradient(v, times)
+            return ((1j / (2 * np.pi)) * dv - f0 * v) / bw
+
+        b_prev, b_cur = a, op(a)
+        for _ in range(order - 1):
+            b_prev, b_cur = b_cur, 2 * op(b_cur) - b_prev
+        return b_cur
+
+    return fn
 
 
 def make_tfsf_face_fields(simulation, grid, source, face_axis: int, side: str

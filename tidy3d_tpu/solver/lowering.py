@@ -737,7 +737,7 @@ def _current_source_plans(grid, source, comp: str, wf_key: int,
 
 
 def _sheet_plans(grid, source_time, tmesh, dt, add_waveform, fields,
-                 plane_axis: int, sign: float) -> List[SourcePlan]:
+                 plane_axis: int, sign: float, amp_fn=None) -> List[SourcePlan]:
     """Equivalence-current sheets from field profiles on one plane:
     J_s = -n x H, M_s = +n x E with n = sign * e_axis; the wave appears on the
     +n side of the sheet. Component form with cyclic (a, b, c):
@@ -771,7 +771,8 @@ def _sheet_plans(grid, source_time, tmesh, dt, add_waveform, fields,
         profile, slices = fields[src_field]["profile"], fields[src_field]["slices"]
         # inject Re(profile * complex_amp(t)); J drives the E update at half
         # steps, M drives the H update at the following integer step
-        amp_t = source_time.amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
+        amp_time = amp_fn if amp_fn is not None else source_time.amp_time
+        amp_t = amp_time((tmesh + dt / 2) if is_e else (tmesh + dt))
         has_im = np.max(np.abs(np.imag(amp_t))) > 0
         key_ar = add_waveform(np.real(amp_t))
         key_nai = add_waveform(-np.imag(amp_t))
@@ -793,14 +794,33 @@ def _sheet_plans(grid, source_time, tmesh, dt, add_waveform, fields,
 def _field_source_plans(simulation, grid, source, tmesh, dt, add_waveform
                         ) -> List[SourcePlan]:
     """Unidirectional injection of a planar field source."""
-    from .field_sources import make_source_fields  # deferred: needs mode solver
+    from .field_sources import (  # deferred: needs mode solver
+        make_broadband_mode_fields,
+        make_cheb_amp_fn,
+        make_source_fields,
+    )
+
+    sign = 1.0 if source.direction == "+" else -1.0
+
+    if isinstance(source, ModeSource) and getattr(source, "num_freqs", 1) > 1:
+        # broadband injection: Chebyshev-order coefficient maps, each driven
+        # by T_k applied to the source signal in the time domain
+        plane_axis = tuple(source.size).index(0.0)
+        coeff_fields, f0, bw = make_broadband_mode_fields(simulation, source,
+                                                          plane_axis)
+        plans: List[SourcePlan] = []
+        for k, fields_k in enumerate(coeff_fields):
+            amp_fn = make_cheb_amp_fn(source.source_time, k, f0, bw)
+            plans.extend(_sheet_plans(grid, source.source_time, tmesh, dt,
+                                      add_waveform, fields_k, plane_axis,
+                                      sign, amp_fn=amp_fn))
+        return plans
 
     try:
         fields, plane_axis = make_source_fields(simulation, source)
     except NotImplementedError as exc:
         log.warning(f"source '{getattr(source, 'name', None)}': {exc}; skipped.")
         return []
-    sign = 1.0 if source.direction == "+" else -1.0
     return _sheet_plans(grid, source.source_time, tmesh, dt, add_waveform,
                         fields, plane_axis, sign)
 
