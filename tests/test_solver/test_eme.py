@@ -86,3 +86,24 @@ def test_eme_length_sweep():
     ph2 = np.angle(s21[1, 0, 0])
     # doubling the length doubles the accumulated phase (mod 2 pi)
     assert abs(np.angle(np.exp(1j * (2 * ph1 - ph2)))) < 0.02
+
+
+def test_eme_mode_and_freq_sweeps():
+    """Mode-count sweep converges toward the full basis; freq sweep scales
+    the phase."""
+    wg = td.Structure(geometry=td.Box(center=(0, 0, 0), size=(td.inf, 0.4, td.inf)),
+                      medium=SI)
+    sim = _eme_sim([wg], length=2.0, num_cells=1, num_modes=2).updated_copy(
+        sweep_spec=td.EMEModeSweep(num_modes=[1, 2]))
+    data = run_eme(sim)
+    s21 = np.asarray(data.smatrix.S21.values)[0]  # (sweep, 2, 2)
+    # sweep entry 0 keeps 1 mode: second row/col zero
+    assert abs(s21[0, 0, 0]) > 0.99
+    assert np.allclose(s21[0, 1, :], 0) and np.allclose(s21[0, :, 1], 0)
+    assert abs(s21[1, 1, 1]) > 0.99
+
+    sim_f = _eme_sim([wg], length=2.0, num_cells=1, num_modes=1).updated_copy(
+        sweep_spec=td.EMEFreqSweep(freq_scale_factors=[1.0, 1.02]))
+    data_f = run_eme(sim_f)
+    s21f = np.asarray(data_f.smatrix.S21.values)[0][:, 0, 0]
+    assert abs(np.angle(s21f[0] / s21f[1])) > 1e-3  # phase changed

@@ -33,8 +33,12 @@ from .components.medium import (
     AnisotropicMedium,
     CustomAnisotropicMedium,
     CustomIsotropicMedium,
+    CustomDebye,
+    CustomDrude,
+    CustomLorentz,
     CustomMedium,
     CustomPoleResidue,
+    CustomSellmeier,
     Debye,
     Drude,
     FullyAnisotropicMedium,

@@ -795,6 +795,114 @@ class CustomPoleResidue(PoleResidue):
         return float(np.sqrt(np.min(np.real(self.eps_inf.values))))
 
 
+class _CustomDispersiveBase(Tidy3dBaseModel):
+    """Mixin for spatially-varying dispersive models: coefficients may be
+    SpatialDataArray; scalar-model formulas are evaluated on spatial means
+    for eps_model, and converted cellwise via to_pole_residue for lowering
+    (reference: medium.py CustomDispersiveMedium:2772)."""
+
+    @property
+    def is_spatially_uniform(self) -> bool:
+        return False
+
+    @property
+    def is_custom(self) -> bool:
+        return True
+
+    @staticmethod
+    def _mean(value):
+        if isinstance(value, SpatialDataArray):
+            return float(np.mean(np.real(value.values)))
+        return value
+
+
+class CustomSellmeier(_CustomDispersiveBase, Sellmeier):
+    """Sellmeier with spatially varying (B, C) coefficients
+    (reference: medium.py:3725)."""
+
+    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
+                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+        (), title="Coefficients")
+
+    @ensure_freq_in_range
+    def eps_model(self, frequency: float) -> complex:
+        mean_coeffs = tuple((self._mean(b), self._mean(c))
+                            for b, c in self.coeffs)
+        return Sellmeier(coeffs=mean_coeffs).eps_model(frequency)
+
+    def _pole_residue_dict(self) -> Dict:
+        mean_coeffs = tuple((self._mean(b), self._mean(c))
+                            for b, c in self.coeffs)
+        return Sellmeier(coeffs=mean_coeffs)._pole_residue_dict()
+
+
+class CustomLorentz(_CustomDispersiveBase, Lorentz):
+    """Lorentz with spatially varying coefficients (reference: medium.py:4110)."""
+
+    eps_inf: Union[pydantic.PositiveFloat, SpatialDataArray] = pydantic.Field(1.0)  # type: ignore[assignment]
+    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
+                        Union[float, SpatialDataArray],
+                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+        (), title="Coefficients")
+
+    @ensure_freq_in_range
+    def eps_model(self, frequency: float) -> complex:
+        mean_coeffs = tuple((self._mean(a), self._mean(b), self._mean(c))
+                            for a, b, c in self.coeffs)
+        return Lorentz(eps_inf=self._mean(self.eps_inf),
+                       coeffs=mean_coeffs).eps_model(frequency)
+
+    def _pole_residue_dict(self) -> Dict:
+        mean_coeffs = tuple((self._mean(a), self._mean(b), self._mean(c))
+                            for a, b, c in self.coeffs)
+        return Lorentz(eps_inf=self._mean(self.eps_inf),
+                       coeffs=mean_coeffs)._pole_residue_dict()
+
+
+class CustomDrude(_CustomDispersiveBase, Drude):
+    """Drude with spatially varying coefficients (reference: medium.py:4412)."""
+
+    eps_inf: Union[pydantic.PositiveFloat, SpatialDataArray] = pydantic.Field(1.0)  # type: ignore[assignment]
+    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
+                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+        (), title="Coefficients")
+
+    @ensure_freq_in_range
+    def eps_model(self, frequency: float) -> complex:
+        mean_coeffs = tuple((self._mean(f), self._mean(d))
+                            for f, d in self.coeffs)
+        return Drude(eps_inf=self._mean(self.eps_inf),
+                     coeffs=mean_coeffs).eps_model(frequency)
+
+    def _pole_residue_dict(self) -> Dict:
+        mean_coeffs = tuple((self._mean(f), self._mean(d))
+                            for f, d in self.coeffs)
+        return Drude(eps_inf=self._mean(self.eps_inf),
+                     coeffs=mean_coeffs)._pole_residue_dict()
+
+
+class CustomDebye(_CustomDispersiveBase, Debye):
+    """Debye with spatially varying coefficients (reference: medium.py:4670)."""
+
+    eps_inf: Union[pydantic.PositiveFloat, SpatialDataArray] = pydantic.Field(1.0)  # type: ignore[assignment]
+    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
+                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+        (), title="Coefficients")
+
+    @ensure_freq_in_range
+    def eps_model(self, frequency: float) -> complex:
+        mean_coeffs = tuple((self._mean(d), self._mean(t))
+                            for d, t in self.coeffs)
+        return Debye(eps_inf=self._mean(self.eps_inf),
+                     coeffs=mean_coeffs).eps_model(frequency)
+
+    def _pole_residue_dict(self) -> Dict:
+        mean_coeffs = tuple((self._mean(d), self._mean(t))
+                            for d, t in self.coeffs)
+        return Debye(eps_inf=self._mean(self.eps_inf),
+                     coeffs=mean_coeffs)._pole_residue_dict()
+
+
 # --------------------------------------------------------------------------- #
 # anisotropic media
 # --------------------------------------------------------------------------- #

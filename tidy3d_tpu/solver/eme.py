@@ -22,7 +22,7 @@ import numpy as np
 from ..components.data.data_array import EMESMatrixDataArray, EMEModeIndexDataArray
 from ..components.eme.data import EMESimulationData, EMESMatrixDataset
 from ..components.eme.simulation import EMESimulation
-from ..components.eme.sweep import EMELengthSweep, EMEModeSweep
+from ..components.eme.sweep import EMEFreqSweep, EMELengthSweep, EMEModeSweep
 from ..components.geometry.base import Box
 from ..constants import C_0, inf
 from ..exceptions import SetupError
@@ -41,9 +41,17 @@ def run_eme(eme_sim: EMESimulation, verbose: bool = False) -> EMESimulationData:
     mode_specs = eme_sim.mode_specs
     num_cells = len(centers)
 
-    # sweep handling
-    if isinstance(eme_sim.sweep_spec, EMELengthSweep):
-        sweep_scales = np.asarray(eme_sim.sweep_spec.scale_factors, dtype=float)
+    # sweep handling: length scaling, perturbative frequency scaling (both
+    # scale the accumulated propagation phase), or retained-mode-count sweep
+    sweep_spec = eme_sim.sweep_spec
+    sweep_mode_counts = None
+    if isinstance(sweep_spec, EMELengthSweep):
+        sweep_scales = np.asarray(sweep_spec.scale_factors, dtype=float)
+    elif isinstance(sweep_spec, EMEFreqSweep):
+        sweep_scales = np.asarray(sweep_spec.freq_scale_factors, dtype=float)
+    elif isinstance(sweep_spec, EMEModeSweep):
+        sweep_mode_counts = [int(n) for n in sweep_spec.num_modes]
+        sweep_scales = np.ones(len(sweep_mode_counts))
     else:
         sweep_scales = np.array([1.0])
     num_sweep = len(sweep_scales)
@@ -86,20 +94,23 @@ def run_eme(eme_sim: EMESimulation, verbose: bool = False) -> EMESimulationData:
             betas.append(k0 * n_c)
         for si, scale in enumerate(sweep_scales):
             n_complex[fi, si] = np.stack(betas) / k0
-            T = np.eye(2 * num_modes, dtype=complex)
+            nm = num_modes if sweep_mode_counts is None \
+                else min(sweep_mode_counts[si], num_modes)
+            T = np.eye(2 * nm, dtype=complex)
             for ci in range(num_cells):
                 # propagation through the cell
-                phase = np.exp(1j * betas[ci] * lengths[ci] * scale)
-                P = np.zeros((2 * num_modes, 2 * num_modes), dtype=complex)
-                P[:num_modes, :num_modes] = np.diag(phase)
-                P[num_modes:, num_modes:] = np.diag(1.0 / phase)
+                phase = np.exp(1j * betas[ci][:nm] * lengths[ci] * scale)
+                P = np.zeros((2 * nm, 2 * nm), dtype=complex)
+                P[:nm, :nm] = np.diag(phase)
+                P[nm:, nm:] = np.diag(1.0 / phase)
                 T = P @ T
                 if ci < num_cells - 1:
                     T = _interface_transfer(cell_modes[ci], cell_modes[ci + 1],
-                                            fi, num_modes, axis) @ T
-            s = _transfer_to_smatrix(T, num_modes)
-            s = _apply_constraint(s, eme_sim.constraint, num_modes)
-            s11[fi, si], s12[fi, si], s21[fi, si], s22[fi, si] = s
+                                            fi, nm, axis) @ T
+            s = _transfer_to_smatrix(T, nm)
+            s = _apply_constraint(s, eme_sim.constraint, nm)
+            s11[fi, si, :nm, :nm], s12[fi, si, :nm, :nm], \
+                s21[fi, si, :nm, :nm], s22[fi, si, :nm, :nm] = s
 
     coords = dict(
         f=freqs, sweep_index=np.arange(num_sweep),

@@ -139,7 +139,9 @@ class FDTDRunner:
             # round slab widths up to the hardware tile quantum of the axis
             # (1 / 8 sublanes / 128 lanes) so that the region-concat pieces are
             # tile-aligned; the extra slab cells carry b=c=0 (psi stays zero)
-            quantum = (1, 8, 128)[axis]
+            import os as _os
+            _quanta = _os.environ.get("TIDY3D_TPU_TILE_QUANTA", "1,8,128")
+            quantum = tuple(int(q) for q in _quanta.split(","))[axis]
             for fam, cf in (("dual", cf_d), ("primal", cf_p)):
                 w_lo = min(cf.n_lo + 1, n) if cf.n_lo else 0
                 w_hi = min(cf.n_hi + 1, n) if cf.n_hi else 0
