@@ -139,10 +139,20 @@ def points_in_polygon(xs, ys, vertices: np.ndarray) -> np.ndarray:
 
     xs, ys : broadcastable arrays of query coordinates.
     vertices : (N, 2) polygon vertices.
-    """
+
+    Large batches route through the native OpenMP kernel
+    (tidy3d_tpu/native/geometry_core.cpp) when available: one pass, no
+    (npts x nv) numpy temporaries."""
     xs = np.asarray(xs, dtype=float)
     ys = np.asarray(ys, dtype=float)
     v = np.asarray(vertices, dtype=float)
+
+    if xs.shape == ys.shape and xs.size * len(v) > 1_000_000:
+        from ... import native
+
+        out = native.points_in_polygon(xs, ys, v)
+        if out is not None:
+            return out
     x1, y1 = v[:, 0], v[:, 1]
     x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
 
@@ -165,6 +175,14 @@ def polygon_sdf(xs, ys, vertices: np.ndarray) -> np.ndarray:
     xs = np.asarray(xs, dtype=float)
     ys = np.asarray(ys, dtype=float)
     v = np.asarray(vertices, dtype=float)
+
+    if xs.shape == ys.shape and xs.size * len(v) > 1_000_000:
+        from ... import native
+
+        out = native.polygon_sdf(xs, ys, v)
+        if out is not None:
+            return out
+
     a = v
     b = np.roll(v, -1, axis=0)
     ab = b - a  # (N, 2)

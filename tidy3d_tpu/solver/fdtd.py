@@ -77,7 +77,7 @@ def _bslice(vec_3d: np.ndarray, sl) -> np.ndarray:
 class FDTDRunner:
     """Compiles and runs the time-stepping loop for one SimulationPlan."""
 
-    def __init__(self, plan: SimulationPlan, precision: str = "float32",
+    def __init__(self, plan: SimulationPlan, precision: str = None,
                  sharding_plan=None):
         self.plan = plan
         self.shape = plan.shape           # interior (physical) shape
@@ -93,7 +93,14 @@ class FDTDRunner:
                 self._bloch_cs.append((float(np.real(ph)), float(np.imag(ph))))
             else:
                 self._bloch_cs.append(None)
-        self.dtype = jnp.float32
+        # optional reduced-precision FIELD STORAGE (compute stays f32 via
+        # XLA's type promotion; DFT accumulators always f32). Halves HBM
+        # traffic on the bandwidth-bound update at ~1e-2 relative field
+        # accuracy — opt in per run or via TIDY3D_TPU_PRECISION=bfloat16.
+        import os as _os
+        prec = precision or _os.environ.get("TIDY3D_TPU_PRECISION", "float32")
+        self.dtype = jnp.bfloat16 if str(prec).lower() in (
+            "bf16", "bfloat16") else jnp.float32
         self.num_steps = plan.num_steps
         if plan.is_complex and plan.nonlinear is not None:
             raise NotImplementedError(
@@ -440,6 +447,28 @@ class FDTDRunner:
             regions.append((n - w_hi, n, "hi"))
         return regions
 
+    @staticmethod
+    def _split_wrap_edge(regions, n: int, dn: bool):
+        """Split a 1-wide strip off the wrap edge of non-slab regions so the
+        bulk piece reads its shifted operand as a PURE offset slice.
+
+        Only profitable along the LEADING (x) axis, where slicing never
+        breaks (sublane, lane) tile alignment — measured +13% there, while
+        the same split along y/z is ~20% slower (misaligned tiles)."""
+        out = []
+        for start, stop, kind in regions:
+            if kind is None:
+                if dn and start == 0 and stop > 1:
+                    out.append((0, 1, None))
+                    out.append((1, stop, None))
+                    continue
+                if not dn and stop == n and n - 1 > start:
+                    out.append((start, n - 1, None))
+                    out.append((n - 1, n, None))
+                    continue
+            out.append((start, stop, kind))
+        return out
+
     def _update_field_family(self, step, state, consts, family: str, newE=None,
                              partner_src=None, part: int = 0):
         """One half-step: family 'E' (uses H) or 'H' (uses E^{n+1}).
@@ -513,10 +542,12 @@ class FDTDRunner:
                                             else 0, w_hi_j if "hi" in psi1 else 0)
             regions_k = self._region_ranges(self.shape[k], w_lo_k if "lo" in psi2
                                             else 0, w_hi_k if "hi" in psi2 else 0)
-            # NOTE: splitting a 1-wide strip off the wrap edge (so the bulk
-            # reads pure offset slices) measures ~20% SLOWER on TPU despite
-            # saving the concat materialization — misaligned sublane/lane
-            # slices beat it. Aligned whole-axis concat stays.
+            # split the wrap-edge strip along the leading axis only (free
+            # there; measured slower on y/z where slices break tile alignment)
+            if j == 0:
+                regions_j = self._split_wrap_edge(regions_j, self.shape[0], is_e)
+            if k == 0:
+                regions_k = self._split_wrap_edge(regions_k, self.shape[0], is_e)
             wall = consts["wall_masks"].get(comp, ()) if is_e else ()
 
             def piece(rj, rk):
@@ -554,6 +585,8 @@ class FDTDRunner:
                         out = out * _bslice(mask, sl)
                 else:
                     out = ca_p * _take(F_old, sl) - cb_p * rhs
+                if out.dtype != self.dtype:
+                    out = out.astype(self.dtype)
                 return out
 
             if len(regions_j) == 1 and len(regions_k) == 1:
@@ -600,7 +633,8 @@ class FDTDRunner:
                 cb_sl = cb[sp.slices] if jnp.ndim(cb) else cb
                 wf = consts["waveforms"][wf_key, step]
                 add = -cb_sl * consts["src_profiles"][si] * wf
-                nE[sp.comp] = nE[sp.comp].at[sp.slices].add(add)
+                nE[sp.comp] = nE[sp.comp].at[sp.slices].add(
+                    add.astype(nE[sp.comp].dtype))
 
             # time-modulated eps/sigma: semi-implicit linear solve (same real
             # coefficients for both Bloch copies)
@@ -693,7 +727,8 @@ class FDTDRunner:
                 db_sl = db[sp.slices] if jnp.ndim(db) else db
                 wf = consts["waveforms"][wf_key, step]
                 add = -db_sl * consts["src_profiles"][si] * wf
-                nH[sp.comp] = nH[sp.comp].at[sp.slices].add(add)
+                nH[sp.comp] = nH[sp.comp].at[sp.slices].add(
+                    add.astype(nH[sp.comp].dtype))
             newH.append(nH)
             psi_H.append(pH)
 
@@ -757,6 +792,25 @@ class FDTDRunner:
             new_psi1.update(psi_H[1])
             out.update({"E1": newE[1], "H1": newH[1], "psi1": new_psi1,
                         "Q1": newQ[1]})
+        if self.dtype != jnp.float32:
+            # reduced-precision storage: post-update ops (sources, nonlinear,
+            # modulation, psi recursions) promote to f32; cast the loop carry
+            # back so state stays in the storage dtype
+            def _cast(x):
+                return x.astype(self.dtype) \
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+
+            for key in ("E", "H", "E1", "H1"):
+                if key in out:
+                    out[key] = {c: _cast(v) for c, v in out[key].items()}
+            for key in ("psi", "psi1"):
+                if key in out:
+                    out[key] = {c: _cast(v) for c, v in out[key].items()}
+            for key in ("Q", "Q1"):
+                if key in out:
+                    out[key] = [{c: (_cast(a), _cast(b))
+                                 for c, (a, b) in qp.items()}
+                                for qp in out[key]]
         return out
 
     # ------------------------------------------------------------------ #
