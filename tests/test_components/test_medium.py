@@ -135,3 +135,30 @@ def test_graphene_conductivity():
     target = g.numerical_conductivity(fs)
     fit = np.asarray(m.ss.sigma_model(fs))
     assert np.max(np.abs(fit - target) / np.abs(target)) < 0.2
+
+
+def test_perturbation_media_workflow():
+    """Thermo-optic bridge: heat solution -> perturbed optical media."""
+    pm = td.PerturbationMedium(
+        permittivity=4.0,
+        permittivity_perturbation=td.ParameterPerturbation(
+            heat=td.LinearHeatPerturbation(temperature_ref=300, coeff=0.01)))
+    xs = np.linspace(-1, 1, 5)
+    temp = td.SpatialDataArray(300 + 50 * np.ones((5, 5, 5)),
+                               coords=dict(x=xs, y=xs, z=xs))
+    new = pm.perturbed_copy(temperature=temp)
+    assert np.allclose(np.asarray(new.permittivity.values), 4.5)
+    sim = td.Simulation(
+        center=(0, 0, 0), size=(2, 2, 2), run_time=1e-14,
+        structures=[td.Structure(geometry=td.Box(center=(0, 0, 0),
+                                                 size=(1, 1, 1)), medium=pm)],
+        boundary_spec=td.BoundarySpec.all_sides(td.Periodic()),
+        grid_spec=td.GridSpec.uniform(dl=0.2))
+    sim2 = sim.perturbed_mediums_copy(temperature=temp)
+    assert type(sim2.structures[0].medium).__name__ == "CustomMedium"
+    ppr = td.PerturbationPoleResidue(
+        eps_inf=2.0, poles=[(-1e14 + 1e15j, 1e14 + 0j)],
+        eps_inf_perturbation=td.ParameterPerturbation(
+            heat=td.LinearHeatPerturbation(temperature_ref=300, coeff=0.005)))
+    new2 = ppr.perturbed_copy(temperature=temp)
+    assert np.allclose(np.asarray(new2.eps_inf.values), 2.25)

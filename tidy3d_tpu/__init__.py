@@ -39,6 +39,8 @@ from .components.medium import (
     CustomMedium,
     CustomPoleResidue,
     CustomSellmeier,
+    PerturbationMedium,
+    PerturbationPoleResidue,
     Debye,
     Drude,
     FullyAnisotropicMedium,

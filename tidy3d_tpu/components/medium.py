@@ -904,6 +904,133 @@ class CustomDebye(_CustomDispersiveBase, Debye):
 
 
 # --------------------------------------------------------------------------- #
+# perturbation media (thermo-optic / free-carrier workflows)
+# --------------------------------------------------------------------------- #
+
+
+class AbstractPerturbationMedium(Tidy3dBaseModel):
+    """Mixin providing perturbed_copy from heat/charge solution fields
+    (reference: medium.py AbstractPerturbationMedium:5560)."""
+
+    perturbation_spec: Optional[Any] = pydantic.Field(
+        None, title="Perturbation spec",
+        description="PermittivityPerturbation or IndexPerturbation model.")
+
+    def _delta_eps_sigma(self, temperature, electron_density, hole_density,
+                         base_n_k=None):
+        """(delta_eps, delta_sigma) arrays from the configured perturbations."""
+        from .parameter_perturbation import (
+            IndexPerturbation,
+            ParameterPerturbation,
+            PermittivityPerturbation,
+        )
+
+        d_eps = 0.0
+        d_sigma = 0.0
+
+        def apply(pp):
+            if pp is None:
+                return 0.0
+            return pp.apply_data(temperature, electron_density, hole_density)
+
+        direct_eps = getattr(self, "permittivity_perturbation", None)
+        direct_sigma = getattr(self, "conductivity_perturbation", None)
+        if direct_eps is not None or direct_sigma is not None:
+            d_eps = d_eps + apply(direct_eps)
+            d_sigma = d_sigma + apply(direct_sigma)
+        spec = self.perturbation_spec
+        if isinstance(spec, PermittivityPerturbation):
+            d_eps = d_eps + apply(spec.delta_eps)
+            d_sigma = d_sigma + apply(spec.delta_sigma)
+        elif isinstance(spec, IndexPerturbation):
+            dn = apply(spec.delta_n)
+            dk = apply(spec.delta_k)
+            n0, k0 = base_n_k if base_n_k is not None else (1.0, 0.0)
+            # eps = (n + ik)^2: d_eps_real = 2(n dn - k dk);
+            # d_sigma from d_eps_imag = 2(n dk + k dn)
+            d_eps = d_eps + 2 * (n0 * dn - k0 * dk)
+            omega = 2 * np.pi * spec.freq
+            d_sigma = d_sigma + 2 * (n0 * dk + k0 * dn) * omega * EPSILON_0
+        return d_eps, d_sigma
+
+
+class PerturbationMedium(Medium, AbstractPerturbationMedium):
+    """Dispersionless medium with heat/charge perturbations
+    (reference: medium.py:5648)."""
+
+    permittivity_perturbation: Optional[Any] = pydantic.Field(
+        None, title="Permittivity perturbation")
+    conductivity_perturbation: Optional[Any] = pydantic.Field(
+        None, title="Conductivity perturbation")
+
+    def perturbed_copy(self, temperature=None, electron_density=None,
+                       hole_density=None, interp_method: str = "linear"
+                       ) -> CustomMedium:
+        """Sample the perturbations on the provided solution fields and
+        return the equivalent CustomMedium."""
+        ref = temperature if temperature is not None else electron_density
+        if ref is None:
+            return CustomMedium(permittivity=None)  # pragma: no cover
+        n0, k0 = self.eps_complex_to_nk(
+            self.eps_model(C_0))  # nominal band center; only IndexPerturbation uses it
+        d_eps, d_sigma = self._delta_eps_sigma(temperature, electron_density,
+                                               hole_density, base_n_k=(n0, k0))
+        coords = {d: np.asarray(ref.coords[d]) for d in "xyz"}
+        eps = np.broadcast_to(
+            np.asarray(self.permittivity + d_eps),
+            tuple(len(coords[d]) for d in "xyz")).copy()
+        sigma = np.broadcast_to(
+            np.asarray(self.conductivity + d_sigma),
+            tuple(len(coords[d]) for d in "xyz")).copy()
+        return CustomMedium(
+            permittivity=SpatialDataArray(np.maximum(eps, 1.0), coords=coords),
+            conductivity=SpatialDataArray(sigma, coords=coords),
+            interp_method=interp_method, name=self.name)
+
+
+class PerturbationPoleResidue(PoleResidue, AbstractPerturbationMedium):
+    """PoleResidue with perturbations of eps_inf and poles
+    (reference: medium.py:5834)."""
+
+    eps_inf_perturbation: Optional[Any] = pydantic.Field(
+        None, title="Eps_inf perturbation")
+    poles_perturbation: Optional[Tuple[Tuple[Optional[Any], Optional[Any]],
+                                       ...]] = pydantic.Field(
+        None, title="Pole perturbations")
+
+    def perturbed_copy(self, temperature=None, electron_density=None,
+                       hole_density=None, interp_method: str = "linear"
+                       ) -> "CustomPoleResidue":
+        ref = temperature if temperature is not None else electron_density
+        coords = {d: np.asarray(ref.coords[d]) for d in "xyz"}
+        shape = tuple(len(coords[d]) for d in "xyz")
+
+        def apply(pp):
+            if pp is None:
+                return 0.0
+            return pp.apply_data(temperature, electron_density, hole_density)
+
+        eps_inf = np.broadcast_to(
+            np.asarray(self.eps_inf + np.real(apply(self.eps_inf_perturbation))),
+            shape).copy()
+        poles = []
+        pole_perts = self.poles_perturbation or ((None, None),) * len(self.poles)
+        for (a, c), (pa, pc) in zip(self.poles, pole_perts):
+            da = apply(pa)
+            dc = apply(pc)
+            a_new = a + da if np.ndim(da) == 0 and da == 0.0 else \
+                SpatialDataArray(np.broadcast_to(a + da, shape).copy(),
+                                 coords=coords)
+            c_new = c + dc if np.ndim(dc) == 0 and dc == 0.0 else \
+                SpatialDataArray(np.broadcast_to(c + dc, shape).copy(),
+                                 coords=coords)
+            poles.append((a_new, c_new))
+        return CustomPoleResidue(
+            eps_inf=SpatialDataArray(eps_inf, coords=coords),
+            poles=tuple(poles), name=self.name)
+
+
+# --------------------------------------------------------------------------- #
 # anisotropic media
 # --------------------------------------------------------------------------- #
 
@@ -1122,12 +1249,16 @@ def _pop_axis_names(axis: Axis) -> Tuple[int, Tuple[int, int]]:
 MediumType3D = Union[
     Medium, PoleResidue, Sellmeier, Lorentz, Drude, Debye, PECMedium,
     AnisotropicMedium, FullyAnisotropicMedium, CustomMedium, CustomPoleResidue,
+    CustomSellmeier, CustomLorentz, CustomDrude, CustomDebye,
     CustomAnisotropicMedium, CustomIsotropicMedium,
+    PerturbationMedium, PerturbationPoleResidue,
 ]
 MediumType = Union[
     Medium, PoleResidue, Sellmeier, Lorentz, Drude, Debye, PECMedium,
     AnisotropicMedium, FullyAnisotropicMedium, CustomMedium, CustomPoleResidue,
+    CustomSellmeier, CustomLorentz, CustomDrude, CustomDebye,
     CustomAnisotropicMedium, CustomIsotropicMedium, Medium2D,
+    PerturbationMedium, PerturbationPoleResidue,
 ]
 
 

@@ -146,6 +146,31 @@ class Simulation(Box):
     # validators
     # ------------------------------------------------------------------ #
 
+    def perturbed_mediums_copy(self, temperature=None, electron_density=None,
+                               hole_density=None, interp_method: str = "linear"
+                               ) -> "Simulation":
+        """Copy with every perturbation-capable medium replaced by its
+        perturbed custom medium sampled on the provided solution fields
+        (reference: simulation.py perturbed_mediums_copy:4493) — the bridge
+        from heat/charge solutions to the optical solve."""
+        from .structure import Structure
+
+        def maybe_perturb(medium):
+            if hasattr(medium, "perturbed_copy"):
+                return medium.perturbed_copy(temperature, electron_density,
+                                             hole_density, interp_method)
+            return medium
+
+        new_structures = []
+        for structure in self.structures:
+            new_medium = maybe_perturb(structure.medium)
+            if new_medium is not structure.medium:
+                structure = structure.copy(update=dict(medium=new_medium))
+            new_structures.append(structure)
+        new_medium = maybe_perturb(self.medium)
+        return self.copy(update=dict(structures=tuple(new_structures),
+                                     medium=new_medium))
+
     def to_gds_file(self, fname: str, x: float = None, y: float = None,
                     z: float = None, gds_layer_dtype_map=None) -> None:
         """Export structure cross-sections at a plane to a GDSII file
