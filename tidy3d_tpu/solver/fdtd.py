@@ -121,7 +121,9 @@ class FDTDRunner:
 
         kern = _os.environ.get("TIDY3D_TPU_KERNEL", "auto")
         self._kernel_env = kern
-        self._pallas_interpret = kern == "pallas_interpret"
+        self._pallas_interpret = kern in ("pallas_interpret",
+                                          "pallas2_interpret",
+                                          "fused_interpret")
         if kern == "xla" or self.plan.is_complex or self.sharding is not None:
             self._want_pallas = False
         elif kern == "auto":
@@ -138,12 +140,22 @@ class FDTDRunner:
 
     def _init_kernel_mode(self):
         self.pallas = None
+        self.fused = None
         if not self._want_pallas:
             return
+        from .kernels.pallas_fused import PallasFusedStepper
         from .kernels.pallas_step import PallasStepper
 
-        if PallasStepper.supported(self, self._pallas_interpret):
-            self.pallas = PallasStepper(self, self._pallas_interpret)
+        interp = self._pallas_interpret
+        # the fused one-pass kernel moves ~30% less HBM data but is currently
+        # VPU-bound (ext-row concats + slab transposes) and measures slower
+        # than the two-phase kernels on v5e — keep it opt-in until the
+        # in-kernel assembly is optimized
+        prefer_fused = self._kernel_env in ("fused", "fused_interpret")
+        if prefer_fused and PallasFusedStepper.supported(self, interp):
+            self.fused = PallasFusedStepper(self, interp)
+        elif PallasStepper.supported(self, interp):
+            self.pallas = PallasStepper(self, interp)
         elif self._kernel_env != "auto":
             log.warning(
                 "TIDY3D_TPU_KERNEL=pallas requested but this run is not "
@@ -355,7 +367,8 @@ class FDTDRunner:
                 for side, width in (("lo", w_lo), ("hi", w_hi)):
                     if width == 0:
                         continue
-                    if self.pallas is not None and deriv_axis == 2:
+                    if (self.pallas is not None or self.fused is not None) \
+                            and deriv_axis == 2:
                         # transposed (x, z-slab, y) layout: the slab dim sits
                         # in the 8-quantum sublane position so z-PML slabs
                         # stay 8-aligned instead of 128-aligned (saves ~25%
@@ -664,9 +677,326 @@ class FDTDRunner:
                           "psi": state["psi1"], "Q": state["Q1"]})
         return views
 
+    def _source_deltas(self, family: str, consts, step, part: int):
+        """[(source_plan, delta_array)] of current-source contributions to the
+        given family's freshly updated fields (delta = -c_b J or -d_b M)."""
+        comps = E_COMPS if family == "E" else H_COMPS
+        coeffs = consts["coeffs_E"] if family == "E" else consts["coeffs_H"]
+        out = []
+        for si, sp in enumerate(self.plan.sources):
+            if sp.comp not in comps:
+                continue
+            wf_key = sp.waveform_key if part == 0 else sp.waveform_key_im
+            if wf_key is None:
+                continue
+            _, cb = coeffs[sp.comp]
+            cb_sl = cb[sp.slices] if jnp.ndim(cb) else cb
+            wf = consts["waveforms"][wf_key, step]
+            out.append((sp, -cb_sl * consts["src_profiles"][si] * wf))
+        return out
+
+    def _update_poles(self, nE, view, consts):
+        """Semi-implicit pole-residue auxiliary-current state update."""
+        nQ = []
+        for (A, Gc), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"],
+                                       view["Q"]):
+            newQp = {}
+            for ci, comp in enumerate(E_COMPS):
+                esum = nE[comp] + self._int(view["E"][comp])
+                qr, qi = Qp[comp]
+                br, bi = B_maps[ci]
+                newQp[comp] = (A.real * qr - A.imag * qi + br * esum,
+                               A.imag * qr + A.real * qi + bi * esum)
+            nQ.append(newQp)
+        return nQ
+
+    def _accumulate_monitors(self, step, newE, newH, state, consts):
+        """Running-DFT / time-sample monitor accumulation on the fresh fields
+        (newE/newH are per-copy lists: one entry, or two for Bloch runs)."""
+        cx = self.is_complex
+        new_mon = []
+        for mi, (mp, acc) in enumerate(zip(self.plan.monitors, state["mon"])):
+            key = str(mi)
+            if mp.kind == "field" and key in consts["dft"]:
+                cos_e, sin_e, cos_h, sin_h = consts["dft"][key]
+                ph = {
+                    "E": (lax.dynamic_index_in_dim(cos_e, step, 0,
+                                                   keepdims=False),
+                          lax.dynamic_index_in_dim(sin_e, step, 0,
+                                                   keepdims=False)),
+                    "H": (lax.dynamic_index_in_dim(cos_h, step, 0,
+                                                   keepdims=False),
+                          lax.dynamic_index_in_dim(sin_h, step, 0,
+                                                   keepdims=False)),
+                }
+                new_acc = {}
+                for comp in mp.comps:
+                    is_e_comp = comp in E_COMPS
+                    ints = newE[0] if is_e_comp else newH[0]
+                    vals = ints[comp][mp.slices[comp]][..., None]
+                    cos_t, sin_t = ph[comp[0]]
+                    acc_re, acc_im = acc[comp]
+                    new_re = acc_re + vals * cos_t
+                    new_im = acc_im + vals * sin_t
+                    if cx:
+                        # (v0 + i v1) e^{i w t}: the imaginary copy rotates
+                        # into both quadratures
+                        ints1 = newE[1] if is_e_comp else newH[1]
+                        vals1 = ints1[comp][mp.slices[comp]][..., None]
+                        new_re = new_re - vals1 * sin_t
+                        new_im = new_im + vals1 * cos_t
+                    new_acc[comp] = (new_re, new_im)
+                new_mon.append(new_acc)
+            elif mp.kind == "field_time":
+                in_window = jnp.logical_and(
+                    step >= mp.t_start,
+                    jnp.logical_and(step < mp.t_stop,
+                                    (step - mp.t_start) % mp.t_interval == 0))
+                sample_idx = jnp.maximum(
+                    (step - mp.t_start) // mp.t_interval, 0)
+                new_acc = {}
+                for comp in mp.comps:
+                    ints = newE[0] if comp in E_COMPS else newH[0]
+                    vals = ints[comp][mp.slices[comp]]
+                    cur = acc[comp]
+                    idx = jnp.where(in_window, sample_idx, 0)
+                    updated = lax.dynamic_update_index_in_dim(
+                        cur, vals.astype(cur.dtype), idx, 0)
+                    new_acc[comp] = jnp.where(in_window, updated, cur)
+                new_mon.append(new_acc)
+            else:
+                new_mon.append(acc)
+        return new_mon
+
+    # ------------------------------------------------------------------ #
+    # fused-kernel step: one pallas pass + slab/slice delta corrections
+    # ------------------------------------------------------------------ #
+
+    def _sl_range(self, sl, axis):
+        n = self.shape[axis]
+        s = sl[axis]
+        if s == slice(None):
+            return 0, n
+        return (s.start or 0), (n if s.stop is None else s.stop)
+
+    def _fwd_delta_regions(self, delta, sl, axis, inv):
+        """Regions and values of the FORWARD-difference delta d(r) =
+        (delta[r+1] - delta[r]) * inv[r] induced along `axis` by a
+        compact-support field delta on slices `sl` (zero outside).
+
+        Returns [(region_slices, d_values)] — one main region, plus a wrap
+        strip for periodic boundaries when the support touches row 0 but not
+        the top."""
+        n = self.shape[axis]
+        lo, hi = self._sl_range(sl, axis)
+        kind_hi = self.plan.boundaries[axis][1]
+        periodic = kind_hi not in ("pec", "pmc")
+        # next-neighbor values over rows [lo, hi)
+        edge_sl = [slice(None)] * 3
+        edge_sl[axis] = slice(0, 1)
+        if hi == n:
+            if kind_hi == "pec":
+                edge = jnp.zeros_like(_take(delta, tuple(edge_sl)))
+            elif kind_hi == "pmc":
+                last_sl = [slice(None)] * 3
+                last_sl[axis] = slice(delta.shape[axis] - 1,
+                                      delta.shape[axis])
+                edge = _take(delta, tuple(last_sl))  # mirror -> d = 0 there
+            elif lo == 0:
+                edge = _take(delta, tuple(edge_sl))  # wrap to own first row
+            else:
+                edge = jnp.zeros_like(_take(delta, tuple(edge_sl)))
+        else:
+            edge = jnp.zeros_like(_take(delta, tuple(edge_sl)))
+        shift_sl = [slice(None)] * 3
+        shift_sl[axis] = slice(1, delta.shape[axis])
+        nxt = lax.concatenate([_take(delta, tuple(shift_sl)), edge],
+                              dimension=axis)
+        region = list(sl)
+        region[axis] = slice(lo, hi)
+        d_main = (nxt - delta) * _bslice(inv, tuple(region))
+        out = []
+        if lo > 0:
+            # extra row below: d(lo-1) = delta[lo] * inv[lo-1]
+            below = list(sl)
+            below[axis] = slice(lo - 1, lo)
+            first_sl = [slice(None)] * 3
+            first_sl[axis] = slice(0, 1)
+            d_below = _take(delta, tuple(first_sl)) \
+                * _bslice(inv, tuple(below))
+            full = list(sl)
+            full[axis] = slice(lo - 1, hi)
+            out.append((tuple(full),
+                        lax.concatenate([d_below, d_main], dimension=axis)))
+        else:
+            out.append((tuple(region), d_main))
+            if periodic and hi < n:
+                # wrap strip: d(n-1) = delta[0] * inv[n-1]
+                wrap = list(sl)
+                wrap[axis] = slice(n - 1, n)
+                first_sl = [slice(None)] * 3
+                first_sl[axis] = slice(0, 1)
+                out.append((tuple(wrap),
+                            _take(delta, tuple(first_sl))
+                            * _bslice(inv, tuple(wrap))))
+        return out
+
+    def _propagate_E_deltas(self, pieces, newH, new_psi, consts):
+        """Linearly propagate E-field deltas (sources, x-psi-E corrections)
+        through the H half-step: the forward-curl term everywhere the delta's
+        derivative is nonzero, plus the y/z psi-H recursions it grazes."""
+        for m, sl, delta in pieces:
+            for ih, hcomp in enumerate(H_COMPS):
+                j, k = (ih + 1) % 3, (ih + 2) % 3
+                if k == m:
+                    a, sgn_t = j, +1
+                elif j == m:
+                    a, sgn_t = k, -1
+                else:
+                    continue
+                inv = consts["inv_primal"][a]
+                db = consts["coeffs_H"][hcomp][1]
+                for rg, dval in self._fwd_delta_regions(delta, sl, a, inv):
+                    db_sl = _take(db, rg) if jnp.ndim(db) else db
+                    newH[hcomp] = newH[hcomp].at[rg].add(
+                        (-db_sl * sgn_t * dval).astype(newH[hcomp].dtype))
+                    if a == 0:
+                        continue  # x-psi-H recomputed from final newE
+                    # y/z psi-H slabs grazed by this delta derivative
+                    w_lo, w_hi = self.pml_meta[("primal", a)]
+                    pml_c = consts["pml"].get(f"primal{a}")
+                    r_lo, r_hi = self._sl_range(rg, a)
+                    n_a = self.shape[a]
+                    for side, width in (("lo", w_lo), ("hi", w_hi)):
+                        key = f"{hcomp}|{a}|{side}"
+                        if width == 0 or key not in new_psi:
+                            continue
+                        s_lo = 0 if side == "lo" else n_a - width
+                        s_hi = width if side == "lo" else n_a
+                        o_lo, o_hi = max(r_lo, s_lo), min(r_hi, s_hi)
+                        if o_lo >= o_hi:
+                            continue
+                        # overlap in region-local / slab-local coordinates
+                        dv_loc = [slice(None)] * 3
+                        dv_loc[a] = slice(o_lo - r_lo, o_hi - r_lo)
+                        d_sub = _take(dval, tuple(dv_loc))
+                        c_vec = pml_c[f"c_{side}"]
+                        c_loc = [slice(None)] * 3
+                        c_loc[a] = slice(o_lo - s_lo, o_hi - s_lo)
+                        c_sub = _bslice(c_vec, tuple(c_loc))
+                        dpsi = c_sub * d_sub
+                        # update the stored psi (z slabs are transposed)
+                        psi_idx = list(rg)
+                        psi_idx[a] = slice(o_lo - s_lo, o_hi - s_lo)
+                        if a == 2:
+                            dpsi_st = jnp.transpose(dpsi, (0, 2, 1))
+                            psi_tr = (psi_idx[0], psi_idx[2], psi_idx[1])
+                            new_psi[key] = new_psi[key].at[psi_tr].add(
+                                dpsi_st.astype(new_psi[key].dtype))
+                        else:
+                            new_psi[key] = new_psi[key].at[
+                                tuple(psi_idx)].add(
+                                dpsi.astype(new_psi[key].dtype))
+                        # and its contribution to newH in the overlap
+                        ov = list(rg)
+                        ov[a] = slice(o_lo, o_hi)
+                        db_ov = _take(db, tuple(ov)) if jnp.ndim(db) else db
+                        newH[hcomp] = newH[hcomp].at[tuple(ov)].add(
+                            (-db_ov * sgn_t * dpsi).astype(
+                                newH[hcomp].dtype))
+        return newH, new_psi
+
+    def _step_fused(self, step, state, consts):
+        """One time step on the fused Pallas kernel + XLA corrections."""
+        view = self._views(state)[0]
+        newE, newH, psi_k = self.fused.step_update(view, consts)
+        new_psi = dict(state["psi"])
+        new_psi.update(psi_k)
+
+        # ----- E-side deltas: current sources + x-axis psi-E ----- #
+        pieces = []
+        for sp, add in self._source_deltas("E", consts, step, 0):
+            pieces.append((E_COMPS.index(sp.comp), sp.slices, add))
+        pml_xe = consts["pml"].get("dual0")
+        w_lo, w_hi = self.pml_meta[("dual", 0)]
+        if pml_xe is not None and (w_lo or w_hi):
+            for ci, comp in enumerate(E_COMPS):
+                j, k = (ci + 1) % 3, (ci + 2) % 3
+                for axis, sgn, src_c in ((j, +1, H_COMPS[k]),
+                                         (k, -1, H_COMPS[j])):
+                    if axis != 0:
+                        continue
+                    for side, width in (("lo", w_lo), ("hi", w_hi)):
+                        key = f"{comp}|0|{side}"
+                        if width == 0 or key not in state["psi"]:
+                            continue
+                        sl = self._slab_slices(0, side, width)
+                        F = state["H"][src_c]
+                        shifted = self._shift_take(F, None, sl, 0, True, 0)
+                        d = (_take(F, sl) - shifted) \
+                            * _bslice(consts["inv_dual"][0], sl)
+                        psi_new = pml_xe[f"b_{side}"] * state["psi"][key] \
+                            + pml_xe[f"c_{side}"] * d
+                        new_psi[key] = psi_new
+                        cb = consts["coeffs_E"][comp][1]
+                        cb_sl = _take(cb, sl) if jnp.ndim(cb) else cb
+                        delta = sgn * cb_sl * psi_new
+                        for mask in consts["wall_masks"].get(comp, ()):
+                            delta = delta * _bslice(mask, sl)
+                        pieces.append((ci, sl, delta))
+        for m, sl, delta in pieces:
+            comp = E_COMPS[m]
+            newE[comp] = newE[comp].at[sl].add(delta.astype(newE[comp].dtype))
+
+        # ----- propagate the deltas through the H half-step ----- #
+        newH, new_psi = self._propagate_E_deltas(pieces, newH, new_psi,
+                                                 consts)
+
+        # ----- x-axis psi-H from the final newE ----- #
+        pml_xh = consts["pml"].get("primal0")
+        w_lo, w_hi = self.pml_meta[("primal", 0)]
+        if pml_xh is not None and (w_lo or w_hi):
+            for ci, comp in enumerate(H_COMPS):
+                j, k = (ci + 1) % 3, (ci + 2) % 3
+                for axis, sgn, src_c in ((j, +1, E_COMPS[k]),
+                                         (k, -1, E_COMPS[j])):
+                    if axis != 0:
+                        continue
+                    for side, width in (("lo", w_lo), ("hi", w_hi)):
+                        key = f"{comp}|0|{side}"
+                        if width == 0 or key not in state["psi"]:
+                            continue
+                        sl = self._slab_slices(0, side, width)
+                        F = newE[src_c]
+                        shifted = self._shift_take(F, None, sl, 0, False, 0)
+                        d = -(_take(F, sl) - shifted) \
+                            * _bslice(consts["inv_primal"][0], sl)
+                        psi_new = pml_xh[f"b_{side}"] * state["psi"][key] \
+                            + pml_xh[f"c_{side}"] * d
+                        new_psi[key] = psi_new
+                        db = consts["coeffs_H"][comp][1]
+                        db_sl = _take(db, sl) if jnp.ndim(db) else db
+                        newH[comp] = newH[comp].at[sl].add(
+                            (-db_sl * sgn * psi_new).astype(
+                                newH[comp].dtype))
+
+        # ----- magnetic current sources ----- #
+        for sp, add in self._source_deltas("H", consts, step, 0):
+            newH[sp.comp] = newH[sp.comp].at[sp.slices].add(
+                add.astype(newH[sp.comp].dtype))
+
+        nQ = self._update_poles(newE, view, consts)
+        new_mon = self._accumulate_monitors(step, [newE], [newH], state,
+                                            consts)
+        out = {"E": newE, "H": newH, "psi": new_psi, "Q": nQ,
+               "mon": new_mon}
+        return self._cast_state(out)
+
     def _step(self, step, state, consts):
         plan = self.plan
         cx = self.is_complex
+        if self.fused is not None and not cx:
+            return self._step_fused(step, state, consts)
         views = self._views(state)
 
         # ---------------- E update (per copy) ---------------- #
@@ -676,16 +1006,7 @@ class FDTDRunner:
             nE, pE = self._update_field_family(step, view, consts, "E",
                                                partner_src=partner, part=p)
             # source injection into E (J terms) on interior intermediates
-            for si, sp in enumerate(plan.sources):
-                if sp.comp not in E_COMPS:
-                    continue
-                wf_key = sp.waveform_key if p == 0 else sp.waveform_key_im
-                if wf_key is None:
-                    continue
-                _, cb = consts["coeffs_E"][sp.comp]
-                cb_sl = cb[sp.slices] if jnp.ndim(cb) else cb
-                wf = consts["waveforms"][wf_key, step]
-                add = -cb_sl * consts["src_profiles"][si] * wf
+            for sp, add in self._source_deltas("E", consts, step, p):
                 nE[sp.comp] = nE[sp.comp].at[sp.slices].add(
                     add.astype(nE[sp.comp].dtype))
 
@@ -748,17 +1069,7 @@ class FDTDRunner:
                     nE[comp] = e_it
 
             # dispersive Q update (needs E^{n+1} + E^n on the interior)
-            nQ = []
-            for (A, Gc), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"],
-                                           view["Q"]):
-                newQp = {}
-                for ci, comp in enumerate(E_COMPS):
-                    esum = nE[comp] + self._int(view["E"][comp])
-                    qr, qi = Qp[comp]
-                    br, bi = B_maps[ci]
-                    newQp[comp] = (A.real * qr - A.imag * qi + br * esum,
-                                   A.imag * qr + A.real * qi + bi * esum)
-                nQ.append(newQp)
+            nQ = self._update_poles(nE, view, consts)
             newE.append(nE)
             psi_E.append(pE)
             newQ.append(nQ)
@@ -770,69 +1081,14 @@ class FDTDRunner:
             nH, pH = self._update_field_family(step, view, consts, "H",
                                                newE=newE[p],
                                                partner_src=partner, part=p)
-            for si, sp in enumerate(plan.sources):
-                if sp.comp not in H_COMPS:
-                    continue
-                wf_key = sp.waveform_key if p == 0 else sp.waveform_key_im
-                if wf_key is None:
-                    continue
-                _, db = consts["coeffs_H"][sp.comp]
-                db_sl = db[sp.slices] if jnp.ndim(db) else db
-                wf = consts["waveforms"][wf_key, step]
-                add = -db_sl * consts["src_profiles"][si] * wf
+            for sp, add in self._source_deltas("H", consts, step, p):
                 nH[sp.comp] = nH[sp.comp].at[sp.slices].add(
                     add.astype(nH[sp.comp].dtype))
             newH.append(nH)
             psi_H.append(pH)
 
         # ---------------- monitors ---------------- #
-        new_mon = []
-        for mi, (mp, acc) in enumerate(zip(plan.monitors, state["mon"])):
-            key = str(mi)
-            if mp.kind == "field" and key in consts["dft"]:
-                cos_e, sin_e, cos_h, sin_h = consts["dft"][key]
-                ph = {
-                    "E": (lax.dynamic_index_in_dim(cos_e, step, 0, keepdims=False),
-                          lax.dynamic_index_in_dim(sin_e, step, 0, keepdims=False)),
-                    "H": (lax.dynamic_index_in_dim(cos_h, step, 0, keepdims=False),
-                          lax.dynamic_index_in_dim(sin_h, step, 0, keepdims=False)),
-                }
-                new_acc = {}
-                for comp in mp.comps:
-                    is_e_comp = comp in E_COMPS
-                    ints = newE[0] if is_e_comp else newH[0]
-                    vals = ints[comp][mp.slices[comp]][..., None]
-                    cos_t, sin_t = ph[comp[0]]
-                    acc_re, acc_im = acc[comp]
-                    new_re = acc_re + vals * cos_t
-                    new_im = acc_im + vals * sin_t
-                    if cx:
-                        # (v0 + i v1) e^{i w t}: the imaginary copy rotates
-                        # into both quadratures
-                        ints1 = newE[1] if is_e_comp else newH[1]
-                        vals1 = ints1[comp][mp.slices[comp]][..., None]
-                        new_re = new_re - vals1 * sin_t
-                        new_im = new_im + vals1 * cos_t
-                    new_acc[comp] = (new_re, new_im)
-                new_mon.append(new_acc)
-            elif mp.kind == "field_time":
-                in_window = jnp.logical_and(
-                    step >= mp.t_start,
-                    jnp.logical_and(step < mp.t_stop,
-                                    (step - mp.t_start) % mp.t_interval == 0))
-                sample_idx = jnp.maximum((step - mp.t_start) // mp.t_interval, 0)
-                new_acc = {}
-                for comp in mp.comps:
-                    ints = newE[0] if comp in E_COMPS else newH[0]
-                    vals = ints[comp][mp.slices[comp]]
-                    cur = acc[comp]
-                    idx = jnp.where(in_window, sample_idx, 0)
-                    updated = lax.dynamic_update_index_in_dim(
-                        cur, vals.astype(cur.dtype), idx, 0)
-                    new_acc[comp] = jnp.where(in_window, updated, cur)
-                new_mon.append(new_acc)
-            else:
-                new_mon.append(acc)
+        new_mon = self._accumulate_monitors(step, newE, newH, state, consts)
 
         new_psi = dict(state["psi"])
         new_psi.update(psi_E[0])
@@ -845,25 +1101,30 @@ class FDTDRunner:
             new_psi1.update(psi_H[1])
             out.update({"E1": newE[1], "H1": newH[1], "psi1": new_psi1,
                         "Q1": newQ[1]})
-        if self.dtype != jnp.float32:
-            # reduced-precision storage: post-update ops (sources, nonlinear,
-            # modulation, psi recursions) promote to f32; cast the loop carry
-            # back so state stays in the storage dtype
-            def _cast(x):
-                return x.astype(self.dtype) \
-                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+        return self._cast_state(out)
 
-            for key in ("E", "H", "E1", "H1"):
-                if key in out:
-                    out[key] = {c: _cast(v) for c, v in out[key].items()}
-            for key in ("psi", "psi1"):
-                if key in out:
-                    out[key] = {c: _cast(v) for c, v in out[key].items()}
-            for key in ("Q", "Q1"):
-                if key in out:
-                    out[key] = [{c: (_cast(a), _cast(b))
-                                 for c, (a, b) in qp.items()}
-                                for qp in out[key]]
+    def _cast_state(self, out: dict) -> dict:
+        """Cast the loop-carry back to the storage dtype (bf16 runs):
+        post-update ops (sources, nonlinear, modulation, psi recursions)
+        promote to f32."""
+        if self.dtype == jnp.float32:
+            return out
+
+        def _cast(x):
+            return x.astype(self.dtype) \
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
+
+        for key in ("E", "H", "E1", "H1"):
+            if key in out:
+                out[key] = {c: _cast(v) for c, v in out[key].items()}
+        for key in ("psi", "psi1"):
+            if key in out:
+                out[key] = {c: _cast(v) for c, v in out[key].items()}
+        for key in ("Q", "Q1"):
+            if key in out:
+                out[key] = [{c: (_cast(a), _cast(b))
+                             for c, (a, b) in qp.items()}
+                            for qp in out[key]]
         return out
 
     # ------------------------------------------------------------------ #
@@ -947,8 +1208,9 @@ class FDTDRunner:
 
         def run_fn(consts):
             # reverse-mode AD goes through the XLA path (pallas_call has no
-            # registered transpose); disable the pallas kernel during tracing
+            # registered transpose); disable the pallas kernels during tracing
             pallas_saved, self.pallas = self.pallas, None
+            fused_saved, self.fused = self.fused, None
             try:
                 state = self.init_state()
 
@@ -973,6 +1235,7 @@ class FDTDRunner:
                 return mon_out, state
             finally:
                 self.pallas = pallas_saved
+                self.fused = fused_saved
 
         return run_fn
 
