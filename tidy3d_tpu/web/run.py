@@ -60,9 +60,16 @@ def run(
     callback_url: str = None,
     verbose: bool = True,
     solver_version: str = None,
+    checkpoint_path: str = None,
+    checkpoint_every: int = 5,
     **kwargs,
 ) -> SimulationData:
-    """Run a simulation locally on TPU and return its SimulationData."""
+    """Run a simulation locally on TPU and return its SimulationData.
+
+    ``checkpoint_path`` enables periodic device-state checkpointing (E/H
+    fields, CPML psi memories, dispersive pole currents, DFT monitor
+    accumulators); if the file exists the run resumes from it — long runs
+    survive preemption (no equivalent in the reference, SURVEY §5)."""
     simulation.validate_pre_upload()
     t_start = _time.time()
     plan = lower(simulation)
@@ -71,7 +78,15 @@ def run(
         log.info(f"[{task_name}] lowered: grid {nx}x{ny}x{nz}, "
                  f"{plan.num_steps} steps, {len(plan.sources)} source terms.")
     runner = FDTDRunner(plan)
-    raw = runner.run(verbose=verbose)
+    from ..solver.profiling import maybe_profile
+
+    with maybe_profile():
+        if checkpoint_path is not None:
+            raw = runner.run_checkpointed(checkpoint_path,
+                                          checkpoint_every=checkpoint_every,
+                                          verbose=verbose)
+        else:
+            raw = runner.run(verbose=verbose)
     if verbose:
         ncells = np.prod(plan.shape)
         rate = ncells * runner.steps_run / max(runner.wall_time, 1e-9)
@@ -86,12 +101,13 @@ def run(
 
 def assemble_sim_data(simulation, plan, raw, runner, task_name="local") -> SimulationData:
     """Build SimulationData from raw monitor accumulators."""
+    from ..solver.profiling import RunMetrics
+
+    metrics = RunMetrics.from_runner(runner)
     log_lines = [
         f"task: {task_name}",
         f"steps run: {runner.steps_run} / {plan.num_steps}",
-        f"wall time: {runner.wall_time:.3f} s",
-        f"field decay: {runner.final_decay:.2e}",
-    ]
+    ] + metrics.log_lines()
 
     # group plans by source monitor (flux monitors have per-surface plans)
     surface_groups: Dict[str, List[int]] = {}
