@@ -134,9 +134,10 @@ class FDTDRunner:
         else:
             self._want_pallas = True
         # pallas stores psi slabs so the slab dim is 8-aligned (the z slabs
-        # transposed to (x, z-slab, y) layout); the XLA path prefers
-        # 128-aligned z slabs (lane tiling of region concats)
-        self._tile_quanta_default = "1,8,8" if self._want_pallas else "1,8,128"
+        # transposed to (x, z-slab, y) layout; the x slabs 8-aligned so the
+        # fused kernel's slab-fixup pass can block them); the XLA path
+        # prefers 128-aligned z slabs (lane tiling of region concats)
+        self._tile_quanta_default = "8,8,8" if self._want_pallas else "1,8,128"
 
     def _init_kernel_mode(self):
         self.pallas = None
@@ -147,12 +148,16 @@ class FDTDRunner:
         from .kernels.pallas_step import PallasStepper
 
         interp = self._pallas_interpret
-        # the fused one-pass kernel moves ~30% less HBM data but is currently
-        # VPU-bound (ext-row concats + slab transposes) and measures slower
-        # than the two-phase kernels on v5e — keep it opt-in until the
-        # in-kernel assembly is optimized
-        prefer_fused = self._kernel_env in ("fused", "fused_interpret")
-        if prefer_fused and PallasFusedStepper.supported(self, interp):
+        # the fused one-pass kernel (with its slab-fixup pass for x-CPML)
+        # beats the two-phase kernels when the packed x-slab region exists;
+        # without it the XLA delta-correction post-pass makes it slower —
+        # prefer fused only when the fixup kernel engages
+        two_phase_only = self._kernel_env in ("pallas2", "pallas2_interpret")
+        force_fused = self._kernel_env in ("fused", "fused_interpret")
+        if not two_phase_only and PallasFusedStepper.supported(self, interp) \
+                and (force_fused or self.fixup_meta is not None
+                     or not any(self.pml_meta[(f, 0)] != (0, 0)
+                                for f in ("dual", "primal"))):
             self.fused = PallasFusedStepper(self, interp)
         elif PallasStepper.supported(self, interp):
             self.pallas = PallasStepper(self, interp)
@@ -227,6 +232,39 @@ class FDTDRunner:
                 )
         consts["inv_dual"] = inv_dual_eff
         consts["inv_primal"] = inv_primal_eff
+
+        # packed x-slab region for the fused kernel's slab-fixup pass: both
+        # x-PML slabs (plus one spill block below the hi slab, reached by the
+        # forward x-derivative of the E-field delta) concatenated into one
+        # 8-row-blocked strip; b/c vectors zero-padded so pad rows are
+        # self-neutralizing (psi' = 0*psi + 0*d)
+        self.fixup_meta = None
+        if self._want_pallas:
+            nx = self.shape[0]
+            w_e_lo, w_e_hi = self.pml_meta[("dual", 0)]
+            w_h_lo, w_h_hi = self.pml_meta[("primal", 0)]
+            w_lo = max(w_e_lo, w_h_lo)
+            w_hi = max(w_e_hi, w_h_hi)
+            nb_lo = w_lo // 8
+            nb_hi = (w_hi // 8 + 1) if w_hi else 0
+            R = (nb_lo + nb_hi) * 8
+            if (w_lo or w_hi) and nx % 8 == 0 \
+                    and w_lo % 8 == 0 and w_hi % 8 == 0 \
+                    and nb_lo * 8 + nb_hi * 8 <= nx:
+                self.fixup_meta = dict(nb_lo=nb_lo, nb_hi=nb_hi, R=R)
+                for fam, (wl, wh) in (("dual", (w_e_lo, w_e_hi)),
+                                      ("primal", (w_h_lo, w_h_hi))):
+                    b_pack = np.zeros((R, 1, 1), f32)
+                    c_pack = np.zeros((R, 1, 1), f32)
+                    pml_c = consts["pml"].get(f"{fam}0")
+                    if pml_c is not None:
+                        if wl:
+                            b_pack[:wl] = pml_c["b_lo"]
+                            c_pack[:wl] = pml_c["c_lo"]
+                        if wh:
+                            b_pack[R - wh:] = pml_c["b_hi"]
+                            c_pack[R - wh:] = pml_c["c_hi"]
+                    consts["pml"][f"{fam}0_packed"] = (b_pack, c_pack)
 
         consts["waveforms"] = np.asarray(plan.waveforms)
         consts["src_profiles"] = [np.asarray(sp.profile) for sp in plan.sources]
@@ -359,11 +397,17 @@ class FDTDRunner:
             "Q": [],
             "mon": [],
         }
+        use_fixup = self.fused is not None and self.fused.fixup_ok
         for comp in E_COMPS + H_COMPS:
             fam = "dual" if comp[0] == "E" else "primal"
             i = "xyz".index(comp[1])
             for deriv_axis in [(i + 1) % 3, (i + 2) % 3]:
                 w_lo, w_hi = self.pml_meta[(fam, deriv_axis)]
+                if deriv_axis == 0 and use_fixup and (w_lo or w_hi):
+                    # packed x-slab strip consumed by the slab-fixup kernel
+                    state["psi"][f"{comp}|0|packed"] = zeros(
+                        (self.fixup_meta["R"], shape[1], shape[2]))
+                    continue
                 for side, width in (("lo", w_lo), ("hi", w_hi)):
                     if width == 0:
                         continue
@@ -861,7 +905,42 @@ class FDTDRunner:
                     newH[hcomp] = newH[hcomp].at[rg].add(
                         (-db_sl * sgn_t * dval).astype(newH[hcomp].dtype))
                     if a == 0:
-                        continue  # x-psi-H recomputed from final newE
+                        # packed x-psi strip (slab-fixup layout): graze it;
+                        # otherwise x-psi-H is recomputed from the final newE
+                        key = f"{hcomp}|0|packed"
+                        if key not in new_psi:
+                            continue
+                        fm = self.fixup_meta
+                        c_pack = consts["pml"]["primal0_packed"][1]
+                        r_lo, r_hi = self._sl_range(rg, 0)
+                        nx = self.shape[0]
+                        w_lo, w_hi = self.pml_meta[("primal", 0)]
+                        spans = []
+                        if w_lo:
+                            spans.append((0, w_lo, 0))  # glob lo, hi, pk off
+                        if w_hi:
+                            spans.append((nx - w_hi, nx,
+                                          fm["R"] - w_hi - (nx - w_hi)))
+                        for s_lo, s_hi, off in spans:
+                            o_lo, o_hi = max(r_lo, s_lo), min(r_hi, s_hi)
+                            if o_lo >= o_hi:
+                                continue
+                            dv_loc = [slice(None)] * 3
+                            dv_loc[0] = slice(o_lo - r_lo, o_hi - r_lo)
+                            d_sub = _take(dval, tuple(dv_loc))
+                            pk = slice(o_lo + off, o_hi + off)
+                            dpsi = c_pack[pk] * d_sub
+                            psi_idx = (pk,) + tuple(rg[1:])
+                            new_psi[key] = new_psi[key].at[psi_idx].add(
+                                dpsi.astype(new_psi[key].dtype))
+                            ov = list(rg)
+                            ov[0] = slice(o_lo, o_hi)
+                            db_ov = _take(db, tuple(ov)) if jnp.ndim(db) \
+                                else db
+                            newH[hcomp] = newH[hcomp].at[tuple(ov)].add(
+                                (-db_ov * sgn_t * dpsi).astype(
+                                    newH[hcomp].dtype))
+                        continue
                     # y/z psi-H slabs grazed by this delta derivative
                     w_lo, w_hi = self.pml_meta[("primal", a)]
                     pml_c = consts["pml"].get(f"primal{a}")
@@ -912,6 +991,29 @@ class FDTDRunner:
         newE, newH, psi_k = self.fused.step_update(view, consts)
         new_psi = dict(state["psi"])
         new_psi.update(psi_k)
+
+        if self.fused.fixup_ok:
+            # x-axis CPML entirely inside the slab-fixup pallas kernel
+            newE, newH, new_psi = self.fused.x_fixup(
+                newE, newH, new_psi, view, consts)
+            pieces = []
+            for sp, add in self._source_deltas("E", consts, step, 0):
+                pieces.append((E_COMPS.index(sp.comp), sp.slices, add))
+            for m, sl, delta in pieces:
+                comp = E_COMPS[m]
+                newE[comp] = newE[comp].at[sl].add(
+                    delta.astype(newE[comp].dtype))
+            newH, new_psi = self._propagate_E_deltas(pieces, newH, new_psi,
+                                                     consts)
+            for sp, add in self._source_deltas("H", consts, step, 0):
+                newH[sp.comp] = newH[sp.comp].at[sp.slices].add(
+                    add.astype(newH[sp.comp].dtype))
+            nQ = self._update_poles(newE, view, consts)
+            new_mon = self._accumulate_monitors(step, [newE], [newH], state,
+                                                consts)
+            out = {"E": newE, "H": newH, "psi": new_psi, "Q": nQ,
+                   "mon": new_mon}
+            return self._cast_state(out)
 
         # ----- E-side deltas: current sources + x-axis psi-E ----- #
         pieces = []
