@@ -5,6 +5,7 @@ the solver implemented locally as JAX/XLA/Pallas kernels running on TPU,
 instead of a cloud round-trip (see SURVEY.md).
 """
 
+from . import _malloc  # noqa: F401  (glibc tuning; must run before numpy allocs)
 from .constants import C_0, EPSILON_0, ETA_0, HBAR, K_B, MU_0, Q_e, inf
 from .config import config
 from .log import log, set_logging_console, set_logging_file, set_logging_level

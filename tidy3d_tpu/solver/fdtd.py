@@ -1457,7 +1457,13 @@ class FDTDRunner:
         chunk_size = max(num_steps // NUM_CHUNKS, 1)
         num_chunks = (num_steps + chunk_size - 1) // chunk_size
         self._pad_time_tables(num_chunks * chunk_size)
-        run_fn = self._make_run_fn(chunk_size, num_chunks)
+        # cache the jitted program: re-running the same plan (benchmarks,
+        # repeated notebook runs) must not re-trace/re-compile
+        cache_key = (chunk_size, num_chunks)
+        if getattr(self, "_run_fn_key", None) != cache_key:
+            self._run_fn = self._make_run_fn(chunk_size, num_chunks)
+            self._run_fn_key = cache_key
+        run_fn = self._run_fn
 
         start_time = _time.time()
         if self.sharding is not None:

@@ -305,8 +305,8 @@ def lower(simulation: Simulation) -> SimulationPlan:
         # magnetic loss only from absorber profiles
         sigma_m = abs_sigma[comp]
         loss = sigma_m * dt / 2.0
-        da = (1.0 - loss) / (1.0 + loss)
-        db = np.full(shape, dt / MU_0) / (1.0 + loss)
+        da = np.asarray((1.0 - loss) / (1.0 + loss))
+        db = np.asarray((dt / MU_0) / (1.0 + loss))
         coeffs_H[comp] = (da.astype(np.float32), db.astype(np.float32))
 
     # ------------------------------------------------------------------ #
@@ -409,10 +409,21 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
         xs, ys, zs = coords["x"], coords["y"], coords["z"]
         bg_eps, bg_sigma, bg_poles = _medium_static_eps_sigma(
             simulation.medium, ci, freq0)
-        eps = np.full(shape, bg_eps, dtype=np.float64)
-        sigma = np.full(shape, bg_sigma, dtype=np.float64)
-        chi3 = np.zeros(shape, dtype=np.float64)
-        ktpa = np.zeros(shape, dtype=np.float64)
+        # Lazy materialization: stay scalar (0-d) until a structure actually
+        # writes spatial variation. Full-volume allocations are expensive on
+        # paged-memory hosts (see _malloc.py) and pure-background components
+        # never need them — the runner compacts uniform arrays to scalars
+        # anyway. f32 is the solver's coefficient precision.
+        eps = np.float32(bg_eps)
+        sigma = np.float32(bg_sigma)
+        chi3 = np.float32(0.0)
+        ktpa = np.float32(0.0)
+
+        def _mat(arr):
+            """Materialize a lazy scalar to a full-volume f32 array."""
+            if np.ndim(arr) == 0:
+                return np.full(shape, arr, dtype=np.float32)
+            return arr
         if bg_poles:
             for pole_id, (a, c) in enumerate(bg_poles):
                 key = ("bg", pole_id)
@@ -451,6 +462,7 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                     if min(len(ix), len(iy), len(iz)) > 1 else [np.zeros_like(sdf)] * 3
                 gnorm = np.sqrt(sum(g**2 for g in grads)) + 1e-30
                 n_comp = grads[ci] / gnorm
+                eps, sigma = _mat(eps), _mat(sigma)
                 eps_old = eps[sl]
                 # polarized average: harmonic along normal, arithmetic transverse
                 eps_arith = frac * s_eps + (1 - frac) * eps_old
@@ -465,6 +477,7 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                                        (len(ix), len(iy), len(iz)))
                 if not np.any(mask):
                     continue
+                eps, sigma = _mat(eps), _mat(sigma)
                 if getattr(medium, "is_custom", False) and hasattr(
                         medium, "eps_dataarray_freq") and freq0 is not None:
                     comp_arr = medium.eps_dataarray_freq(freq0)[ci]
@@ -527,8 +540,10 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                         ktpa_val += float(np.real(model.beta)) * C_0**2 \
                             * EPSILON_0**2 * n0**2
                 if chi3_val:
+                    chi3 = _mat(chi3)
                     chi3[sl] = np.where(nl_mask, chi3_val, chi3[sl])
                 if ktpa_val:
+                    ktpa = _mat(ktpa)
                     ktpa[sl] = np.where(nl_mask, ktpa_val, ktpa[sl])
 
             # time modulation of this structure's medium
@@ -585,12 +600,12 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                     entry["sigma_amp"] = float(tm.amplitude)
                     _spatial(stm, "sigma_maps")
 
-        eps_arrays[comp] = eps
-        sigma_arrays[comp] = sigma
+        eps_arrays[comp] = np.asarray(eps)
+        sigma_arrays[comp] = np.asarray(sigma)
         if np.any(chi3 != 0):
-            chi3_arrays[comp] = chi3
+            chi3_arrays[comp] = _mat(chi3)
         if np.any(ktpa != 0):
-            ktpa_arrays[comp] = ktpa
+            ktpa_arrays[comp] = _mat(ktpa)
 
     # build pole plans
     pole_plans: List[PolePlan] = []
@@ -631,7 +646,9 @@ def _crop_inds(coords: np.ndarray, lo: float, hi: float, pad: float):
 def _absorber_profiles(simulation, bounds, centers, dt):
     """Electric/magnetic conductivity-rate arrays from Absorber boundaries."""
     shape = tuple(len(bounds[d]) - 1 for d in "xyz")
-    profiles = {comp: np.zeros(shape) for comp in E_COMPS + H_COMPS}
+    # scalar zeros unless an Absorber boundary exists (lazy materialization —
+    # full-volume allocations are expensive on paged-memory hosts)
+    profiles = {comp: np.float32(0.0) for comp in E_COMPS + H_COMPS}
     for axis, dim in enumerate("xyz"):
         minus, plus = simulation.boundary_spec.to_list[axis]
         n_lo = minus.num_layers if isinstance(minus, Absorber) else 0

@@ -234,6 +234,8 @@ def _make_permittivity_data(simulation, plan, mp) -> PermittivityData:
     arrays = {}
     for ci, comp in enumerate(E_COMPS):
         eps = plan.eps_yee[comp]
+        if np.ndim(eps) == 0:  # uniform background stayed scalar in lowering
+            eps = np.broadcast_to(eps, plan.shape)
         sl = mp.slices[comp]
         vals = eps[sl][..., None] * np.ones((1, 1, 1, len(freqs)))
         coords = dict(mp.coords[comp])
