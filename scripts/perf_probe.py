@@ -8,6 +8,7 @@ step including sources/monitors/shutoff bookkeeping, each as a jitted
 import os
 import sys
 import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
