@@ -109,6 +109,7 @@ class FDTDRunner:
         self._kernel_intent()
         self._build_constants()
         self._init_kernel_mode()
+        self._build_dft_tables()
 
     def _kernel_intent(self):
         """Decide (pre-consts) whether the fused Pallas kernel is wanted.
@@ -123,7 +124,8 @@ class FDTDRunner:
         self._kernel_env = kern
         self._pallas_interpret = kern in ("pallas_interpret",
                                           "pallas2_interpret",
-                                          "fused_interpret")
+                                          "fused_interpret",
+                                          "kstep_interpret")
         if kern == "xla" or self.plan.is_complex or self.sharding is not None:
             self._want_pallas = False
         elif kern == "auto":
@@ -142,10 +144,39 @@ class FDTDRunner:
     def _init_kernel_mode(self):
         self.pallas = None
         self.fused = None
+        self.kstep = None
         if not self._want_pallas:
             return
         from .kernels.pallas_fused import PallasFusedStepper
+        from .kernels.pallas_kstep import PallasKStepper
         from .kernels.pallas_step import PallasStepper
+
+        # temporal-blocked k-step kernel: the fastest path when supported
+        # (k leapfrog steps per HBM round trip). TIDY3D_TPU_KSTEP=0 disables,
+        # =k forces a specific group size.
+        import os as _os
+
+        kenv = _os.environ.get("TIDY3D_TPU_KSTEP", "auto")
+        if kenv != "0" and self._kernel_env in ("auto", "kstep",
+                                                "kstep_interpret"):
+            k_pref = int(kenv) if kenv != "auto" else (
+                4 if self.dtype == jnp.bfloat16 else 2)
+            tried = []
+            for k in (k_pref, 4, 2):
+                if k < 2 or k in tried:
+                    continue
+                tried.append(k)
+                if not self._monitors_allow_k(k):
+                    continue
+                if PallasKStepper.supported(self, k):
+                    try:
+                        self.kstep = PallasKStepper(
+                            self, k, interpret=self._pallas_interpret)
+                        break
+                    except ValueError:
+                        self.kstep = None
+        if self.kstep is not None:
+            return
 
         interp = self._pallas_interpret
         # the fused one-pass kernel (with its slab-fixup pass for x-CPML)
@@ -354,8 +385,43 @@ class FDTDRunner:
                 mod_list.append(ce)
             consts["mod"] = mod_list
 
-        # DFT kernels per monitor: (num_steps, num_freqs) f32 cos/sin tables
-        consts["dft"] = {}
+        self.consts = consts
+
+    def _monitors_allow_k(self, k: int) -> bool:
+        """Can monitor sampling align to k-step group boundaries?
+
+        Freq (running-DFT) monitors sample on a Nyquist-limited stride the
+        runner chooses (reference behavior: simulation.py:4414), so they
+        only require k <= nyquist step. Time monitors have user-fixed
+        sampling steps which must all land on group ends (t == k-1 mod k).
+        """
+        for mp in self.plan.monitors:
+            if mp.kind == "field" and mp.freqs is not None and len(mp.freqs):
+                freqs = np.asarray(mp.freqs, dtype=np.float64)
+                fmax = float(np.max(np.abs(freqs)))
+                if fmax > 0:
+                    nyq = max(int(1.0 / (2 * fmax) / self.plan.dt), 1)
+                    if k > nyq:
+                        return False
+            elif mp.kind == "field_time":
+                if mp.t_interval % k or (mp.t_start % k) != k - 1:
+                    return False
+        return True
+
+    def _build_dft_tables(self):
+        """Running-DFT cos/sin tables per freq monitor.
+
+        With the k-step kernel active, fields materialize only at group
+        ends, so the DFT samples on stride = k * max(1, nyquist // k)
+        (zero rows elsewhere, sampled rows weighted by dt * stride) —
+        exactly the reference's Nyquist-limited monitor stride
+        (tidy3d/components/simulation.py:4414). k = 1 paths keep the
+        every-step quadrature (stride 1).
+        """
+        plan = self.plan
+        f32 = np.float32
+        k = self.kstep.k if self.kstep is not None else 1
+        self.consts["dft"] = {}
         tmesh = plan.tmesh
         for mi, mp in enumerate(plan.monitors):
             if mp.kind == "field" and mp.freqs is not None and len(mp.freqs):
@@ -363,18 +429,26 @@ class FDTDRunner:
                 apod = mp.monitor.apodization.apodization_weights(tmesh) \
                     if getattr(mp.monitor, "apodization", None) is not None \
                     else np.ones_like(tmesh)
+                stride = 1
+                if k > 1:
+                    fmax = float(np.max(np.abs(freqs)))
+                    nyq = max(int(1.0 / (2 * fmax) / plan.dt), 1) \
+                        if fmax > 0 else k
+                    stride = k * max(1, nyq // k)
                 t_e = tmesh + plan.dt
                 t_h = tmesh + 1.5 * plan.dt
                 w = plan.dt * apod
+                if stride > 1:
+                    sample = ((np.arange(len(tmesh)) + 1) % stride) == 0
+                    w = np.where(sample, w * stride, 0.0)
                 ang_e = 2 * np.pi * t_e[:, None] * freqs[None, :]
                 ang_h = 2 * np.pi * t_h[:, None] * freqs[None, :]
-                consts["dft"][str(mi)] = (
+                self.consts["dft"][str(mi)] = (
                     (w[:, None] * np.cos(ang_e)).astype(f32),
                     (w[:, None] * np.sin(ang_e)).astype(f32),
                     (w[:, None] * np.cos(ang_h)).astype(f32),
                     (w[:, None] * np.sin(ang_h)).astype(f32),
                 )
-        self.consts = consts
 
     # ------------------------------------------------------------------ #
     # state
@@ -397,6 +471,13 @@ class FDTDRunner:
             "Q": [],
             "mon": [],
         }
+        if getattr(self, "kstep", None) is not None:
+            # k-step kernel: psi slabs hw-padded along the blocked axes
+            for key, shp in self.kstep.psi_shapes().items():
+                state["psi"][key] = zeros(shp)
+            for mi, mp in enumerate(self.plan.monitors):
+                state["mon"].append(self._init_monitor_acc(mi, mp))
+            return state
         use_fixup = self.fused is not None and self.fused.fixup_ok
         for comp in E_COMPS + H_COMPS:
             fam = "dual" if comp[0] == "E" else "primal"
@@ -431,22 +512,27 @@ class FDTDRunner:
             state["Q1"] = [{c: (zeros(shape), zeros(shape)) for c in E_COMPS}
                            for _ in self.pole_scalars]
         for mi, mp in enumerate(self.plan.monitors):
-            acc = {}
-            if mp.kind == "field" and str(mi) in self.consts["dft"]:
-                nf = len(mp.freqs)
-                for comp in mp.comps:
-                    sl = mp.slices[comp]
-                    s = tuple(s_.stop - s_.start for s_ in sl) + (nf,)
-                    acc[comp] = (jnp.zeros(s, jnp.float32), jnp.zeros(s, jnp.float32))
-            elif mp.kind == "field_time":
-                n_samples = max(
-                    (mp.t_stop - mp.t_start + mp.t_interval - 1) // mp.t_interval, 1)
-                for comp in mp.comps:
-                    sl = mp.slices[comp]
-                    s = (n_samples,) + tuple(s_.stop - s_.start for s_ in sl)
-                    acc[comp] = jnp.zeros(s, jnp.float32)
-            state["mon"].append(acc)
+            state["mon"].append(self._init_monitor_acc(mi, mp))
         return state
+
+    def _init_monitor_acc(self, mi, mp):
+        acc = {}
+        if mp.kind == "field" and str(mi) in self.consts["dft"]:
+            nf = len(mp.freqs)
+            for comp in mp.comps:
+                sl = mp.slices[comp]
+                s = tuple(s_.stop - s_.start for s_ in sl) + (nf,)
+                acc[comp] = (jnp.zeros(s, jnp.float32),
+                             jnp.zeros(s, jnp.float32))
+        elif mp.kind == "field_time":
+            n_samples = max(
+                (mp.t_stop - mp.t_start + mp.t_interval - 1)
+                // mp.t_interval, 1)
+            for comp in mp.comps:
+                sl = mp.slices[comp]
+                s = (n_samples,) + tuple(s_.stop - s_.start for s_ in sl)
+                acc[comp] = jnp.zeros(s, jnp.float32)
+        return acc
 
     # ------------------------------------------------------------------ #
     # stencil shifts (concat-based: one aligned materialization per shift)
@@ -985,6 +1071,36 @@ class FDTDRunner:
                                 newH[hcomp].dtype))
         return newH, new_psi
 
+    def _step_group(self, gi, state, consts):
+        """k steps in one temporal-blocked kernel call (group index gi);
+        monitors accumulate on the group-end fields (the DFT tables are
+        strided so sampled steps land exactly there)."""
+        k = self.kstep.k
+        t0 = gi * k
+        view = self._views(state)[0]
+        newE, newH, new_psi = self.kstep.step_group(t0, view, consts)
+        new_mon = self._accumulate_monitors(t0 + k - 1, [newE], [newH],
+                                            state, consts)
+        out = {"E": newE, "H": newH, "psi": new_psi, "Q": state["Q"],
+               "mon": new_mon}
+        return self._cast_state(out)
+
+    def _run_chunk(self, start, chunk_size, st, consts):
+        """Advance `chunk_size` steps from global step `start` (the chunk
+        size is a multiple of k when the k-step kernel is active)."""
+        if self.kstep is not None:
+            k = self.kstep.k
+
+            def gbody(g, s):
+                return self._step_group(start // k + g, s, consts)
+
+            return lax.fori_loop(0, chunk_size // k, gbody, st)
+
+        def body(n, s):
+            return self._step(start + n, s, consts)
+
+        return lax.fori_loop(0, chunk_size, body, st)
+
     def _step_fused(self, step, state, consts):
         """One time step on the fused Pallas kernel + XLA corrections."""
         view = self._views(state)[0]
@@ -1233,6 +1349,13 @@ class FDTDRunner:
     # run
     # ------------------------------------------------------------------ #
 
+    def _align_chunk(self, chunk_size: int) -> int:
+        """Round the chunk size up to a multiple of the k-step group."""
+        if self.kstep is not None:
+            k = self.kstep.k
+            chunk_size = -(-chunk_size // k) * k
+        return chunk_size
+
     def _max_field(self, state):
         max_e = jnp.zeros((), jnp.float32)
         for comp in E_COMPS:
@@ -1245,9 +1368,7 @@ class FDTDRunner:
 
     def _make_chunk_fn(self, chunk_size: int):
         def chunk(state, consts, start):
-            def body(n, st):
-                return self._step(start + n, st, consts)
-            state = lax.fori_loop(0, chunk_size, body, state)
+            state = self._run_chunk(start, chunk_size, state, consts)
             return state, self._max_field(state)
         return jax.jit(chunk, donate_argnums=(0,))
 
@@ -1268,11 +1389,7 @@ class FDTDRunner:
             def body(carry):
                 ci, st, max_ever, cur = carry
                 start = ci * chunk_size
-
-                def step_body(n, s):
-                    return self._step(start + n, s, consts)
-
-                st = lax.fori_loop(0, chunk_size, step_body, st)
+                st = self._run_chunk(start, chunk_size, st, consts)
                 cur = self._max_field(st)
                 max_ever = jnp.maximum(max_ever, cur)
                 return (ci + 1, st, max_ever, cur)
@@ -1313,6 +1430,7 @@ class FDTDRunner:
             # registered transpose); disable the pallas kernels during tracing
             pallas_saved, self.pallas = self.pallas, None
             fused_saved, self.fused = self.fused, None
+            kstep_saved, self.kstep = self.kstep, None
             try:
                 state = self.init_state()
 
@@ -1338,6 +1456,7 @@ class FDTDRunner:
             finally:
                 self.pallas = pallas_saved
                 self.fused = fused_saved
+                self.kstep = kstep_saved
 
         return run_fn
 
@@ -1394,6 +1513,7 @@ class FDTDRunner:
         plan = self.plan
         num_steps = self.num_steps
         chunk_size = max(num_steps // NUM_CHUNKS, 1)
+        chunk_size = self._align_chunk(chunk_size)
         num_chunks = (num_steps + chunk_size - 1) // chunk_size
         self._pad_time_tables(num_chunks * chunk_size)
         chunk_fn = self._make_chunk_fn(chunk_size)
@@ -1455,6 +1575,7 @@ class FDTDRunner:
         plan = self.plan
         num_steps = self.num_steps
         chunk_size = max(num_steps // NUM_CHUNKS, 1)
+        chunk_size = self._align_chunk(chunk_size)
         num_chunks = (num_steps + chunk_size - 1) // chunk_size
         self._pad_time_tables(num_chunks * chunk_size)
         # cache the jitted program: re-running the same plan (benchmarks,

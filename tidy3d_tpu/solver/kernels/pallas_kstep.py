@@ -1,0 +1,1001 @@
+"""Temporal-blocked Pallas TPU kernel: k leapfrog steps per HBM round trip.
+
+The FDTD update is bandwidth-bound (measured on this device class: the
+1-step fused kernel runs at 86% of a pure field copy). The remaining lever
+is moving FEWER bytes per step: this kernel holds a (bx+2hw, by+2hw, nz)
+working set in VMEM and advances it k full leapfrog steps before writing
+the (bx, by, nz) core back — classic temporal wavefront blocking, mapped
+to the TPU memory hierarchy. Halo width hw >= k covers the leapfrog
+dependency cone (it grows one cell per axis per step for each family);
+halo cells recompute their intermediate values redundantly and are
+discarded. Measured scaling on this device: bf16 k=2 doubles the 1-step
+throughput; k=4 with 2D (x, y) blocking targets ~3x.
+
+Everything a step needs happens IN the kernel so intermediates never touch
+HBM:
+
+* **Curl updates** on the extended window, with PEC/PMC/periodic boundary
+  columns fixed at the global domain edges each substep (periodic halos
+  come in through modular BlockSpec index maps).
+* **CPML psi recursions** on all three axes. psi slabs are stored hw-padded
+  along the blocked axes (x and y) so one window-aligned async DMA per
+  array serves any program:
+  - x slabs additionally carry the b/c profile vectors zero-padded to the
+    same row space; off-slab and pad rows have b = c = 0, which makes the
+    recursion and its field correction self-neutralizing — no masks or
+    control flow (the same trick as the 1-step kernels' packed region).
+  - y slabs use static in-window placement; the config enforces
+    by >= w_y + hw so only the edge j-row overlaps the slab.
+  - z slabs (lane axis) are fully local; stored transposed (x, w, y) so
+    the slab dim sits on sublanes.
+  psi state reads come from the t0 input buffers and final values are
+  DMA'd to FRESH output buffers (never aliased), so neighbor programs'
+  halo re-reads always see t0 values. Each participating program writes
+  its full window; overlapping writes are benign because overlapping
+  cells are computed from identical inputs.
+* **Source injection** between half-steps: profiles are zero-padded on the
+  host to window-aligned layouts (thin-x sources: (xe, ny+2hw, nz); wide-x
+  sources: (nx+2hw, ye, nz)) and added under global-coordinate masks with
+  per-step amplitudes from the waveform table.
+
+Monitors accumulate OUTSIDE the kernel at group boundaries; the runner
+builds Nyquist-strided DFT tables whose sampled steps land on group ends
+(reference behavior: tidy3d samples its running DFT at the Nyquist-limited
+stride, tidy3d/components/simulation.py:4414).
+
+Unsupported (the runner falls back to the 1-step kernels / XLA path):
+dispersive ADE poles, nonlinear media, time modulation, Bloch (complex)
+boundaries, sharded runs, volume sources thick in both x and y, and
+time-monitors whose sampling steps cannot align to group ends.
+
+Reference parity: SURVEY.md §2.3 items 1-2, 5-6 (the engine the reference
+keeps server-side behind web.run, web/api/webapi.py:49).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..lowering import E_COMPS, H_COMPS
+
+VMEM_LIMIT_BYTES = 126 * 1024 * 1024
+PROFILE_BYTES_CAP = 8 * 1024 * 1024
+WAVEFORM_BYTES_CAP = 8 * 1024 * 1024
+VMEM_BUDGET = 108 * 1024 * 1024
+
+
+def _f32(x):
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
+class PallasKStepper:
+    """One pallas_call advancing the full state by k leapfrog steps."""
+
+    def __init__(self, runner, k: int, interpret: bool = False):
+        self.runner = runner
+        self.plan = runner.plan
+        self.shape = runner.shape
+        self.dtype = runner.dtype
+        self.interpret = interpret
+        self.k = k
+        cfg = self._pick_config_static(runner, k)
+        if cfg is None:
+            raise ValueError("no feasible (bx, by) for this grid")
+        self.bx, self.by, self.hwx, self.hwy = cfg
+        self.Wx = self.bx + 2 * self.hwx
+        self.Wy = self.by + 2 * self.hwy
+        self._build_kconsts()
+
+    # ------------------------------------------------------------------ #
+    # feasibility / configuration
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def supported(cls, runner, k: int) -> bool:
+        plan = runner.plan
+        if plan.is_complex or runner.sharding is not None:
+            return False
+        if plan.nonlinear is not None or plan.modulation:
+            return False
+        if runner.pole_scalars:
+            return False
+        nx, ny, nz = runner.shape
+        if nz % 8:
+            return False
+        prof_bytes = 0
+        for sp in plan.sources:
+            xs, ys, zs = sp.slices
+            xe = (xs.stop if xs.stop is not None else nx) - (xs.start or 0)
+            ye = (ys.stop if ys.stop is not None else ny) - (ys.start or 0)
+            ze = (zs.stop if zs.stop is not None else nz) - (zs.start or 0)
+            if xe > 8 and ye > 8 and ze > 8:
+                return False
+            if xe <= 8:
+                prof_bytes += xe * (ny + 2 * k) * nz * 4
+            elif ye <= 8:
+                prof_bytes += (nx + 2 * k) * ye * nz * 4
+            else:
+                prof_bytes += (nx + 2 * k) * ze * (ny + 2 * k) * 4
+        if prof_bytes > PROFILE_BYTES_CAP:
+            return False
+        wf = np.asarray(plan.waveforms)
+        if wf.nbytes > WAVEFORM_BYTES_CAP or np.iscomplexobj(wf):
+            return False
+        n_var = 0
+        for ckey in ("coeffs_E", "coeffs_H"):
+            for _, (a, b) in runner.consts[ckey].items():
+                n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
+        if n_var > 6:
+            return False
+        # packed z-psi lanes per family must fit one vreg row
+        for fam in ("dual", "primal"):
+            w_lo, w_hi = runner.pml_meta[(fam, 2)]
+            if 2 * (w_lo + w_hi) > 128:
+                return False
+        return cls._pick_config_static(runner, k) is not None
+
+    @staticmethod
+    def _pick_config_static(runner, k: int):
+        nx, ny, nz = runner.shape
+        esize = 2 if runner.dtype == jnp.bfloat16 else 4
+        wy = max(runner.pml_meta[("dual", 1)] + runner.pml_meta[("primal", 1)])
+        n_var = 0
+        for ckey in ("coeffs_E", "coeffs_H"):
+            for _, (a, b) in runner.consts[ckey].items():
+                n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
+        n_psi_x = sum(
+            1 for fam in ("dual", "primal")
+            for w in runner.pml_meta[(fam, 0)] if w) * 2  # 2 comps per fam
+        best = None
+        # hwy: Mosaic requires sublane-dim blocks divisible by 8
+        hwy = -(-k // 8) * 8
+        for bx in (8, 16):
+            if nx % bx:
+                continue
+            hwx = k
+            while bx % hwx:
+                hwx += 1
+            if hwx > bx or nx % hwx:
+                continue
+            for by in (256, 192, 128, 96, 64, 48, 32, 16):
+                if ny % by or by % hwy or ny % hwy:
+                    continue
+                if wy and by < wy + hwy:
+                    continue
+                Wx, Wy = bx + 2 * hwx, by + 2 * hwy
+                win = Wx * Wy * nz
+                vmem = 6 * win * esize * 2           # field windows, 2-buf
+                vmem += 6 * bx * by * nz * esize * 2  # outputs, 2-buf
+                vmem += 10 * win * 4                  # f32 live temporaries
+                vmem += n_psi_x * win * esize         # psi_x scratch
+                vmem += n_var * win * 4               # coeff scratch
+                if vmem <= VMEM_BUDGET:
+                    if best is None or by * bx > best[0] * best[1]:
+                        best = (bx, by, hwx, hwy)
+        return best
+
+    # ------------------------------------------------------------------ #
+    # host-side constants — stored under runner.consts["kstep"]
+    # ------------------------------------------------------------------ #
+
+    def _build_kconsts(self):
+        runner = self.runner
+        plan = self.plan
+        nx, ny, nz = self.shape
+        hwx, hwy, bx, by = self.hwx, self.hwy, self.bx, self.by
+        Wx = self.Wx
+        f32 = np.float32
+        kc: dict = {}
+        # manual (non-BlockSpec) DMAs require the lane extent to be a
+        # multiple of 128 when another dim is sliced; slab/coeff arrays
+        # carry zero-padded lanes (no-op when nz is already aligned)
+        self.nz_p = -(-nz // 128) * 128
+
+        def ext_vec(vec3d, axis):
+            v = np.asarray(vec3d).reshape(-1)
+            mode = "wrap" if plan.boundaries[axis][0] not in ("pec", "pmc") \
+                else "edge"
+            pad = hwx if axis == 0 else hwy
+            ve = np.pad(v, (pad, pad), mode=mode)
+            shape = [1, 1, 1]
+            shape[axis] = len(ve)
+            return ve.reshape(shape).astype(f32)
+
+        kc["inv_e_x"] = ext_vec(runner.consts["inv_dual"][0], 0)
+        kc["inv_e_y"] = ext_vec(runner.consts["inv_dual"][1], 1)
+        kc["inv_e_z"] = np.asarray(runner.consts["inv_dual"][2], f32) \
+            * np.ones((1, 1, 1), f32)
+        kc["inv_h_x"] = ext_vec(runner.consts["inv_primal"][0], 0)
+        kc["inv_h_y"] = ext_vec(runner.consts["inv_primal"][1], 1)
+        kc["inv_h_z"] = np.asarray(runner.consts["inv_primal"][2], f32) \
+            * np.ones((1, 1, 1), f32)
+
+        # x-axis psi layout: padded array row = gx + hw (lo side) or
+        # gx - (s_min - hw) (hi side); b/c vectors live in the same row
+        # space with zeros on pad/off-slab rows.
+        self.psix_meta: Dict[Tuple[str, str], dict] = {}
+        for fam in ("dual", "primal"):
+            w_lo, w_hi = runner.pml_meta[(fam, 0)]
+            pml_c = runner.consts["pml"].get(f"{fam}0")
+            if w_lo:
+                # participants: window [s-hwx, s+bx+hwx) overlaps [0, w_lo)
+                s_max = ((w_lo + hwx - 1) // bx) * bx
+                xpad = s_max + Wx
+                b = np.zeros((xpad, 1, 1), f32)
+                c = np.zeros((xpad, 1, 1), f32)
+                b[hwx:hwx + w_lo] = pml_c["b_lo"]
+                c[hwx:hwx + w_lo] = pml_c["c_lo"]
+                kc[f"bx_{fam}_lo"] = b
+                kc[f"cx_{fam}_lo"] = c
+                self.psix_meta[(fam, "lo")] = dict(
+                    xpad=xpad, s_clamp=s_max, s_min=0)
+            if w_hi:
+                # participants: s + bx + hwx > nx - w_hi
+                s_min = max((((nx - w_hi - hwx - bx) // bx) + 1) * bx, 0)
+                xpad = (nx - bx - s_min) + Wx
+                b = np.zeros((xpad, 1, 1), f32)
+                c = np.zeros((xpad, 1, 1), f32)
+                lo_row = (nx - w_hi) - (s_min - hwx)
+                b[lo_row:lo_row + w_hi] = pml_c["b_hi"]
+                c[lo_row:lo_row + w_hi] = pml_c["c_hi"]
+                kc[f"bx_{fam}_hi"] = b
+                kc[f"cx_{fam}_hi"] = c
+                self.psix_meta[(fam, "hi")] = dict(
+                    xpad=xpad, s_clamp=nx - bx, s_min=s_min)
+
+        # y-axis psi b/c vectors (shape (1, w, 1))
+        for fam in ("dual", "primal"):
+            w_lo, w_hi = runner.pml_meta[(fam, 1)]
+            pml_c = runner.consts["pml"].get(f"{fam}1")
+            for side, width in (("lo", w_lo), ("hi", w_hi)):
+                if not width:
+                    continue
+                b = np.asarray(pml_c[f"b_{side}"], f32).reshape(1, width, 1)
+                c = np.asarray(pml_c[f"c_{side}"], f32).reshape(1, width, 1)
+                kc[f"by_{fam}_{side}"] = b
+                kc[f"cy_{fam}_{side}"] = c
+
+        # z-axis psi: all slabs of a family lane-packed into one
+        # (nx, ny, L) array fed through the same modular BlockSpec piece
+        # machinery as the fields (Mosaic cannot DMA-slice a lane dim at
+        # unaligned offsets, which ruled out the per-slab transposed
+        # layout). b/c become (1, 1, L) lane vectors; the recursion for a
+        # whole family is two fused VPU ops.
+        self.psiz_meta: Dict[str, list] = {"dual": [], "primal": []}
+        for fam, comps in (("dual", E_COMPS), ("primal", H_COMPS)):
+            w_lo, w_hi = runner.pml_meta[(fam, 2)]
+            pml_c = runner.consts["pml"].get(f"{fam}2")
+            lane = 0
+            bvec: List[np.ndarray] = []
+            cvec: List[np.ndarray] = []
+            for comp in comps:
+                i_ax = "xyz".index(comp[1])
+                jx, kx = (i_ax + 1) % 3, (i_ax + 2) % 3
+                for axis, sgn in ((jx, +1), (kx, -1)):
+                    if axis != 2:
+                        continue
+                    for side, width in (("lo", w_lo), ("hi", w_hi)):
+                        if not width:
+                            continue
+                        z0 = 0 if side == "lo" else nz - width
+                        self.psiz_meta[fam].append(dict(
+                            comp=comp, side=side, width=width, sgn=sgn,
+                            z0=z0, off=lane))
+                        bvec.append(np.asarray(pml_c[f"b_{side}"], f32))
+                        cvec.append(np.asarray(pml_c[f"c_{side}"], f32))
+                        lane += width
+            if lane:
+                kc[f"bz_pk_{fam}"] = np.concatenate(bvec).reshape(1, 1, lane)
+                kc[f"cz_pk_{fam}"] = np.concatenate(cvec).reshape(1, 1, lane)
+        self.psiz_L = {fam: (m[-1]["off"] + m[-1]["width"]) if m else 0
+                       for fam, m in self.psiz_meta.items()}
+
+        # spatially varying coefficients, hw-padded in x and y for
+        # window-aligned DMA. Periodic axes wrap (halo cells are real
+        # wrapped cells and their intermediate updates must use the true
+        # coefficients); clamped axes edge-pad (halo values never propagate
+        # past the boundary fix).
+        x_mode = "wrap" if plan.boundaries[0][0] not in ("pec", "pmc") \
+            else "edge"
+        y_mode = "wrap" if plan.boundaries[1][0] not in ("pec", "pmc") \
+            else "edge"
+
+        def pad_xy(arr):
+            arr = np.pad(np.asarray(arr, f32), ((hwx, hwx), (0, 0), (0, 0)),
+                         mode=x_mode)
+            arr = np.pad(arr, ((0, 0), (hwy, hwy), (0, 0)), mode=y_mode)
+            return np.pad(arr, ((0, 0), (0, 0), (0, self.nz_p - nz)))
+
+        self.var_coeffs: List[str] = []
+        self.static_coeffs: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+        for fam_key, comps in (("coeffs_E", E_COMPS), ("coeffs_H", H_COMPS)):
+            host = runner.consts[fam_key]
+            for c in comps:
+                a_h, b_h = host[c]
+                a_s = float(a_h) if np.ndim(a_h) == 0 else None
+                b_s = float(b_h) if np.ndim(b_h) == 0 else None
+                self.static_coeffs[c] = (a_s, b_s)
+                if a_s is None:
+                    kc[f"cf_a_{c}"] = pad_xy(a_h)
+                    self.var_coeffs.append(f"cf_a_{c}")
+                if b_s is None:
+                    kc[f"cf_b_{c}"] = pad_xy(b_h)
+                    self.var_coeffs.append(f"cf_b_{c}")
+
+        # source profiles in window-aligned layouts
+        self.src_meta = []
+        for si, sp in enumerate(plan.sources):
+            prof = np.asarray(runner.consts["src_profiles"][si], f32)
+            box = tuple((s.stop if s.stop is not None else n) - (s.start or 0)
+                        for s, n in zip(sp.slices, self.shape))
+            prof = np.broadcast_to(prof, box)
+            xs, ys, zs = sp.slices
+            x0, y0, z0 = (xs.start or 0), (ys.start or 0), (zs.start or 0)
+            xe, ye, ze = prof.shape
+            def wrap_pads(padded, axes):
+                """Fill pads from the opposite core edge on periodic
+                axes (halo cells are real wrapped cells)."""
+                for ax, n_core, pad, per in axes:
+                    if not per:
+                        continue
+                    sl_lo = [slice(None)] * 3
+                    sl_lo[ax] = slice(0, pad)
+                    sl_lo_src = [slice(None)] * 3
+                    sl_lo_src[ax] = slice(n_core, n_core + pad)
+                    padded[tuple(sl_lo)] = padded[tuple(sl_lo_src)]
+                    sl_hi = [slice(None)] * 3
+                    sl_hi[ax] = slice(n_core + pad, n_core + 2 * pad)
+                    sl_hi_src = [slice(None)] * 3
+                    sl_hi_src[ax] = slice(pad, 2 * pad)
+                    padded[tuple(sl_hi)] = padded[tuple(sl_hi_src)]
+                return padded
+
+            if xe <= 8:
+                padded = np.zeros((xe, ny + 2 * hwy, nz), f32)
+                padded[:, y0 + hwy:y0 + hwy + ye, z0:z0 + ze] = prof
+                padded = wrap_pads(padded, [(1, ny, hwy, y_mode == "wrap")])
+                self.src_meta.append(dict(kind="thin_x", x0=x0, xe=xe,
+                                          comp=sp.comp, wf=sp.waveform_key))
+            elif ye <= 8:
+                padded = np.zeros((nx + 2 * hwx, ye, nz), f32)
+                padded[x0 + hwx:x0 + hwx + xe, :, z0:z0 + ze] = prof
+                padded = wrap_pads(padded, [(0, nx, hwx, x_mode == "wrap")])
+                self.src_meta.append(dict(kind="wide_x", y0=y0, ye=ye,
+                                          comp=sp.comp, wf=sp.waveform_key))
+            else:
+                # thin in z (e.g. z-normal plane waves): Mosaic cannot
+                # load a dynamic lane window, so pre-tile the per-program
+                # (Wx, ze, Wy) windows host-side into a grid-indexed array
+                padded = np.zeros((nx + 2 * hwx, ze, ny + 2 * hwy), f32)
+                padded[x0 + hwx:x0 + hwx + xe, :, y0 + hwy:y0 + hwy + ye] = \
+                    np.transpose(prof, (0, 2, 1))
+                padded = wrap_pads(padded, [(0, nx, hwx, x_mode == "wrap"),
+                                            (2, ny, hwy, y_mode == "wrap")])
+                ni, nj = nx // bx, ny // by
+                Wy = self.Wy
+                tiled = np.zeros((ni, nj, Wx, ze, Wy), f32)
+                for ti in range(ni):
+                    for tj in range(nj):
+                        tiled[ti, tj] = padded[ti * bx:ti * bx + Wx, :,
+                                               tj * by:tj * by + Wy]
+                padded = tiled
+                self.src_meta.append(dict(kind="thin_z", z0=z0, ze=ze,
+                                          comp=sp.comp, wf=sp.waveform_key))
+            kc[f"src_{si}"] = padded
+
+        runner.consts["kstep"] = kc
+
+    # ------------------------------------------------------------------ #
+    # psi state layout (created by runner.init_state)
+    # ------------------------------------------------------------------ #
+
+    def psi_shapes(self) -> Dict[str, Tuple[int, ...]]:
+        """Shapes for every psi state array (hw-padded along blocked axes).
+
+        x slabs: (xpad, ny + 2hw, nz); y slabs: (nx + 2hw, w, nz);
+        z slabs: one lane-packed (nx, ny, L) array per family, blocked
+        exactly like the fields. Pad cells start at zero and are
+        refreshed by edge programs' full-window writes (under periodic
+        boundaries they hold the true wrapped values).
+        """
+        runner = self.runner
+        nx, ny, nz = self.shape
+        hwx, hwy = self.hwx, self.hwy
+        shapes = {}
+        for comp in E_COMPS + H_COMPS:
+            fam = "dual" if comp[0] == "E" else "primal"
+            i = "xyz".index(comp[1])
+            for axis in [(i + 1) % 3, (i + 2) % 3]:
+                if axis == 2:
+                    continue
+                w_lo, w_hi = runner.pml_meta[(fam, axis)]
+                for side, width in (("lo", w_lo), ("hi", w_hi)):
+                    if width == 0:
+                        continue
+                    key = f"{comp}|{axis}|{side}"
+                    if axis == 0:
+                        xpad = self.psix_meta[(fam, side)]["xpad"]
+                        shapes[key] = (xpad, ny + 2 * hwy, self.nz_p)
+                    else:
+                        shapes[key] = (nx + 2 * hwx, width, self.nz_p)
+        for fam in ("dual", "primal"):
+            if self.psiz_L[fam]:
+                shapes[f"psiz_{fam}"] = (nx, ny, self.psiz_L[fam])
+        return shapes
+
+    # ------------------------------------------------------------------ #
+    # the pallas call
+    # ------------------------------------------------------------------ #
+
+    def step_group(self, t0, view: dict, consts: dict):
+        """Advance (E, H, psi) by k steps starting at global step t0."""
+        runner = self.runner
+        plan = self.plan
+        nx, ny, nz = self.shape
+        bx, by = self.bx, self.by
+        hwx, hwy = self.hwx, self.hwy
+        Wx, Wy = self.Wx, self.Wy
+        dtype = self.dtype
+        kc = consts["kstep"]
+        ni, nj = nx // bx, ny // by
+        rbx, rby = bx // hwx, by // hwy
+        nbx_h, nby_h = nx // hwx, ny // hwy
+        x_per = plan.boundaries[0][0] not in ("pec", "pmc")
+        y_per = plan.boundaries[1][0] not in ("pec", "pmc")
+
+        names: List[str] = []
+        arrays: List = []
+        specs: List = []
+
+        def add(name, arr, spec):
+            names.append(name)
+            arrays.append(arr)
+            specs.append(spec)
+
+        def xmap(xk):
+            if xk == "m":
+                return lambda b: b
+            if xk == "l":
+                return (lambda b: (b * rbx - 1) % nbx_h) if x_per \
+                    else (lambda b: jnp.maximum(b * rbx - 1, 0))
+            return (lambda b: (b * rbx + rbx) % nbx_h) if x_per \
+                else (lambda b: jnp.minimum(b * rbx + rbx, nbx_h - 1))
+
+        def ymap(yk):
+            if yk == "m":
+                return lambda b: b
+            if yk == "l":
+                return (lambda b: (b * rby - 1) % nby_h) if y_per \
+                    else (lambda b: jnp.maximum(b * rby - 1, 0))
+            return (lambda b: (b * rby + rby) % nby_h) if y_per \
+                else (lambda b: jnp.minimum(b * rby + rby, nby_h - 1))
+
+        def piece_spec(xk, yk, depth=nz):
+            bsx = hwx if xk in "lh" else bx
+            bsy = hwy if yk in "lh" else by
+            xm, ym = xmap(xk), ymap(yk)
+            return pl.BlockSpec(
+                (bsx, bsy, depth),
+                lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), ym(b_j), 0),
+                memory_space=pltpu.VMEM)
+
+        for c in E_COMPS + H_COMPS:
+            F = view["E"][c] if c in E_COMPS else view["H"][c]
+            for xk in "lmh":
+                for yk in "lmh":
+                    add(f"{c}_{xk}{yk}", F, piece_spec(xk, yk))
+
+        # packed z-psi arrays ride the same modular piece machinery
+        for fam in ("dual", "primal"):
+            L = self.psiz_L[fam]
+            if not L:
+                continue
+            arr = view["psi"][f"psiz_{fam}"]
+            for xk in "lmh":
+                for yk in "lmh":
+                    add(f"psiz_{fam}_{xk}{yk}", arr,
+                        piece_spec(xk, yk, depth=L))
+
+        t0_arr = jnp.reshape(jnp.asarray(t0, jnp.int32), (1, 1))
+        add("t0", t0_arr, pl.BlockSpec(memory_space=pltpu.SMEM))
+
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        # Mosaic cannot index VMEM at a dynamic lane offset; slice the
+        # k-length waveform window host-side and read scalars from SMEM.
+        wf_all = _f32(jnp.asarray(consts["waveforms"]))
+        wf_win = lax.dynamic_slice_in_dim(
+            wf_all, jnp.asarray(t0, jnp.int32), self.k, axis=1)
+        add("wf_win", wf_win, pl.BlockSpec(memory_space=pltpu.SMEM))
+        for name in ("inv_e_x", "inv_e_y", "inv_e_z",
+                     "inv_h_x", "inv_h_y", "inv_h_z"):
+            add(name, kc[name], full)
+        for key in kc:
+            if key.startswith(("bx_", "cx_", "by_", "cy_", "bz_", "cz_")):
+                add(key, kc[key], full)
+        for si, sm in enumerate(self.src_meta):
+            if sm["kind"] == "thin_z":
+                ze = sm["ze"]
+                add(f"src_{si}", kc[f"src_{si}"], pl.BlockSpec(
+                    (1, 1, Wx, ze, Wy), lambda b_i, b_j: (b_i, b_j, 0, 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:
+                add(f"src_{si}", kc[f"src_{si}"], full)
+        for name in self.var_coeffs:
+            add(name, kc[name], pl.BlockSpec(memory_space=pltpu.ANY))
+
+        psi_meta = []
+        for comp in E_COMPS + H_COMPS:
+            fam = "dual" if comp[0] == "E" else "primal"
+            i_ax = "xyz".index(comp[1])
+            jx, kx = (i_ax + 1) % 3, (i_ax + 2) % 3
+            for axis, sgn in ((jx, +1), (kx, -1)):
+                if axis == 2:
+                    continue  # z slabs go through the packed lane arrays
+                w_lo, w_hi = runner.pml_meta[(fam, axis)]
+                for side, width in (("lo", w_lo), ("hi", w_hi)):
+                    key = f"{comp}|{axis}|{side}"
+                    if width == 0 or key not in view["psi"]:
+                        continue
+                    add(f"psi_{key}", view["psi"][key],
+                        pl.BlockSpec(memory_space=pltpu.ANY))
+                    psi_meta.append((key, fam, comp, axis, side, width, sgn))
+
+        out_shapes = [jax.ShapeDtypeStruct((nx, ny, nz), dtype)
+                      for _ in range(6)]
+        out_specs = [pl.BlockSpec((bx, by, nz), lambda b_i, b_j: (b_i, b_j, 0),
+                                  memory_space=pltpu.VMEM) for _ in range(6)]
+        out_names = [f"out_{c}" for c in E_COMPS + H_COMPS]
+        for (key, *_rest) in psi_meta:
+            arr = view["psi"][key]
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            out_names.append(f"opsi_{key}")
+        packed_fams = [fam for fam in ("dual", "primal") if self.psiz_L[fam]]
+        for fam in packed_fams:
+            arr = view["psi"][f"psiz_{fam}"]
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+            out_specs.append(pl.BlockSpec(
+                (bx, by, self.psiz_L[fam]), lambda b_i, b_j: (b_i, b_j, 0),
+                memory_space=pltpu.VMEM))
+            out_names.append(f"opsiz_{fam}")
+
+        scratch_shapes = []
+        scratch_names = []
+        for (key, fam, comp, axis, side, width, sgn) in psi_meta:
+            if axis == 0:
+                shp = (Wx, Wy, self.nz_p)
+            else:
+                shp = (Wx, width, self.nz_p)
+            scratch_names.append(f"s_{key}")
+            scratch_shapes.append(pltpu.VMEM(shp, dtype))
+        for name in self.var_coeffs:
+            scratch_names.append(f"s_{name}")
+            scratch_shapes.append(pltpu.VMEM((Wx, Wy, self.nz_p),
+                                             jnp.float32))
+        n_dma = 2 * len(psi_meta) + len(self.var_coeffs)
+        scratch_names.append("dma_sems")
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((max(n_dma, 1),)))
+
+        all_names = names + out_names + scratch_names
+        stepper = self
+
+        def kernel(*refs):
+            r = dict(zip(all_names, refs))
+            stepper._kernel_body(r, psi_meta)
+
+        results = pl.pallas_call(
+            kernel,
+            out_shape=out_shapes,
+            grid=(ni, nj),
+            in_specs=specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT_BYTES),
+            interpret=self.interpret,
+        )(*arrays)
+
+        newE = {c: results[ci] for ci, c in enumerate(E_COMPS)}
+        newH = {c: results[3 + ci] for ci, c in enumerate(H_COMPS)}
+        new_psi = dict(view["psi"])
+        for oi, m in enumerate(psi_meta):
+            new_psi[m[0]] = results[6 + oi]
+        for fi, fam in enumerate(packed_fams):
+            new_psi[f"psiz_{fam}"] = results[6 + len(psi_meta) + fi]
+        return newE, newH, new_psi
+
+    # ------------------------------------------------------------------ #
+    # kernel body
+    # ------------------------------------------------------------------ #
+
+    def _kernel_body(self, r, psi_meta):
+        nx, ny, nz = self.shape
+        bx, by, k = self.bx, self.by, self.k
+        hwx, hwy = self.hwx, self.hwy
+        Wx, Wy = self.Wx, self.Wy
+        boundaries = self.plan.boundaries
+        dtype = self.dtype
+
+        b_i = pl.program_id(0)
+        b_j = pl.program_id(1)
+        s = b_i * bx
+        sy = b_j * by
+        t0 = r["t0"][0, 0]
+
+        gx = s - hwx + lax.broadcasted_iota(jnp.int32, (Wx, 1, 1), 0)
+        gy = sy - hwy + lax.broadcasted_iota(jnp.int32, (1, Wy, 1), 1)
+        iota_z = lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
+
+        # ---- psi/coeff DMA bookkeeping ---- #
+        sems = r["dma_sems"]
+        dma_idx = [0]
+
+        def psix_off(fam, side):
+            meta = self.psix_meta[(fam, side)]
+            return jnp.clip(s - meta["s_min"], 0,
+                            meta["xpad"] - Wx)
+
+        def psi_slices(key, fam, axis, side):
+            """(src slice of the state array, matching scratch ref)."""
+            sref = r[f"s_{key}"]
+            if axis == 0:
+                off = psix_off(fam, side)
+                src = r[f"psi_{key}"].at[pl.ds(off, Wx), pl.ds(sy, Wy), :]
+            elif axis == 1:
+                src = r[f"psi_{key}"].at[pl.ds(s, Wx), :, :]
+            else:
+                src = r[f"psi_{key}"].at[pl.ds(s, Wx), :, pl.ds(sy, Wy)]
+            return src, sref
+
+        def psi_out_slice(key, fam, axis, side):
+            if axis == 0:
+                off = psix_off(fam, side)
+                return r[f"opsi_{key}"].at[pl.ds(off, Wx), pl.ds(sy, Wy), :]
+            if axis == 1:
+                return r[f"opsi_{key}"].at[pl.ds(s, Wx), :, :]
+            return r[f"opsi_{key}"].at[pl.ds(s, Wx), :, pl.ds(sy, Wy)]
+
+        # start psi reads
+        read_waits = []
+        for (key, fam, comp, axis, side, width, sgn) in psi_meta:
+            src, sref = psi_slices(key, fam, axis, side)
+            if axis == 0:
+                meta = self.psix_meta[(fam, side)]
+                cond = (s <= meta["s_clamp"]) if side == "lo" \
+                    else (s >= meta["s_min"])
+            elif axis == 1:
+                cond = (sy == 0) if side == "lo" else (sy + by == ny)
+            else:
+                cond = None
+            dma = pltpu.make_async_copy(src, sref, sems.at[dma_idx[0]])
+            dma_idx[0] += 1
+            if cond is None:
+                dma.start()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.start()
+            read_waits.append((dma, cond))
+        for name in self.var_coeffs:
+            dma = pltpu.make_async_copy(
+                r[name].at[pl.ds(s, Wx), pl.ds(sy, Wy), :],
+                r[f"s_{name}"], sems.at[dma_idx[0]])
+            dma_idx[0] += 1
+            dma.start()
+            read_waits.append((dma, None))
+
+        # ---- field windows ---- #
+        def ext(c):
+            rows = []
+            for xk in "lmh":
+                cols = [r[f"{c}_{xk}{yk}"][:] for yk in "lmh"]
+                rows.append(jnp.concatenate(cols, axis=1))
+            return _f32(jnp.concatenate(rows, axis=0))
+
+        fE = {c: ext(c) for c in E_COMPS}
+        fH = {c: ext(c) for c in H_COMPS}
+        packed_fams = [fam for fam in ("dual", "primal") if self.psiz_L[fam]]
+        psizw = {fam: ext(f"psiz_{fam}") for fam in packed_fams}
+
+        for dma, cond in read_waits:
+            if cond is None:
+                dma.wait()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.wait()
+
+        psis = {}
+        for (key, fam, comp, axis, side, width, sgn), (dma, cond) in zip(
+                psi_meta, read_waits):
+            raw = _f32(r[f"s_{key}"][:])[:, :, :nz]
+            if cond is not None:
+                # un-DMA'd scratch is arbitrary bits (NaN/inf would survive
+                # multiplication by the zero b/c pads) — zero it explicitly
+                raw = jnp.where(cond, raw, 0.0)
+            psis[key] = raw
+
+        coeff_vals = {name: r[f"s_{name}"][:][:, :, :nz]
+                      for name in self.var_coeffs}
+
+        def coeff(c, which):
+            a_s, b_s = self.static_coeffs[c]
+            v = a_s if which == "a" else b_s
+            if v is not None:
+                return v
+            return coeff_vals[f"cf_{which}_{c}"]
+
+        inv_e = {0: r["inv_e_x"][pl.ds(s, Wx)],
+                 1: r["inv_e_y"][:, pl.ds(sy, Wy)],
+                 2: r["inv_e_z"][:]}
+        inv_h = {0: r["inv_h_x"][pl.ds(s, Wx)],
+                 1: r["inv_h_y"][:, pl.ds(sy, Wy)],
+                 2: r["inv_h_z"][:]}
+
+        def bwd(f, axis):
+            if axis == 0:
+                prev = jnp.concatenate([f[:1], f[:-1]], axis=0)
+                kind = boundaries[0][0]
+                if kind == "pec":
+                    prev = jnp.where(gx == 0, 0.0, prev)
+                elif kind == "pmc":
+                    prev = jnp.where(gx == 0, f, prev)
+                return f - prev
+            if axis == 1:
+                prev = pltpu.roll(f, 1, 1)
+                kind = boundaries[1][0]
+                if kind == "pec":
+                    prev = jnp.where(gy == 0, 0.0, prev)
+                elif kind == "pmc":
+                    prev = jnp.where(gy == 0, f, prev)
+                return f - prev
+            prev = pltpu.roll(f, 1, 2)
+            kind = boundaries[2][0]
+            if kind == "pec":
+                prev = jnp.where(iota_z == 0, 0.0, prev)
+            elif kind == "pmc":
+                prev = jnp.where(iota_z == 0, f, prev)
+            return f - prev
+
+        def fwd(f, axis):
+            if axis == 0:
+                nxt = jnp.concatenate([f[1:], f[-1:]], axis=0)
+                kind = boundaries[0][1]
+                if kind == "pec":
+                    nxt = jnp.where(gx == nx - 1, 0.0, nxt)
+                elif kind == "pmc":
+                    nxt = jnp.where(gx == nx - 1, f, nxt)
+                return nxt - f
+            if axis == 1:
+                nxt = pltpu.roll(f, Wy - 1, 1)
+                kind = boundaries[1][1]
+                if kind == "pec":
+                    nxt = jnp.where(gy == ny - 1, 0.0, nxt)
+                elif kind == "pmc":
+                    nxt = jnp.where(gy == ny - 1, f, nxt)
+                return nxt - f
+            nxt = pltpu.roll(f, nz - 1, 2)
+            kind = boundaries[2][1]
+            if kind == "pec":
+                nxt = jnp.where(iota_z == nz - 1, 0.0, nxt)
+            elif kind == "pmc":
+                nxt = jnp.where(iota_z == nz - 1, f, nxt)
+            return nxt - f
+
+        wall_axes = {}
+        for ci, comp in enumerate(E_COMPS):
+            if comp in self.runner.consts["wall_masks"]:
+                wall_axes[comp] = [ax for ax in range(3) if ax != ci
+                                   and boundaries[ax][0] == "pec"]
+
+        def wall(comp, out):
+            for ax in wall_axes.get(comp, ()):
+                g = (gx, gy, iota_z)[ax]
+                out = jnp.where(g == 0, 0.0, out)
+            return out
+
+        def apply_psi(comp, fam, cb, out, d_by_axis):
+            sign = 1.0 if comp[0] == "E" else -1.0
+            for (key, fm, c2, axis, side, width, sgn) in psi_meta:
+                if c2 != comp or fm != fam:
+                    continue
+                d = d_by_axis[axis]
+                cb_eff = (sign * sgn) * cb
+                if axis == 0:
+                    meta = self.psix_meta[(fm, side)]
+                    # non-participants clamp onto rows that may carry
+                    # nonzero b/c — the participation predicate kills them
+                    pm_cond = (s <= meta["s_clamp"]) if side == "lo" \
+                        else (s >= meta["s_min"])
+                    pmul = pm_cond.astype(jnp.float32)
+                    off = psix_off(fm, side)
+                    bvec = r[f"bx_{fm}_{side}"][pl.ds(off, Wx)] * pmul
+                    cvec = r[f"cx_{fm}_{side}"][pl.ds(off, Wx)] * pmul
+                    psi_new = bvec * psis[key] + cvec * d
+                    psis[key] = psi_new
+                    out = out + cb_eff * psi_new
+                elif axis == 1:
+                    if side == "lo":
+                        r0 = hwy
+                        own = (sy == 0)
+                    else:
+                        r0 = hwy + by - width
+                        own = (sy + by == ny)
+                    pmul = own.astype(jnp.float32)
+                    d_slab = d[:, r0:r0 + width, :]
+                    bv = r[f"by_{fm}_{side}"][:] * pmul
+                    cv = r[f"cy_{fm}_{side}"][:] * pmul
+                    psi_new = bv * psis[key] + cv * d_slab
+                    psis[key] = psi_new
+                    cb_sl = cb_eff[:, r0:r0 + width, :] \
+                        if jnp.ndim(cb_eff) else cb_eff
+                    contrib = cb_sl * psi_new
+                    out = jnp.concatenate(
+                        [out[:, :r0], out[:, r0:r0 + width] + contrib,
+                         out[:, r0 + width:]], axis=1)
+            return out
+
+        def apply_psiz(fam, outs, dz_map):
+            """Fused packed z-psi recursion for one family.
+
+            dz_map: comp -> that comp's axis-2 derivative (incl. inv
+            factor) on the full window. One multiply-add updates every
+            slab of the family at once along the packed lane dim.
+            """
+            if fam not in psizw:
+                return outs
+            meta = self.psiz_meta[fam]
+            dpk = jnp.concatenate(
+                [dz_map[m["comp"]][:, :, m["z0"]:m["z0"] + m["width"]]
+                 for m in meta], axis=2)
+            pz = r[f"bz_pk_{fam}"][:] * psizw[fam] \
+                + r[f"cz_pk_{fam}"][:] * dpk
+            psizw[fam] = pz
+            sign = 1.0 if fam == "dual" else -1.0
+            for m in meta:
+                comp = m["comp"]
+                z0, width = m["z0"], m["width"]
+                cb_eff = (sign * m["sgn"]) * coeff(comp, "b")
+                cb_sl = cb_eff[:, :, z0:z0 + width] \
+                    if jnp.ndim(cb_eff) else cb_eff
+                contrib = cb_sl * pz[:, :, m["off"]:m["off"] + width]
+                out = outs[comp]
+                if m["side"] == "lo":
+                    out = jnp.concatenate(
+                        [out[:, :, :width] + contrib, out[:, :, width:]],
+                        axis=2)
+                else:
+                    out = jnp.concatenate(
+                        [out[:, :, :z0], out[:, :, z0:] + contrib],
+                        axis=2)
+                outs[comp] = out
+            return outs
+
+        def inject(family, fields, jstep):
+            for si, sm in enumerate(self.src_meta):
+                comp = sm["comp"]
+                if (comp in E_COMPS) != (family == "E"):
+                    continue
+                wf = r["wf_win"][sm["wf"], jstep]
+                cb = coeff(comp, "b")
+                prof_ref = r[f"src_{si}"]
+                add = None
+                if sm["kind"] == "thin_x":
+                    for rx in range(sm["xe"]):
+                        g_src = sm["x0"] + rx
+                        row = prof_ref[rx, pl.ds(sy, Wy), :][None]
+                        term = jnp.where(gx == g_src, row, 0.0)
+                        add = term if add is None else add + term
+                elif sm["kind"] == "wide_x":
+                    rows = prof_ref[pl.ds(s, Wx), :, :]
+                    for ry in range(sm["ye"]):
+                        g_src = sm["y0"] + ry
+                        col = rows[:, ry:ry + 1, :]
+                        term = jnp.where(gy == g_src, col, 0.0)
+                        add = term if add is None else add + term
+                else:  # thin_z, pre-tiled per-program windows (x, z, y)
+                    rows = prof_ref[0, 0]
+                    for rz in range(sm["ze"]):
+                        g_src = sm["z0"] + rz
+                        sheet = jnp.transpose(rows[:, rz:rz + 1, :],
+                                              (0, 2, 1))
+                        term = jnp.where(iota_z == g_src, sheet, 0.0)
+                        add = term if add is None else add + term
+                fields[comp] = fields[comp] - cb * wf * add
+            return fields
+
+        # ---- k substeps ---- #
+        for jstep in range(k):
+            newE = {}
+            dz_map = {}
+            for ci, comp in enumerate(E_COMPS):
+                jx, kx = (ci + 1) % 3, (ci + 2) % 3
+                d1 = bwd(fH[H_COMPS[kx]], jx) * inv_e[jx]
+                d2 = bwd(fH[H_COMPS[jx]], kx) * inv_e[kx]
+                out = coeff(comp, "a") * fE[comp] \
+                    + coeff(comp, "b") * (d1 - d2)
+                out = apply_psi(comp, "dual", coeff(comp, "b"), out,
+                                {jx: d1, kx: d2})
+                if jx == 2:
+                    dz_map[comp] = d1
+                elif kx == 2:
+                    dz_map[comp] = d2
+                newE[comp] = out
+            newE = apply_psiz("dual", newE, dz_map)
+            newE = {c: wall(c, v) for c, v in newE.items()}
+            fE = inject("E", newE, jstep)
+
+            newH = {}
+            dz_map = {}
+            for ci, comp in enumerate(H_COMPS):
+                jx, kx = (ci + 1) % 3, (ci + 2) % 3
+                d1 = fwd(fE[E_COMPS[kx]], jx) * inv_h[jx]
+                d2 = fwd(fE[E_COMPS[jx]], kx) * inv_h[kx]
+                out = coeff(comp, "a") * fH[comp] \
+                    - coeff(comp, "b") * (d1 - d2)
+                out = apply_psi(comp, "primal", coeff(comp, "b"), out,
+                                {jx: d1, kx: d2})
+                if jx == 2:
+                    dz_map[comp] = d1
+                elif kx == 2:
+                    dz_map[comp] = d2
+                newH[comp] = out
+            newH = apply_psiz("primal", newH, dz_map)
+            fH = inject("H", newH, jstep)
+
+        # ---- write back ---- #
+        for c in E_COMPS:
+            r[f"out_{c}"][:] = fE[c][hwx:hwx + bx,
+                                     hwy:hwy + by, :].astype(dtype)
+        for c in H_COMPS:
+            r[f"out_{c}"][:] = fH[c][hwx:hwx + bx,
+                                     hwy:hwy + by, :].astype(dtype)
+        for fam in packed_fams:
+            oref = r[f"opsiz_{fam}"]
+            oref[:] = psizw[fam][hwx:hwx + bx,
+                                 hwy:hwy + by, :].astype(oref.dtype)
+
+        write_waits = []
+        for (key, fam, comp, axis, side, width, sgn) in psi_meta:
+            sref = r[f"s_{key}"]
+            val = psis[key]
+            if self.nz_p != nz:
+                val = jnp.concatenate(
+                    [val, jnp.zeros(val.shape[:2] + (self.nz_p - nz,),
+                                    val.dtype)], axis=2)
+            sref[:] = val.astype(sref.dtype)
+            dst = psi_out_slice(key, fam, axis, side)
+            dma = pltpu.make_async_copy(sref, dst, sems.at[dma_idx[0]])
+            dma_idx[0] += 1
+            if axis == 0:
+                meta = self.psix_meta[(fam, side)]
+                cond = (s <= meta["s_clamp"]) if side == "lo" \
+                    else (s >= meta["s_min"])
+                if side == "lo":
+                    cond = s <= meta["xpad"] - Wx
+            elif axis == 1:
+                cond = (sy == 0) if side == "lo" else (sy + by == ny)
+            else:
+                cond = None
+            if cond is None:
+                dma.start()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.start()
+            write_waits.append((dma, cond))
+        for dma, cond in write_waits:
+            if cond is None:
+                dma.wait()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.wait()
