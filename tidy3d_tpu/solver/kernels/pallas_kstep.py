@@ -144,6 +144,11 @@ class PallasKStepper:
 
     @staticmethod
     def _pick_config_static(runner, k: int):
+        import os
+        force = os.environ.get("TIDY3D_TPU_KSTEP_CFG")
+        if force:
+            bx, by, hwx, hwy = (int(v) for v in force.split(","))
+            return (bx, by, hwx, hwy)
         nx, ny, nz = runner.shape
         esize = 2 if runner.dtype == jnp.bfloat16 else 4
         wy = max(runner.pml_meta[("dual", 1)] + runner.pml_meta[("primal", 1)])
@@ -437,6 +442,9 @@ class PallasKStepper:
 
     def step_group(self, t0, view: dict, consts: dict):
         """Advance (E, H, psi) by k steps starting at global step t0."""
+        import os as _os
+        _sk = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
+        _skip_psi = "psi" in _sk
         runner = self.runner
         plan = self.plan
         nx, ny, nz = self.shape
@@ -496,7 +504,7 @@ class PallasKStepper:
         # packed z-psi arrays ride the same modular piece machinery
         for fam in ("dual", "primal"):
             L = self.psiz_L[fam]
-            if not L:
+            if not L or _skip_psi or "psiz" in _sk:
                 continue
             arr = view["psi"][f"psiz_{fam}"]
             for xk in "lmh":
@@ -542,7 +550,9 @@ class PallasKStepper:
                 w_lo, w_hi = runner.pml_meta[(fam, axis)]
                 for side, width in (("lo", w_lo), ("hi", w_hi)):
                     key = f"{comp}|{axis}|{side}"
-                    if width == 0 or key not in view["psi"]:
+                    if width == 0 or key not in view["psi"] or _skip_psi \
+                            or ("psix" in _sk and axis == 0) \
+                            or ("psiy" in _sk and axis == 1):
                         continue
                     add(f"psi_{key}", view["psi"][key],
                         pl.BlockSpec(memory_space=pltpu.ANY))
@@ -558,7 +568,8 @@ class PallasKStepper:
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
             out_names.append(f"opsi_{key}")
-        packed_fams = [fam for fam in ("dual", "primal") if self.psiz_L[fam]]
+        packed_fams = [] if (_skip_psi or "psiz" in _sk) else [
+            fam for fam in ("dual", "primal") if self.psiz_L[fam]]
         for fam in packed_fams:
             arr = view["psi"][f"psiz_{fam}"]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
@@ -617,6 +628,8 @@ class PallasKStepper:
     # ------------------------------------------------------------------ #
 
     def _kernel_body(self, r, psi_meta):
+        import os as _os
+        _skip = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         nx, ny, nz = self.shape
         bx, by, k = self.bx, self.by, self.k
         hwx, hwy = self.hwx, self.hwy
@@ -702,7 +715,8 @@ class PallasKStepper:
 
         fE = {c: ext(c) for c in E_COMPS}
         fH = {c: ext(c) for c in H_COMPS}
-        packed_fams = [fam for fam in ("dual", "primal") if self.psiz_L[fam]]
+        packed_fams = [] if ("psi" in _skip or "psiz" in _skip) else [
+            fam for fam in ("dual", "primal") if self.psiz_L[fam]]
         psizw = {fam: ext(f"psiz_{fam}") for fam in packed_fams}
 
         for dma, cond in read_waits:
@@ -740,69 +754,93 @@ class PallasKStepper:
                  1: r["inv_h_y"][:, pl.ds(sy, Wy)],
                  2: r["inv_h_z"][:]}
 
-        def bwd(f, axis):
+        # boundary fixes as precomputed 0/1 mask-vector multiplies
+        # (cheaper than per-call iota compare + select; VPU-bound kernel)
+        _mask_cache = {}
+
+        def mask(axis, lo):
+            key = (axis, lo)
+            if key not in _mask_cache:
+                if axis == 0:
+                    g, lim = gx, nx - 1
+                elif axis == 1:
+                    g, lim = gy, ny - 1
+                else:
+                    g, lim = iota_z, nz - 1
+                _mask_cache[key] = (g != (0 if lo else lim)).astype(
+                    jnp.float32)
+            return _mask_cache[key]
+
+        def shift_m(f, axis):
             if axis == 0:
-                prev = jnp.concatenate([f[:1], f[:-1]], axis=0)
-                kind = boundaries[0][0]
-                if kind == "pec":
-                    prev = jnp.where(gx == 0, 0.0, prev)
-                elif kind == "pmc":
-                    prev = jnp.where(gx == 0, f, prev)
-                return f - prev
-            if axis == 1:
-                prev = pltpu.roll(f, 1, 1)
-                kind = boundaries[1][0]
-                if kind == "pec":
-                    prev = jnp.where(gy == 0, 0.0, prev)
-                elif kind == "pmc":
-                    prev = jnp.where(gy == 0, f, prev)
-                return f - prev
-            prev = pltpu.roll(f, 1, 2)
-            kind = boundaries[2][0]
+                return jnp.concatenate([f[:1], f[:-1]], axis=0)
+            return pltpu.roll(f, 1, axis)
+
+        def shift_p(f, axis):
+            if axis == 0:
+                return jnp.concatenate([f[1:], f[-1:]], axis=0)
+            return pltpu.roll(f, (Wy if axis == 1 else nz) - 1, axis)
+
+        def bwd(f, axis):
+            kind = "per" if "mask" in _skip else boundaries[axis][0]
+            prev = shift_m(f, axis)
             if kind == "pec":
-                prev = jnp.where(iota_z == 0, 0.0, prev)
-            elif kind == "pmc":
-                prev = jnp.where(iota_z == 0, f, prev)
+                return f - mask(axis, True) * prev
+            if kind == "pmc":
+                return mask(axis, True) * (f - prev)
             return f - prev
 
         def fwd(f, axis):
-            if axis == 0:
-                nxt = jnp.concatenate([f[1:], f[-1:]], axis=0)
-                kind = boundaries[0][1]
-                if kind == "pec":
-                    nxt = jnp.where(gx == nx - 1, 0.0, nxt)
-                elif kind == "pmc":
-                    nxt = jnp.where(gx == nx - 1, f, nxt)
-                return nxt - f
-            if axis == 1:
-                nxt = pltpu.roll(f, Wy - 1, 1)
-                kind = boundaries[1][1]
-                if kind == "pec":
-                    nxt = jnp.where(gy == ny - 1, 0.0, nxt)
-                elif kind == "pmc":
-                    nxt = jnp.where(gy == ny - 1, f, nxt)
-                return nxt - f
-            nxt = pltpu.roll(f, nz - 1, 2)
-            kind = boundaries[2][1]
+            kind = "per" if "mask" in _skip else boundaries[axis][1]
+            nxt = shift_p(f, axis)
             if kind == "pec":
-                nxt = jnp.where(iota_z == nz - 1, 0.0, nxt)
-            elif kind == "pmc":
-                nxt = jnp.where(iota_z == nz - 1, f, nxt)
+                return mask(axis, False) * nxt - f
+            if kind == "pmc":
+                return mask(axis, False) * (nxt - f)
             return nxt - f
 
-        wall_axes = {}
+        wall_mask = {}
         for ci, comp in enumerate(E_COMPS):
             if comp in self.runner.consts["wall_masks"]:
-                wall_axes[comp] = [ax for ax in range(3) if ax != ci
-                                   and boundaries[ax][0] == "pec"]
+                m = None
+                for ax in range(3):
+                    if ax != ci and boundaries[ax][0] == "pec":
+                        mm = mask(ax, True)
+                        m = mm if m is None else m * mm
+                if m is not None:
+                    wall_mask[comp] = m
 
         def wall(comp, out):
-            for ax in wall_axes.get(comp, ()):
-                g = (gx, gy, iota_z)[ax]
-                out = jnp.where(g == 0, 0.0, out)
-            return out
+            m = None if "mask" in _skip else wall_mask.get(comp)
+            return out if m is None else out * m
 
-        def apply_psi(comp, fam, cb, out, d_by_axis):
+        def seg_merge(out, items, axis):
+            """Add slab contributions in ONE concat along `axis`.
+
+            items: list of (start, width, contrib) with static positions.
+            """
+            if not items:
+                return out
+            items = sorted(items, key=lambda t: t[0])
+            idx = [slice(None)] * 3
+            segs = []
+            pos = 0
+            n_ax = out.shape[axis]
+            for r0, w, c in items:
+                if r0 > pos:
+                    idx[axis] = slice(pos, r0)
+                    segs.append(out[tuple(idx)])
+                idx[axis] = slice(r0, r0 + w)
+                segs.append(out[tuple(idx)] + c)
+                pos = r0 + w
+            if pos < n_ax:
+                idx[axis] = slice(pos, n_ax)
+                segs.append(out[tuple(idx)])
+            return jnp.concatenate(segs, axis=axis)
+
+        def apply_psi(comp, fam, cb, out, d_by_axis, yitems):
+            if "psi" in _skip:
+                return out
             sign = 1.0 if comp[0] == "E" else -1.0
             for (key, fm, c2, axis, side, width, sgn) in psi_meta:
                 if c2 != comp or fm != fam:
@@ -822,7 +860,7 @@ class PallasKStepper:
                     psi_new = bvec * psis[key] + cvec * d
                     psis[key] = psi_new
                     out = out + cb_eff * psi_new
-                elif axis == 1:
+                else:
                     if side == "lo":
                         r0 = hwy
                         own = (sy == 0)
@@ -837,10 +875,7 @@ class PallasKStepper:
                     psis[key] = psi_new
                     cb_sl = cb_eff[:, r0:r0 + width, :] \
                         if jnp.ndim(cb_eff) else cb_eff
-                    contrib = cb_sl * psi_new
-                    out = jnp.concatenate(
-                        [out[:, :r0], out[:, r0:r0 + width] + contrib,
-                         out[:, r0 + width:]], axis=1)
+                    yitems.append((r0, width, cb_sl * psi_new))
             return out
 
         def apply_psiz(fam, outs, dz_map):
@@ -848,9 +883,10 @@ class PallasKStepper:
 
             dz_map: comp -> that comp's axis-2 derivative (incl. inv
             factor) on the full window. One multiply-add updates every
-            slab of the family at once along the packed lane dim.
+            slab of the family at once along the packed lane dim; slab
+            contributions land with one concat per component.
             """
-            if fam not in psizw:
+            if fam not in psizw or "psi" in _skip:
                 return outs
             meta = self.psiz_meta[fam]
             dpk = jnp.concatenate(
@@ -860,57 +896,67 @@ class PallasKStepper:
                 + r[f"cz_pk_{fam}"][:] * dpk
             psizw[fam] = pz
             sign = 1.0 if fam == "dual" else -1.0
+            zitems = {}
             for m in meta:
                 comp = m["comp"]
                 z0, width = m["z0"], m["width"]
                 cb_eff = (sign * m["sgn"]) * coeff(comp, "b")
                 cb_sl = cb_eff[:, :, z0:z0 + width] \
                     if jnp.ndim(cb_eff) else cb_eff
-                contrib = cb_sl * pz[:, :, m["off"]:m["off"] + width]
-                out = outs[comp]
-                if m["side"] == "lo":
-                    out = jnp.concatenate(
-                        [out[:, :, :width] + contrib, out[:, :, width:]],
-                        axis=2)
-                else:
-                    out = jnp.concatenate(
-                        [out[:, :, :z0], out[:, :, z0:] + contrib],
-                        axis=2)
-                outs[comp] = out
+                zitems.setdefault(comp, []).append(
+                    (z0, width, cb_sl * pz[:, :, m["off"]:m["off"] + width]))
+            for comp, items in zitems.items():
+                outs[comp] = seg_merge(outs[comp], items, 2)
             return outs
 
+        # ---- source injection: space builds hoisted out of the substep
+        # loop (profile reads, masks, and the b coefficient do not depend
+        # on time); each substep is one fused mul-sub per (comp, waveform)
+        inj_terms = {"E": [], "H": []}
+        _acc = {}
+        for si, sm in enumerate(self.src_meta):
+            comp = sm["comp"]
+            prof_ref = r[f"src_{si}"]
+            add = None
+            if sm["kind"] == "thin_x":
+                for rx in range(sm["xe"]):
+                    g_src = sm["x0"] + rx
+                    row = prof_ref[rx, pl.ds(sy, Wy), :][None]
+                    term = jnp.where(gx == g_src, row, 0.0)
+                    add = term if add is None else add + term
+            elif sm["kind"] == "wide_x":
+                rows = prof_ref[pl.ds(s, Wx), :, :]
+                for ry in range(sm["ye"]):
+                    g_src = sm["y0"] + ry
+                    col = rows[:, ry:ry + 1, :]
+                    term = jnp.where(gy == g_src, col, 0.0)
+                    add = term if add is None else add + term
+            else:  # thin_z, pre-tiled per-program windows (x, z, y)
+                rows = prof_ref[0, 0]
+                for rz in range(sm["ze"]):
+                    g_src = sm["z0"] + rz
+                    sheet = jnp.transpose(rows[:, rz:rz + 1, :],
+                                          (0, 2, 1))
+                    term = jnp.where(iota_z == g_src, sheet, 0.0)
+                    add = term if add is None else add + term
+            val = coeff(comp, "b") * add
+            keyt = (comp, sm["wf"])
+            _acc[keyt] = val if keyt not in _acc else _acc[keyt] + val
+        for (comp, wfk), val in _acc.items():
+            fam_k = "E" if comp in E_COMPS else "H"
+            inj_terms[fam_k].append((comp, wfk, val))
+
         def inject(family, fields, jstep):
-            for si, sm in enumerate(self.src_meta):
-                comp = sm["comp"]
-                if (comp in E_COMPS) != (family == "E"):
-                    continue
-                wf = r["wf_win"][sm["wf"], jstep]
-                cb = coeff(comp, "b")
-                prof_ref = r[f"src_{si}"]
-                add = None
-                if sm["kind"] == "thin_x":
-                    for rx in range(sm["xe"]):
-                        g_src = sm["x0"] + rx
-                        row = prof_ref[rx, pl.ds(sy, Wy), :][None]
-                        term = jnp.where(gx == g_src, row, 0.0)
-                        add = term if add is None else add + term
-                elif sm["kind"] == "wide_x":
-                    rows = prof_ref[pl.ds(s, Wx), :, :]
-                    for ry in range(sm["ye"]):
-                        g_src = sm["y0"] + ry
-                        col = rows[:, ry:ry + 1, :]
-                        term = jnp.where(gy == g_src, col, 0.0)
-                        add = term if add is None else add + term
-                else:  # thin_z, pre-tiled per-program windows (x, z, y)
-                    rows = prof_ref[0, 0]
-                    for rz in range(sm["ze"]):
-                        g_src = sm["z0"] + rz
-                        sheet = jnp.transpose(rows[:, rz:rz + 1, :],
-                                              (0, 2, 1))
-                        term = jnp.where(iota_z == g_src, sheet, 0.0)
-                        add = term if add is None else add + term
-                fields[comp] = fields[comp] - cb * wf * add
+            if "inj" in _skip:
+                return fields
+            for comp, wfk, val in inj_terms[family]:
+                fields[comp] = fields[comp] - r["wf_win"][wfk, jstep] * val
             return fields
+
+        def base_term(a, f):
+            if isinstance(a, float) and a == 1.0:
+                return f
+            return a * f
 
         # ---- k substeps ---- #
         for jstep in range(k):
@@ -920,10 +966,12 @@ class PallasKStepper:
                 jx, kx = (ci + 1) % 3, (ci + 2) % 3
                 d1 = bwd(fH[H_COMPS[kx]], jx) * inv_e[jx]
                 d2 = bwd(fH[H_COMPS[jx]], kx) * inv_e[kx]
-                out = coeff(comp, "a") * fE[comp] \
+                out = base_term(coeff(comp, "a"), fE[comp]) \
                     + coeff(comp, "b") * (d1 - d2)
+                yitems = []
                 out = apply_psi(comp, "dual", coeff(comp, "b"), out,
-                                {jx: d1, kx: d2})
+                                {jx: d1, kx: d2}, yitems)
+                out = seg_merge(out, yitems, 1)
                 if jx == 2:
                     dz_map[comp] = d1
                 elif kx == 2:
@@ -939,10 +987,12 @@ class PallasKStepper:
                 jx, kx = (ci + 1) % 3, (ci + 2) % 3
                 d1 = fwd(fE[E_COMPS[kx]], jx) * inv_h[jx]
                 d2 = fwd(fE[E_COMPS[jx]], kx) * inv_h[kx]
-                out = coeff(comp, "a") * fH[comp] \
+                out = base_term(coeff(comp, "a"), fH[comp]) \
                     - coeff(comp, "b") * (d1 - d2)
+                yitems = []
                 out = apply_psi(comp, "primal", coeff(comp, "b"), out,
-                                {jx: d1, kx: d2})
+                                {jx: d1, kx: d2}, yitems)
+                out = seg_merge(out, yitems, 1)
                 if jx == 2:
                     dz_map[comp] = d1
                 elif kx == 2:
