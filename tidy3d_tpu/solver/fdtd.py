@@ -472,11 +472,21 @@ class FDTDRunner:
             "mon": [],
         }
         if getattr(self, "kstep", None) is not None:
-            # k-step kernel: psi slabs hw-padded along the blocked axes
+            # k-step kernel: psi slabs hw-padded along the blocked axes;
+            # a second (ping-pong) buffer set receives each group's
+            # outputs via pallas input_output_aliases so the time loop
+            # runs fully in-place (XLA otherwise copies every field
+            # array per group to thread the while-loop carry)
             for key, shp in self.kstep.psi_shapes().items():
                 state["psi"][key] = zeros(shp)
             for mi, mp in enumerate(self.plan.monitors):
                 state["mon"].append(self._init_monitor_acc(mi, mp))
+            state["alt"] = {
+                "E": {c: zeros(shape) for c in E_COMPS},
+                "H": {c: zeros(shape) for c in H_COMPS},
+                "psi": {key: zeros(shp)
+                        for key, shp in self.kstep.psi_shapes().items()},
+            }
             return state
         use_fixup = self.fused is not None and self.fused.fixup_ok
         for comp in E_COMPS + H_COMPS:
@@ -1074,15 +1084,21 @@ class FDTDRunner:
     def _step_group(self, gi, state, consts):
         """k steps in one temporal-blocked kernel call (group index gi);
         monitors accumulate on the group-end fields (the DFT tables are
-        strided so sampled steps land exactly there)."""
+        strided so sampled steps land exactly there). Outputs land in the
+        ping-pong buffer set (state["alt"]) via pallas aliasing; the
+        returned state swaps the sets."""
         k = self.kstep.k
         t0 = gi * k
-        view = self._views(state)[0]
-        newE, newH, new_psi = self.kstep.step_group(t0, view, consts)
+        view = {"E": state["E"], "H": state["H"], "psi": state["psi"]}
+        newE, newH, new_psi = self.kstep.step_group(
+            t0, view, consts, alt=state.get("alt"))
         new_mon = self._accumulate_monitors(t0 + k - 1, [newE], [newH],
                                             state, consts)
         out = {"E": newE, "H": newH, "psi": new_psi, "Q": state["Q"],
                "mon": new_mon}
+        if "alt" in state:
+            out["alt"] = {"E": state["E"], "H": state["H"],
+                          "psi": state["psi"]}
         return self._cast_state(out)
 
     def _run_chunk(self, start, chunk_size, st, consts):
@@ -1091,10 +1107,18 @@ class FDTDRunner:
         if self.kstep is not None:
             k = self.kstep.k
 
-            def gbody(g, s):
-                return self._step_group(start // k + g, s, consts)
+            # two groups per loop iteration: each group ping-pongs the
+            # buffer sets, so after two the buffers are back in their
+            # carry slots and the XLA while loop runs fully in-place
+            def gbody2(g, s):
+                s = self._step_group(start // k + 2 * g, s, consts)
+                return self._step_group(start // k + 2 * g + 1, s, consts)
 
-            return lax.fori_loop(0, chunk_size // k, gbody, st)
+            n2 = (chunk_size // k) // 2
+            st = lax.fori_loop(0, n2, gbody2, st)
+            if (chunk_size // k) % 2:
+                st = self._step_group(start // k + 2 * n2, st, consts)
+            return st
 
         def body(n, s):
             return self._step(start + n, s, consts)

@@ -160,6 +160,14 @@ class PallasKStepper:
             1 for fam in ("dual", "primal")
             for w in runner.pml_meta[(fam, 0)] if w) * 2  # 2 comps per fam
         best = None
+        w_lo_x = max(runner.pml_meta[("dual", 0)][0],
+                     runner.pml_meta[("primal", 0)][0])
+        w_hi_x = max(runner.pml_meta[("dual", 0)][1],
+                     runner.pml_meta[("primal", 0)][1])
+        wy_sum = max(runner.pml_meta[("dual", 1)][0],
+                     runner.pml_meta[("primal", 1)][0]) \
+            + max(runner.pml_meta[("dual", 1)][1],
+                  runner.pml_meta[("primal", 1)][1])
         # hwy: Mosaic requires sublane-dim blocks divisible by 8
         hwy = -(-k // 8) * 8
         for bx in (8, 16):
@@ -170,10 +178,20 @@ class PallasKStepper:
                 hwx += 1
             if hwx > bx or nx % hwx:
                 continue
+            if w_lo_x and w_hi_x:
+                # packed x-psi: a program may participate in at most one
+                # side (single side-resolved row offset per DMA)
+                s_clamp_lo = ((w_lo_x + hwx - 1) // bx) * bx
+                s_min_hi = max(
+                    (((nx - w_hi_x - hwx - bx) // bx) + 1) * bx, 0)
+                if s_clamp_lo >= s_min_hi:
+                    continue
             for by in (256, 192, 128, 96, 64, 48, 32, 16):
                 if ny % by or by % hwy or ny % hwy:
                     continue
                 if wy and by < wy + hwy:
+                    continue
+                if by < wy_sum:
                     continue
                 Wx, Wy = bx + 2 * hwx, by + 2 * hwy
                 win = Wx * Wy * nz
@@ -223,50 +241,85 @@ class PallasKStepper:
         kc["inv_h_z"] = np.asarray(runner.consts["inv_primal"][2], f32) \
             * np.ones((1, 1, 1), f32)
 
-        # x-axis psi layout: padded array row = gx + hw (lo side) or
-        # gx - (s_min - hw) (hi side); b/c vectors live in the same row
-        # space with zeros on pad/off-slab rows.
-        self.psix_meta: Dict[Tuple[str, str], dict] = {}
-        for fam in ("dual", "primal"):
-            w_lo, w_hi = runner.pml_meta[(fam, 0)]
-            pml_c = runner.consts["pml"].get(f"{fam}0")
-            if w_lo:
-                # participants: window [s-hwx, s+bx+hwx) overlaps [0, w_lo)
-                s_max = ((w_lo + hwx - 1) // bx) * bx
-                xpad = s_max + Wx
-                b = np.zeros((xpad, 1, 1), f32)
-                c = np.zeros((xpad, 1, 1), f32)
-                b[hwx:hwx + w_lo] = pml_c["b_lo"]
-                c[hwx:hwx + w_lo] = pml_c["c_lo"]
-                kc[f"bx_{fam}_lo"] = b
-                kc[f"cx_{fam}_lo"] = c
-                self.psix_meta[(fam, "lo")] = dict(
-                    xpad=xpad, s_clamp=s_max, s_min=0)
-            if w_hi:
-                # participants: s + bx + hwx > nx - w_hi
-                s_min = max((((nx - w_hi - hwx - bx) // bx) + 1) * bx, 0)
-                xpad = (nx - bx - s_min) + Wx
-                b = np.zeros((xpad, 1, 1), f32)
-                c = np.zeros((xpad, 1, 1), f32)
-                lo_row = (nx - w_hi) - (s_min - hwx)
-                b[lo_row:lo_row + w_hi] = pml_c["b_hi"]
-                c[lo_row:lo_row + w_hi] = pml_c["c_hi"]
-                kc[f"bx_{fam}_hi"] = b
-                kc[f"cx_{fam}_hi"] = c
-                self.psix_meta[(fam, "hi")] = dict(
-                    xpad=xpad, s_clamp=nx - bx, s_min=s_min)
+        # x-axis psi: ONE 4D-packed state array for all four components
+        # and both sides. Row space = [0, xpad_lo) lo region then
+        # [xpad_lo, xpad_lo+xpad_hi) hi region; a program participates in
+        # at most one side (enforced in supported()), so a single
+        # window-aligned DMA with a side-resolved row offset serves every
+        # participant. dim1 packs the components [Ey, Ez, Hy, Hz]; b/c
+        # vectors live in the same (row, comp) space with zeros on
+        # pad/off-slab rows (self-neutralizing recursion). Packing cuts
+        # the per-program psi DMA+semaphore count from 16 to 2.
+        PX_COMPS = [("Ey", "dual", -1.0), ("Ez", "dual", 1.0),
+                    ("Hy", "primal", -1.0), ("Hz", "primal", 1.0)]
+        w_lo_x = max(runner.pml_meta[("dual", 0)][0],
+                     runner.pml_meta[("primal", 0)][0])
+        w_hi_x = max(runner.pml_meta[("dual", 0)][1],
+                     runner.pml_meta[("primal", 0)][1])
+        self.psix_pack = None
+        if w_lo_x or w_hi_x:
+            xpad_lo = xpad_hi = 0
+            s_clamp_lo = -1
+            s_min_hi = nx + 1
+            if w_lo_x:
+                s_clamp_lo = ((w_lo_x + hwx - 1) // bx) * bx
+                xpad_lo = s_clamp_lo + Wx
+            if w_hi_x:
+                s_min_hi = max((((nx - w_hi_x - hwx - bx) // bx) + 1) * bx,
+                               0)
+                xpad_hi = (nx - bx - s_min_hi) + Wx
+            rows = xpad_lo + xpad_hi
+            b = np.zeros((rows, 4, 1, 1), f32)
+            c = np.zeros((rows, 4, 1, 1), f32)
+            for ci, (comp, fam, sgn) in enumerate(PX_COMPS):
+                wl, wh = runner.pml_meta[(fam, 0)]
+                pml_c = runner.consts["pml"].get(f"{fam}0")
+                if wl:
+                    b[hwx:hwx + wl, ci] = pml_c["b_lo"].reshape(-1, 1, 1)
+                    c[hwx:hwx + wl, ci] = pml_c["c_lo"].reshape(-1, 1, 1)
+                if wh:
+                    lo_row = xpad_lo + (nx - wh) - (s_min_hi - hwx)
+                    b[lo_row:lo_row + wh, ci] = \
+                        pml_c["b_hi"].reshape(-1, 1, 1)
+                    c[lo_row:lo_row + wh, ci] = \
+                        pml_c["c_hi"].reshape(-1, 1, 1)
+            kc["bx_pk"] = b
+            kc["cx_pk"] = c
+            self.psix_pack = dict(
+                comps=PX_COMPS, xpad_lo=xpad_lo, xpad_hi=xpad_hi,
+                s_clamp_lo=s_clamp_lo, s_min_hi=s_min_hi,
+                has_lo=bool(w_lo_x), has_hi=bool(w_hi_x))
 
-        # y-axis psi b/c vectors (shape (1, w, 1))
-        for fam in ("dual", "primal"):
-            w_lo, w_hi = runner.pml_meta[(fam, 1)]
-            pml_c = runner.consts["pml"].get(f"{fam}1")
-            for side, width in (("lo", w_lo), ("hi", w_hi)):
-                if not width:
+        # y-axis psi: one 4D-packed state array per side, components
+        # [Ex, Ez, Hx, Hz] on dim1, slab width = max over families with
+        # zero-padded b/c (lo slabs left-aligned, hi slabs right-aligned)
+        PY_COMPS = [("Ex", "dual", 1.0), ("Ez", "dual", -1.0),
+                    ("Hx", "primal", 1.0), ("Hz", "primal", -1.0)]
+        self.psiy_pack: Dict[str, dict] = {}
+        for side in ("lo", "hi"):
+            si = 0 if side == "lo" else 1
+            w_max = max(runner.pml_meta[("dual", 1)][si],
+                        runner.pml_meta[("primal", 1)][si])
+            if not w_max:
+                continue
+            b = np.zeros((1, 4, w_max, 1), f32)
+            c = np.zeros((1, 4, w_max, 1), f32)
+            for ci, (comp, fam, sgn) in enumerate(PY_COMPS):
+                w_f = runner.pml_meta[(fam, 1)][si]
+                if not w_f:
                     continue
-                b = np.asarray(pml_c[f"b_{side}"], f32).reshape(1, width, 1)
-                c = np.asarray(pml_c[f"c_{side}"], f32).reshape(1, width, 1)
-                kc[f"by_{fam}_{side}"] = b
-                kc[f"cy_{fam}_{side}"] = c
+                pml_c = runner.consts["pml"].get(f"{fam}1")
+                bv = np.asarray(pml_c[f"b_{side}"], f32).reshape(-1)
+                cv = np.asarray(pml_c[f"c_{side}"], f32).reshape(-1)
+                if side == "lo":
+                    b[0, ci, :w_f, 0] = bv
+                    c[0, ci, :w_f, 0] = cv
+                else:
+                    b[0, ci, w_max - w_f:, 0] = bv
+                    c[0, ci, w_max - w_f:, 0] = cv
+            kc[f"by_pk_{side}"] = b
+            kc[f"cy_pk_{side}"] = c
+            self.psiy_pack[side] = dict(comps=PY_COMPS, w=w_max)
 
         # z-axis psi: all slabs of a family lane-packed into one
         # (nx, ny, L) array fed through the same modular BlockSpec piece
@@ -403,34 +456,22 @@ class PallasKStepper:
     # ------------------------------------------------------------------ #
 
     def psi_shapes(self) -> Dict[str, Tuple[int, ...]]:
-        """Shapes for every psi state array (hw-padded along blocked axes).
+        """Shapes for every psi state array.
 
-        x slabs: (xpad, ny + 2hw, nz); y slabs: (nx + 2hw, w, nz);
-        z slabs: one lane-packed (nx, ny, L) array per family, blocked
-        exactly like the fields. Pad cells start at zero and are
-        refreshed by edge programs' full-window writes (under periodic
-        boundaries they hold the true wrapped values).
+        x: one packed (rows, 4, ny + 2hwy, nz_p) array (both sides in a
+        unified row space). y: one packed (nx + 2hwx, 4, w, nz_p) array
+        per side. z: one lane-packed (nx, ny, L) array per family,
+        blocked exactly like the fields.
         """
-        runner = self.runner
         nx, ny, nz = self.shape
         hwx, hwy = self.hwx, self.hwy
         shapes = {}
-        for comp in E_COMPS + H_COMPS:
-            fam = "dual" if comp[0] == "E" else "primal"
-            i = "xyz".index(comp[1])
-            for axis in [(i + 1) % 3, (i + 2) % 3]:
-                if axis == 2:
-                    continue
-                w_lo, w_hi = runner.pml_meta[(fam, axis)]
-                for side, width in (("lo", w_lo), ("hi", w_hi)):
-                    if width == 0:
-                        continue
-                    key = f"{comp}|{axis}|{side}"
-                    if axis == 0:
-                        xpad = self.psix_meta[(fam, side)]["xpad"]
-                        shapes[key] = (xpad, ny + 2 * hwy, self.nz_p)
-                    else:
-                        shapes[key] = (nx + 2 * hwx, width, self.nz_p)
+        if self.psix_pack is not None:
+            px = self.psix_pack
+            shapes["psix"] = (px["xpad_lo"] + px["xpad_hi"], 4,
+                              ny + 2 * hwy, self.nz_p)
+        for side, pk in self.psiy_pack.items():
+            shapes[f"psiy_{side}"] = (nx + 2 * hwx, 4, pk["w"], self.nz_p)
         for fam in ("dual", "primal"):
             if self.psiz_L[fam]:
                 shapes[f"psiz_{fam}"] = (nx, ny, self.psiz_L[fam])
@@ -440,8 +481,14 @@ class PallasKStepper:
     # the pallas call
     # ------------------------------------------------------------------ #
 
-    def step_group(self, t0, view: dict, consts: dict):
-        """Advance (E, H, psi) by k steps starting at global step t0."""
+    def step_group(self, t0, view: dict, consts: dict, alt=None):
+        """Advance (E, H, psi) by k steps starting at global step t0.
+
+        `alt` (the ping-pong buffer set) supplies donation targets: each
+        output is aliased onto the corresponding stale buffer so the
+        outer time loop runs in-place (without this XLA copies every
+        field array per group to thread the while-loop carry).
+        """
         import os as _os
         _sk = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         _skip_psi = "psi" in _sk
@@ -539,35 +586,27 @@ class PallasKStepper:
         for name in self.var_coeffs:
             add(name, kc[name], pl.BlockSpec(memory_space=pltpu.ANY))
 
-        psi_meta = []
-        for comp in E_COMPS + H_COMPS:
-            fam = "dual" if comp[0] == "E" else "primal"
-            i_ax = "xyz".index(comp[1])
-            jx, kx = (i_ax + 1) % 3, (i_ax + 2) % 3
-            for axis, sgn in ((jx, +1), (kx, -1)):
-                if axis == 2:
-                    continue  # z slabs go through the packed lane arrays
-                w_lo, w_hi = runner.pml_meta[(fam, axis)]
-                for side, width in (("lo", w_lo), ("hi", w_hi)):
-                    key = f"{comp}|{axis}|{side}"
-                    if width == 0 or key not in view["psi"] or _skip_psi \
-                            or ("psix" in _sk and axis == 0) \
-                            or ("psiy" in _sk and axis == 1):
-                        continue
-                    add(f"psi_{key}", view["psi"][key],
-                        pl.BlockSpec(memory_space=pltpu.ANY))
-                    psi_meta.append((key, fam, comp, axis, side, width, sgn))
+        # packed x/y psi state arrays (one ANY-space input each)
+        pack_keys = []
+        if self.psix_pack is not None and not _skip_psi \
+                and "psix" not in _sk:
+            pack_keys.append("psix")
+        if not _skip_psi and "psiy" not in _sk:
+            for side in self.psiy_pack:
+                pack_keys.append(f"psiy_{side}")
+        for key in pack_keys:
+            add(key, view["psi"][key], pl.BlockSpec(memory_space=pltpu.ANY))
 
         out_shapes = [jax.ShapeDtypeStruct((nx, ny, nz), dtype)
                       for _ in range(6)]
         out_specs = [pl.BlockSpec((bx, by, nz), lambda b_i, b_j: (b_i, b_j, 0),
                                   memory_space=pltpu.VMEM) for _ in range(6)]
         out_names = [f"out_{c}" for c in E_COMPS + H_COMPS]
-        for (key, *_rest) in psi_meta:
+        for key in pack_keys:
             arr = view["psi"][key]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-            out_names.append(f"opsi_{key}")
+            out_names.append(f"o_{key}")
         packed_fams = [] if (_skip_psi or "psiz" in _sk) else [
             fam for fam in ("dual", "primal") if self.psiz_L[fam]]
         for fam in packed_fams:
@@ -578,20 +617,35 @@ class PallasKStepper:
                 memory_space=pltpu.VMEM))
             out_names.append(f"opsiz_{fam}")
 
+        io_aliases = {}
+        if alt is not None:
+            anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+            for oi, c in enumerate(E_COMPS + H_COMPS):
+                src_arr = alt["E"][c] if c in E_COMPS else alt["H"][c]
+                io_aliases[len(arrays)] = oi
+                add(f"alias_{c}", src_arr, anyspec)
+            for i, key in enumerate(pack_keys):
+                io_aliases[len(arrays)] = 6 + i
+                add(f"alias_{key}", alt["psi"][key], anyspec)
+            for i, fam in enumerate(packed_fams):
+                io_aliases[len(arrays)] = 6 + len(pack_keys) + i
+                add(f"alias_psiz_{fam}", alt["psi"][f"psiz_{fam}"],
+                    anyspec)
+
         scratch_shapes = []
         scratch_names = []
-        for (key, fam, comp, axis, side, width, sgn) in psi_meta:
-            if axis == 0:
-                shp = (Wx, Wy, self.nz_p)
+        for key in pack_keys:
+            if key == "psix":
+                shp = (Wx, 4, Wy, self.nz_p)
             else:
-                shp = (Wx, width, self.nz_p)
+                shp = (Wx, 4, self.psiy_pack[key[5:]]["w"], self.nz_p)
             scratch_names.append(f"s_{key}")
             scratch_shapes.append(pltpu.VMEM(shp, dtype))
         for name in self.var_coeffs:
             scratch_names.append(f"s_{name}")
             scratch_shapes.append(pltpu.VMEM((Wx, Wy, self.nz_p),
                                              jnp.float32))
-        n_dma = 2 * len(psi_meta) + len(self.var_coeffs)
+        n_dma = 4 * len(pack_keys) + len(self.var_coeffs)
         scratch_names.append("dma_sems")
         scratch_shapes.append(pltpu.SemaphoreType.DMA((max(n_dma, 1),)))
 
@@ -600,7 +654,7 @@ class PallasKStepper:
 
         def kernel(*refs):
             r = dict(zip(all_names, refs))
-            stepper._kernel_body(r, psi_meta)
+            stepper._kernel_body(r, pack_keys)
 
         results = pl.pallas_call(
             kernel,
@@ -611,23 +665,24 @@ class PallasKStepper:
             scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT_BYTES),
+            input_output_aliases=io_aliases,
             interpret=self.interpret,
         )(*arrays)
 
         newE = {c: results[ci] for ci, c in enumerate(E_COMPS)}
         newH = {c: results[3 + ci] for ci, c in enumerate(H_COMPS)}
         new_psi = dict(view["psi"])
-        for oi, m in enumerate(psi_meta):
-            new_psi[m[0]] = results[6 + oi]
+        for oi, key in enumerate(pack_keys):
+            new_psi[key] = results[6 + oi]
         for fi, fam in enumerate(packed_fams):
-            new_psi[f"psiz_{fam}"] = results[6 + len(psi_meta) + fi]
+            new_psi[f"psiz_{fam}"] = results[6 + len(pack_keys) + fi]
         return newE, newH, new_psi
 
     # ------------------------------------------------------------------ #
     # kernel body
     # ------------------------------------------------------------------ #
 
-    def _kernel_body(self, r, psi_meta):
+    def _kernel_body(self, r, pack_keys):
         import os as _os
         _skip = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         nx, ny, nz = self.shape
@@ -651,51 +706,46 @@ class PallasKStepper:
         sems = r["dma_sems"]
         dma_idx = [0]
 
-        def psix_off(fam, side):
-            meta = self.psix_meta[(fam, side)]
-            return jnp.clip(s - meta["s_min"], 0,
-                            meta["xpad"] - Wx)
-
-        def psi_slices(key, fam, axis, side):
-            """(src slice of the state array, matching scratch ref)."""
-            sref = r[f"s_{key}"]
-            if axis == 0:
-                off = psix_off(fam, side)
-                src = r[f"psi_{key}"].at[pl.ds(off, Wx), pl.ds(sy, Wy), :]
-            elif axis == 1:
-                src = r[f"psi_{key}"].at[pl.ds(s, Wx), :, :]
+        px = self.psix_pack
+        if px is not None:
+            lo_part = (s <= px["s_clamp_lo"]) if px["has_lo"] \
+                else jnp.bool_(False)
+            hi_part = (s >= px["s_min_hi"]) if px["has_hi"] \
+                else jnp.bool_(False)
+            x_part = jnp.logical_or(lo_part, hi_part)
+            off_lo = jnp.clip(s, 0, max(px["xpad_lo"] - Wx, 0))
+            off_hi = px["xpad_lo"] + jnp.clip(
+                s - px["s_min_hi"], 0, max(px["xpad_hi"] - Wx, 0))
+            if px["has_lo"] and px["has_hi"]:
+                x_off = jnp.where(lo_part, off_lo, off_hi)
+            elif px["has_lo"]:
+                x_off = off_lo
             else:
-                src = r[f"psi_{key}"].at[pl.ds(s, Wx), :, pl.ds(sy, Wy)]
-            return src, sref
+                x_off = off_hi
+        y_part = {"lo": (sy == 0), "hi": (sy + by == ny)}
 
-        def psi_out_slice(key, fam, axis, side):
-            if axis == 0:
-                off = psix_off(fam, side)
-                return r[f"opsi_{key}"].at[pl.ds(off, Wx), pl.ds(sy, Wy), :]
-            if axis == 1:
-                return r[f"opsi_{key}"].at[pl.ds(s, Wx), :, :]
-            return r[f"opsi_{key}"].at[pl.ds(s, Wx), :, pl.ds(sy, Wy)]
+        def psi_src_dst(key, ref):
+            if key == "psix":
+                return ref.at[pl.ds(x_off, Wx), :, pl.ds(sy, Wy), :]
+            return ref.at[pl.ds(s, Wx), :, :, :]
 
-        # start psi reads
+        def psi_cond(key):
+            return x_part if key == "psix" else y_part[key[5:]]
+
+        # guarded psi reads — one packed DMA per state array (the psi
+        # machinery cost was dominated by per-slab semaphore/branch ops;
+        # packing cuts 16 guarded DMAs to at most 3 per direction)
         read_waits = []
-        for (key, fam, comp, axis, side, width, sgn) in psi_meta:
-            src, sref = psi_slices(key, fam, axis, side)
-            if axis == 0:
-                meta = self.psix_meta[(fam, side)]
-                cond = (s <= meta["s_clamp"]) if side == "lo" \
-                    else (s >= meta["s_min"])
-            elif axis == 1:
-                cond = (sy == 0) if side == "lo" else (sy + by == ny)
-            else:
-                cond = None
-            dma = pltpu.make_async_copy(src, sref, sems.at[dma_idx[0]])
+        for key in pack_keys:
+            dma = pltpu.make_async_copy(
+                psi_src_dst(key, r[key]), r[f"s_{key}"],
+                sems.at[dma_idx[0]])
             dma_idx[0] += 1
-            if cond is None:
+            cond = psi_cond(key)
+
+            @pl.when(cond)
+            def _(dma=dma):
                 dma.start()
-            else:
-                @pl.when(cond)
-                def _(dma=dma):
-                    dma.start()
             read_waits.append((dma, cond))
         for name in self.var_coeffs:
             dma = pltpu.make_async_copy(
@@ -727,15 +777,36 @@ class PallasKStepper:
                 def _(dma=dma):
                     dma.wait()
 
+        # psi state per (comp, axis[, side]). Sanitize with SELECTS
+        # (never multiplies — 0*garbage-NaN stays NaN): un-DMA'd scratch
+        # and never-written pad regions are arbitrary bits. Valid x-psi
+        # rows have b != 0 (strictly positive on real slab rows); pad
+        # columns on clamped axes are zeroed by the in-domain mask.
         psis = {}
-        for (key, fam, comp, axis, side, width, sgn), (dma, cond) in zip(
-                psi_meta, read_waits):
-            raw = _f32(r[f"s_{key}"][:])[:, :, :nz]
-            if cond is not None:
-                # un-DMA'd scratch is arbitrary bits (NaN/inf would survive
-                # multiplication by the zero b/c pads) — zero it explicitly
-                raw = jnp.where(cond, raw, 0.0)
-            psis[key] = raw
+        y_clamped = boundaries[1][0] in ("pec", "pmc")
+        x_clamped = boundaries[0][0] in ("pec", "pmc")
+        gy_in = jnp.logical_and(gy >= 0, gy < ny)
+        gx_in = jnp.logical_and(gx >= 0, gx < nx)
+        if "psix" in pack_keys:
+            raw4 = _f32(r["s_psix"][:])[:, :, :, :nz]
+            for ci, (comp, fam, sgn) in enumerate(px["comps"]):
+                bvec = r["bx_pk"][pl.ds(x_off, Wx), ci]
+                valid = jnp.logical_and(x_part, bvec != 0.0)
+                if y_clamped:
+                    valid = jnp.logical_and(valid, gy_in)
+                psis[(comp, 0)] = jnp.where(valid, raw4[:, ci], 0.0)
+        for side in ("lo", "hi"):
+            key = f"psiy_{side}"
+            if key not in pack_keys:
+                continue
+            raw4 = _f32(r[f"s_{key}"][:])[:, :, :, :nz]
+            for ci, (comp, fam, sgn) in enumerate(
+                    self.psiy_pack[side]["comps"]):
+                valid = y_part[side]
+                if x_clamped:
+                    valid = jnp.logical_and(valid, gx_in)
+                psis[(comp, 1, side)] = jnp.where(
+                    valid, raw4[:, ci], 0.0)
 
         coeff_vals = {name: r[f"s_{name}"][:][:, :, :nz]
                       for name in self.var_coeffs}
@@ -838,44 +909,44 @@ class PallasKStepper:
                 segs.append(out[tuple(idx)])
             return jnp.concatenate(segs, axis=axis)
 
+        px_index = {}
+        if px is not None:
+            for ci, (comp_, fam_, sgn_) in enumerate(px["comps"]):
+                px_index[comp_] = (ci, sgn_)
+        py_index = {}
+        for side, pk in self.psiy_pack.items():
+            for ci, (comp_, fam_, sgn_) in enumerate(pk["comps"]):
+                py_index[(comp_, side)] = (ci, sgn_, pk["w"])
+
         def apply_psi(comp, fam, cb, out, d_by_axis, yitems):
             if "psi" in _skip:
                 return out
             sign = 1.0 if comp[0] == "E" else -1.0
-            for (key, fm, c2, axis, side, width, sgn) in psi_meta:
-                if c2 != comp or fm != fam:
+            if comp in px_index and "psix" in pack_keys:
+                ci, sgn = px_index[comp]
+                d = d_by_axis[0]
+                pmul = x_part.astype(jnp.float32)
+                bvec = r["bx_pk"][pl.ds(x_off, Wx), ci] * pmul
+                cvec = r["cx_pk"][pl.ds(x_off, Wx), ci] * pmul
+                psi_new = bvec * psis[(comp, 0)] + cvec * d
+                psis[(comp, 0)] = psi_new
+                out = out + ((sign * sgn) * cb) * psi_new
+            for side in ("lo", "hi"):
+                if (comp, side) not in py_index \
+                        or f"psiy_{side}" not in pack_keys:
                     continue
-                d = d_by_axis[axis]
+                ci, sgn, width = py_index[(comp, side)]
+                r0 = hwy if side == "lo" else hwy + by - width
+                pmul = y_part[side].astype(jnp.float32)
+                d_slab = d_by_axis[1][:, r0:r0 + width, :]
+                bv = r[f"by_pk_{side}"][:, ci] * pmul
+                cv = r[f"cy_pk_{side}"][:, ci] * pmul
+                psi_new = bv * psis[(comp, 1, side)] + cv * d_slab
+                psis[(comp, 1, side)] = psi_new
                 cb_eff = (sign * sgn) * cb
-                if axis == 0:
-                    meta = self.psix_meta[(fm, side)]
-                    # non-participants clamp onto rows that may carry
-                    # nonzero b/c — the participation predicate kills them
-                    pm_cond = (s <= meta["s_clamp"]) if side == "lo" \
-                        else (s >= meta["s_min"])
-                    pmul = pm_cond.astype(jnp.float32)
-                    off = psix_off(fm, side)
-                    bvec = r[f"bx_{fm}_{side}"][pl.ds(off, Wx)] * pmul
-                    cvec = r[f"cx_{fm}_{side}"][pl.ds(off, Wx)] * pmul
-                    psi_new = bvec * psis[key] + cvec * d
-                    psis[key] = psi_new
-                    out = out + cb_eff * psi_new
-                else:
-                    if side == "lo":
-                        r0 = hwy
-                        own = (sy == 0)
-                    else:
-                        r0 = hwy + by - width
-                        own = (sy + by == ny)
-                    pmul = own.astype(jnp.float32)
-                    d_slab = d[:, r0:r0 + width, :]
-                    bv = r[f"by_{fm}_{side}"][:] * pmul
-                    cv = r[f"cy_{fm}_{side}"][:] * pmul
-                    psi_new = bv * psis[key] + cv * d_slab
-                    psis[key] = psi_new
-                    cb_sl = cb_eff[:, r0:r0 + width, :] \
-                        if jnp.ndim(cb_eff) else cb_eff
-                    yitems.append((r0, width, cb_sl * psi_new))
+                cb_sl = cb_eff[:, r0:r0 + width, :] \
+                    if jnp.ndim(cb_eff) else cb_eff
+                yitems.append((r0, width, cb_sl * psi_new))
             return out
 
         def apply_psiz(fam, outs, dz_map):
@@ -1013,39 +1084,105 @@ class PallasKStepper:
             oref[:] = psizw[fam][hwx:hwx + bx,
                                  hwy:hwy + by, :].astype(oref.dtype)
 
+        # psi write-back: CORE-ONLY (cores tile the domain, so every
+        # real row is written exactly once with full-dependency-cone
+        # values — no overlap race, unlike full-window writes whose
+        # outermost halo rows are wrong after k substeps). Never-written
+        # pad regions are neutralized by the read-side sanitize; wrap
+        # pads on periodic axes are refreshed by edge programs copying
+        # their edge core slabs to the opposite pads.
         write_waits = []
-        for (key, fam, comp, axis, side, width, sgn) in psi_meta:
+        for key in pack_keys:
             sref = r[f"s_{key}"]
-            val = psis[key]
-            if self.nz_p != nz:
-                val = jnp.concatenate(
-                    [val, jnp.zeros(val.shape[:2] + (self.nz_p - nz,),
-                                    val.dtype)], axis=2)
-            sref[:] = val.astype(sref.dtype)
-            dst = psi_out_slice(key, fam, axis, side)
-            dma = pltpu.make_async_copy(sref, dst, sems.at[dma_idx[0]])
-            dma_idx[0] += 1
-            if axis == 0:
-                meta = self.psix_meta[(fam, side)]
-                cond = (s <= meta["s_clamp"]) if side == "lo" \
-                    else (s >= meta["s_min"])
-                if side == "lo":
-                    cond = s <= meta["xpad"] - Wx
-            elif axis == 1:
-                cond = (sy == 0) if side == "lo" else (sy + by == ny)
+            if key == "psix":
+                metas = px["comps"]
+                getv = lambda comp: psis[(comp, 0)]
             else:
-                cond = None
-            if cond is None:
-                dma.start()
-            else:
+                side_ = key[5:]
+                metas = self.psiy_pack[side_]["comps"]
+                getv = lambda comp, side_=side_: psis[(comp, 1, side_)]
+            vals = []
+            for ci, (comp, fam, sgn) in enumerate(metas):
+                v = getv(comp)
+                if self.nz_p != nz:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros(v.shape[:2] + (self.nz_p - nz,),
+                                      v.dtype)], axis=2)
+                vals.append(v[:, None])
+            sref[:] = jnp.concatenate(vals, axis=1).astype(sref.dtype)
+            cond = psi_cond(key)
+            oref = r[f"o_{key}"]
+            if key == "psix":
+                dma = pltpu.make_async_copy(
+                    sref.at[hwx:hwx + bx, :, hwy:hwy + by, :],
+                    oref.at[pl.ds(x_off + hwx, bx), :,
+                            pl.ds(sy + hwy, by), :],
+                    sems.at[dma_idx[0]])
+                dma_idx[0] += 1
+
                 @pl.when(cond)
                 def _(dma=dma):
                     dma.start()
-            write_waits.append((dma, cond))
-        for dma, cond in write_waits:
-            if cond is None:
-                dma.wait()
+                write_waits.append((dma, cond))
+                if not y_clamped and hwy:
+                    c_lo = jnp.logical_and(cond, sy == 0)
+                    d1 = pltpu.make_async_copy(
+                        sref.at[hwx:hwx + bx, :, hwy:2 * hwy, :],
+                        oref.at[pl.ds(x_off + hwx, bx), :,
+                                ny + hwy:ny + 2 * hwy, :],
+                        sems.at[dma_idx[0]])
+                    dma_idx[0] += 1
+
+                    @pl.when(c_lo)
+                    def _(dma=d1):
+                        dma.start()
+                    write_waits.append((d1, c_lo))
+                    c_hi = jnp.logical_and(cond, sy + by == ny)
+                    d2 = pltpu.make_async_copy(
+                        sref.at[hwx:hwx + bx, :, by:by + hwy, :],
+                        oref.at[pl.ds(x_off + hwx, bx), :, 0:hwy, :],
+                        sems.at[dma_idx[0]])
+                    dma_idx[0] += 1
+
+                    @pl.when(c_hi)
+                    def _(dma=d2):
+                        dma.start()
+                    write_waits.append((d2, c_hi))
             else:
+                dma = pltpu.make_async_copy(
+                    sref.at[hwx:hwx + bx, :, :, :],
+                    oref.at[pl.ds(s + hwx, bx), :, :, :],
+                    sems.at[dma_idx[0]])
+                dma_idx[0] += 1
+
                 @pl.when(cond)
                 def _(dma=dma):
-                    dma.wait()
+                    dma.start()
+                write_waits.append((dma, cond))
+                if not x_clamped and hwx:
+                    c_lo = jnp.logical_and(cond, s == 0)
+                    d1 = pltpu.make_async_copy(
+                        sref.at[hwx:2 * hwx, :, :, :],
+                        oref.at[nx + hwx:nx + 2 * hwx, :, :, :],
+                        sems.at[dma_idx[0]])
+                    dma_idx[0] += 1
+
+                    @pl.when(c_lo)
+                    def _(dma=d1):
+                        dma.start()
+                    write_waits.append((d1, c_lo))
+                    c_hi = jnp.logical_and(cond, s + bx == nx)
+                    d2 = pltpu.make_async_copy(
+                        sref.at[bx:bx + hwx, :, :, :],
+                        oref.at[0:hwx, :, :, :],
+                        sems.at[dma_idx[0]])
+                    dma_idx[0] += 1
+
+                    @pl.when(c_hi)
+                    def _(dma=d2):
+                        dma.start()
+                    write_waits.append((d2, c_hi))
+        for dma, cond in write_waits:
+            @pl.when(cond)
+            def _(dma=dma):
+                dma.wait()
