@@ -159,6 +159,9 @@ class PallasKStepper:
         n_psi_x = sum(
             1 for fam in ("dual", "primal")
             for w in runner.pml_meta[(fam, 0)] if w) * 2  # 2 comps per fam
+        # preference measured on v5e (bench 360^3+PML): bx=16 beats 8,
+        # by=64 ~ 48 > 96 > 128 > 32 (smaller windows pipeline better
+        # under VMEM pressure; tiny by pays program overhead)
         best = None
         w_lo_x = max(runner.pml_meta[("dual", 0)][0],
                      runner.pml_meta[("primal", 0)][0])
@@ -170,7 +173,7 @@ class PallasKStepper:
                   runner.pml_meta[("primal", 1)][1])
         # hwy: Mosaic requires sublane-dim blocks divisible by 8
         hwy = -(-k // 8) * 8
-        for bx in (8, 16):
+        for bx in (16, 8):
             if nx % bx:
                 continue
             hwx = k
@@ -186,7 +189,7 @@ class PallasKStepper:
                     (((nx - w_hi_x - hwx - bx) // bx) + 1) * bx, 0)
                 if s_clamp_lo >= s_min_hi:
                     continue
-            for by in (256, 192, 128, 96, 64, 48, 32, 16):
+            for by in (64, 48, 96, 128, 192, 256, 32, 16):
                 if ny % by or by % hwy or ny % hwy:
                     continue
                 if wy and by < wy + hwy:
@@ -201,8 +204,10 @@ class PallasKStepper:
                 vmem += n_psi_x * win * esize         # psi_x scratch
                 vmem += n_var * win * 4               # coeff scratch
                 if vmem <= VMEM_BUDGET:
-                    if best is None or by * bx > best[0] * best[1]:
-                        best = (bx, by, hwx, hwy)
+                    best = (bx, by, hwx, hwy)
+                    break
+            if best is not None:
+                break
         return best
 
     # ------------------------------------------------------------------ #
@@ -1101,6 +1106,7 @@ class PallasKStepper:
                 side_ = key[5:]
                 metas = self.psiy_pack[side_]["comps"]
                 getv = lambda comp, side_=side_: psis[(comp, 1, side_)]
+            cond = psi_cond(key)
             vals = []
             for ci, (comp, fam, sgn) in enumerate(metas):
                 v = getv(comp)
@@ -1109,8 +1115,11 @@ class PallasKStepper:
                         [v, jnp.zeros(v.shape[:2] + (self.nz_p - nz,),
                                       v.dtype)], axis=2)
                 vals.append(v[:, None])
-            sref[:] = jnp.concatenate(vals, axis=1).astype(sref.dtype)
-            cond = psi_cond(key)
+            packed = jnp.concatenate(vals, axis=1).astype(sref.dtype)
+
+            @pl.when(cond)
+            def _(sref=sref, packed=packed):
+                sref[:] = packed
             oref = r[f"o_{key}"]
             if key == "psix":
                 dma = pltpu.make_async_copy(
