@@ -477,14 +477,15 @@ class FDTDRunner:
             # outputs via pallas input_output_aliases so the time loop
             # runs fully in-place (XLA otherwise copies every field
             # array per group to thread the while-loop carry)
+            pdt = self.kstep.psi_dtype
             for key, shp in self.kstep.psi_shapes().items():
-                state["psi"][key] = zeros(shp)
+                state["psi"][key] = jnp.zeros(shp, pdt)
             for mi, mp in enumerate(self.plan.monitors):
                 state["mon"].append(self._init_monitor_acc(mi, mp))
             state["alt"] = {
                 "E": {c: zeros(shape) for c in E_COMPS},
                 "H": {c: zeros(shape) for c in H_COMPS},
-                "psi": {key: zeros(shp)
+                "psi": {key: jnp.zeros(shp, pdt)
                         for key, shp in self.kstep.psi_shapes().items()},
             }
             return state

@@ -92,6 +92,10 @@ class PallasKStepper:
         self.bx, self.by, self.hwx, self.hwy = cfg
         self.Wx = self.bx + 2 * self.hwx
         self.Wy = self.by + 2 * self.hwy
+        import os as _os
+        self.psi_dtype = jnp.bfloat16 \
+            if _os.environ.get("TIDY3D_TPU_PSI_DTYPE") == "bfloat16" \
+            else self.dtype
         self._build_kconsts()
 
     # ------------------------------------------------------------------ #
@@ -645,7 +649,7 @@ class PallasKStepper:
             else:
                 shp = (Wx, 4, self.psiy_pack[key[5:]]["w"], self.nz_p)
             scratch_names.append(f"s_{key}")
-            scratch_shapes.append(pltpu.VMEM(shp, dtype))
+            scratch_shapes.append(pltpu.VMEM(shp, self.psi_dtype))
         for name in self.var_coeffs:
             scratch_names.append(f"s_{name}")
             scratch_shapes.append(pltpu.VMEM((Wx, Wy, self.nz_p),
