@@ -1,55 +1,69 @@
 """Temporal-blocked Pallas TPU kernel: k leapfrog steps per HBM round trip.
 
-The FDTD update is bandwidth-bound (measured on this device class: the
-1-step fused kernel runs at 86% of a pure field copy). The remaining lever
-is moving FEWER bytes per step: this kernel holds a (bx+2hw, by+2hw, nz)
-working set in VMEM and advances it k full leapfrog steps before writing
-the (bx, by, nz) core back — classic temporal wavefront blocking, mapped
-to the TPU memory hierarchy. Halo width hw >= k covers the leapfrog
-dependency cone (it grows one cell per axis per step for each family);
-halo cells recompute their intermediate values redundantly and are
-discarded. Measured scaling on this device: bf16 k=2 doubles the 1-step
-throughput; k=4 with 2D (x, y) blocking targets ~3x.
+The FDTD update is bandwidth-bound at one step per round trip (the 1-step
+fused kernel runs at 86% of a pure field copy). This kernel holds a
+(bx+2hwx, by+2hwy, nz) working set in VMEM and advances it k full
+leapfrog steps before writing the (bx, by, nz) core back — temporal
+wavefront blocking mapped to the TPU memory hierarchy. Halo widths cover
+the leapfrog dependency cone (hwx >= k; hwy is rounded up to 8 for
+Mosaic's sublane tiling); halo cells recompute their intermediate values
+redundantly and are discarded. Fields are fed through 9 modular BlockSpec
+pieces (l/m/h per blocked axis) whose index maps give periodic wrap for
+free; outputs are core blocks. Measured on v5e at 384^3 + CPML:
+5.05 (1-step fused) -> 12.9-13.9 Gcell*steps/s (k=2, f32).
 
-Everything a step needs happens IN the kernel so intermediates never touch
-HBM:
+Design notes (each item measured on hardware, see commit history):
 
-* **Curl updates** on the extended window, with PEC/PMC/periodic boundary
-  columns fixed at the global domain edges each substep (periodic halos
-  come in through modular BlockSpec index maps).
-* **CPML psi recursions** on all three axes. psi slabs are stored hw-padded
-  along the blocked axes (x and y) so one window-aligned async DMA per
-  array serves any program:
-  - x slabs additionally carry the b/c profile vectors zero-padded to the
-    same row space; off-slab and pad rows have b = c = 0, which makes the
-    recursion and its field correction self-neutralizing — no masks or
-    control flow (the same trick as the 1-step kernels' packed region).
-  - y slabs use static in-window placement; the config enforces
-    by >= w_y + hw so only the edge j-row overlaps the slab.
-  - z slabs (lane axis) are fully local; stored transposed (x, w, y) so
-    the slab dim sits on sublanes.
-  psi state reads come from the t0 input buffers and final values are
-  DMA'd to FRESH output buffers (never aliased), so neighbor programs'
-  halo re-reads always see t0 values. Each participating program writes
-  its full window; overlapping writes are benign because overlapping
-  cells are computed from identical inputs.
-* **Source injection** between half-steps: profiles are zero-padded on the
-  host to window-aligned layouts (thin-x sources: (xe, ny+2hw, nz); wide-x
-  sources: (nx+2hw, ye, nz)) and added under global-coordinate masks with
-  per-step amplitudes from the waveform table.
+* **Ping-pong buffer aliasing.** Every output (fields, psi) is aliased
+  onto a stale second buffer set via input_output_aliases, and the time
+  loop advances two groups per lax.fori_loop iteration so buffers return
+  to their carry slots — without this XLA inserts a full copy of every
+  field array per group to thread the while-loop carry (~40% of
+  runtime).
+* **VMEM-pressure-aware blocking.** Smaller windows (16, 64) beat
+  larger ones: Mosaic's pipelining degrades as the in/out/scratch
+  buffers approach the VMEM limit.
+* **CPML psi state, 4D-packed.** One state array per direction family
+  packs all component slabs: x -> (rows, 4, ny+2hwy, nz) with a unified
+  lo|hi row space (a program participates in at most one side, enforced
+  at config time); y -> (nx+2hwx, 4, w, nz) per side; z -> a lane-packed
+  (nx, ny, L) array per E/H family fed through the same BlockSpec pieces
+  as the fields (Mosaic cannot DMA-slice a lane dim at unaligned
+  offsets). Packing cuts the guarded psi DMAs per program from 16 to
+  2-3; the b/c profile vectors live in the same packed row space with
+  zeros on pad/off-slab rows so the recursion is self-neutralizing
+  there. The z recursion for a whole family is two fused VPU ops.
+* **Core-only psi writes.** Block cores tile the domain, so writing
+  only core rows makes every real psi cell single-writer with
+  full-cone values (full-window writes raced on halo rows whose values
+  are wrong after k substeps — a 1e-5-level error). Never-written pad
+  regions are neutralized at read time by SELECTS against participation
+  and the b != 0 row mask (never multiplies — 0*NaN is NaN); wrap pads
+  on periodic axes are refreshed by edge programs.
+* **Guarded DMAs beat branch-free.** Redirecting non-participant DMAs
+  into dump rows (branch-free) costs more in wasted traffic than the
+  scf.if guards cost in scheduling (measured 7.4 vs 12.9).
+* **Hoisted source injection.** Profile reads, masks and the b
+  coefficient are time-independent: precomputed once per program, one
+  fused mul-sub per (component, waveform) per substep. Thin-z profiles
+  are pre-tiled host-side into per-program (Wx, ze, Wy) windows
+  (dynamic lane windows are not loadable).
+* **Boundary fixes as mask-vector multiplies** precomputed per program
+  instead of per-call iota compare + select.
 
 Monitors accumulate OUTSIDE the kernel at group boundaries; the runner
 builds Nyquist-strided DFT tables whose sampled steps land on group ends
-(reference behavior: tidy3d samples its running DFT at the Nyquist-limited
+(reference behavior: tidy3d samples its running DFT at the Nyquist
 stride, tidy3d/components/simulation.py:4414).
 
 Unsupported (the runner falls back to the 1-step kernels / XLA path):
 dispersive ADE poles, nonlinear media, time modulation, Bloch (complex)
-boundaries, sharded runs, volume sources thick in both x and y, and
+boundaries, sharded runs, volume sources thick in both x and y,
+grids not 8-aligned in z, > 64 packed z-psi lanes per family, and
 time-monitors whose sampling steps cannot align to group ends.
 
-Reference parity: SURVEY.md §2.3 items 1-2, 5-6 (the engine the reference
-keeps server-side behind web.run, web/api/webapi.py:49).
+Reference parity: SURVEY.md §2.3 items 1-2, 5-6 (the engine the
+reference keeps server-side behind web.run, web/api/webapi.py:49).
 """
 
 from __future__ import annotations
