@@ -1,0 +1,150 @@
+"""Regression tests for the temporal-blocked k-step Pallas kernel.
+
+Runs the kernel in interpret mode on the CPU backend and compares raw
+field state and monitor outputs against the XLA reference path on the
+same plan — the same equivalence contract as scripts/kstep_check.py but
+small enough for CI. Guards the packed-psi layouts, the core-only psi
+writes, the ping-pong buffer aliasing, and the Nyquist-strided monitor
+DFT (reference stride behavior: tidy3d/components/simulation.py:4414).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import tidy3d_tpu as td
+from tidy3d_tpu.constants import C_0
+
+FREQ0 = C_0 / 1.55
+TOL = 2e-5
+
+
+def _build(case, monitors=()):
+    dl = 0.05
+    n = 32
+    structures = []
+    bspec = td.BoundarySpec.all_sides(td.PML(num_layers=8))
+    src = td.PointDipole(
+        center=(0, 0, 0),
+        source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
+        polarization="Ez")
+    if case == "dielectric":
+        structures = [td.Structure(
+            geometry=td.Box(center=(0.2, 0, 0), size=(0.6, 0.5, 0.4)),
+            medium=td.Medium(permittivity=4.0))]
+    if case == "periodic":
+        bspec = td.BoundarySpec(
+            x=td.Boundary.periodic(),
+            y=td.Boundary.periodic(),
+            z=td.Boundary.pml(num_layers=8),
+        )
+        src = td.PlaneWave(
+            center=(0, 0, -0.3), size=(td.inf, td.inf, 0),
+            source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
+            direction="+")
+    return td.Simulation(
+        center=(0, 0, 0), size=(n * dl,) * 3,
+        run_time=8e-14 if monitors else 2.2e-14,
+        sources=[src], monitors=list(monitors), structures=structures,
+        boundary_spec=bspec,
+        grid_spec=td.GridSpec.uniform(dl=dl), shutoff=0.0)
+
+
+def _run_fields(sim, kernel, nsteps=40, k="2"):
+    """Raw E/H state after nsteps on the requested kernel path."""
+    import jax
+
+    os.environ["TIDY3D_TPU_KERNEL"] = kernel
+    os.environ["TIDY3D_TPU_KSTEP"] = k if kernel.startswith("kstep") else "0"
+    try:
+        from tidy3d_tpu.solver.fdtd import FDTDRunner
+        from tidy3d_tpu.solver.lowering import lower
+
+        plan = lower(sim)
+        runner = FDTDRunner(plan)
+        if kernel.startswith("kstep"):
+            assert runner.kstep is not None, "kstep kernel not selected"
+        runner._pad_time_tables(nsteps)
+        consts = jax.device_put(runner.consts)
+        state = jax.jit(runner.init_state)()
+        state = jax.jit(
+            lambda st: runner._run_chunk(0, nsteps, st, consts))(state)
+        out = {c: np.asarray(state["E"][c]) for c in ("Ex", "Ey", "Ez")}
+        out.update(
+            {c: np.asarray(state["H"][c]) for c in ("Hx", "Hy", "Hz")})
+        return out
+    finally:
+        os.environ.pop("TIDY3D_TPU_KERNEL", None)
+        os.environ.pop("TIDY3D_TPU_KSTEP", None)
+
+
+@pytest.fixture(autouse=True)
+def _tile_quanta(monkeypatch):
+    monkeypatch.setenv("TIDY3D_TPU_TILE_QUANTA", "8,8,8")
+
+
+@pytest.mark.parametrize("case", ["vacuum", "dielectric", "periodic"])
+def test_kstep_matches_xla(case):
+    sim = _build(case)
+    ref = _run_fields(sim, "xla")
+    got = _run_fields(sim, "kstep_interpret")
+    scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
+    for c in ref:
+        assert np.all(np.isfinite(got[c])), f"{c} has non-finite values"
+        err = np.max(np.abs(ref[c] - got[c])) / scale
+        assert err < TOL, f"{c}: rel err {err:.2e}"
+
+
+def test_kstep_k4_matches_xla():
+    sim = _build("vacuum")
+    ref = _run_fields(sim, "xla")
+    got = _run_fields(sim, "kstep_interpret", k="4")
+    scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
+    for c in ref:
+        err = np.max(np.abs(ref[c] - got[c])) / scale
+        assert err < TOL, f"{c}: rel err {err:.2e}"
+
+
+def test_kstep_monitor_dft_matches_xla():
+    """Field + flux monitors through the full runner on both paths.
+
+    Exercises the Nyquist-strided running DFT that the k-step kernel
+    relies on (samples only at group-end steps with stride weighting).
+    """
+    monitors = [
+        td.FieldMonitor(center=(0, 0, 0.35), size=(0.8, 0.8, 0),
+                        freqs=[FREQ0], name="fld"),
+        td.FluxMonitor(center=(0, 0, 0), size=(1.0, 1.0, 1.0),
+                       freqs=[FREQ0], name="flux"),
+    ]
+    sim = _build("vacuum", monitors=monitors)
+
+    def run_full(kernel):
+        os.environ["TIDY3D_TPU_KERNEL"] = kernel
+        os.environ["TIDY3D_TPU_KSTEP"] = \
+            "2" if kernel.startswith("kstep") else "0"
+        try:
+            from tidy3d_tpu.solver.fdtd import FDTDRunner
+            from tidy3d_tpu.solver.lowering import lower
+
+            runner = FDTDRunner(lower(sim))
+            if kernel.startswith("kstep"):
+                assert runner.kstep is not None
+            return runner.run()
+        finally:
+            os.environ.pop("TIDY3D_TPU_KERNEL", None)
+            os.environ.pop("TIDY3D_TPU_KSTEP", None)
+
+    ref = run_full("xla")
+    got = run_full("kstep_interpret")
+    for mi in range(2):
+        scale = max(np.max(np.abs(np.asarray(ref[mi][key])))
+                    for key in ref[mi]) + 1e-30
+        for key in ref[mi]:
+            a = np.asarray(ref[mi][key])
+            b = np.asarray(got[mi][key])
+            # the strided DFT is a different quadrature of the same
+            # spectrum; agreement is limited by the stride approximation
+            assert np.max(np.abs(a - b)) / scale < 2e-2, \
+                f"monitor {mi} field {key}"

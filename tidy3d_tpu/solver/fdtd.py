@@ -387,6 +387,23 @@ class FDTDRunner:
 
         self.consts = consts
 
+    def _nyquist_fmax(self, mp_freqs) -> float:
+        """Highest frequency with meaningful energy at a DFT monitor.
+
+        The stride must resolve the SOURCE spectrum, not just the
+        monitor's requested frequencies — energy above half the sampling
+        rate aliases back onto the monitor band (the reference derives
+        its Nyquist step from the source frequency range,
+        tidy3d/components/simulation.py:4414).
+        """
+        fmax = float(np.max(np.abs(np.asarray(mp_freqs, np.float64))))
+        for src_ in self.plan.simulation.sources:
+            st = getattr(src_, "source_time", None)
+            f0 = float(getattr(st, "freq0", 0.0) or 0.0)
+            fw = float(getattr(st, "fwidth", 0.0) or 0.0)
+            fmax = max(fmax, f0 + 2.5 * fw)
+        return fmax
+
     def _monitors_allow_k(self, k: int) -> bool:
         """Can monitor sampling align to k-step group boundaries?
 
@@ -397,8 +414,7 @@ class FDTDRunner:
         """
         for mp in self.plan.monitors:
             if mp.kind == "field" and mp.freqs is not None and len(mp.freqs):
-                freqs = np.asarray(mp.freqs, dtype=np.float64)
-                fmax = float(np.max(np.abs(freqs)))
+                fmax = self._nyquist_fmax(mp.freqs)
                 if fmax > 0:
                     nyq = max(int(1.0 / (2 * fmax) / self.plan.dt), 1)
                     if k > nyq:
@@ -431,7 +447,7 @@ class FDTDRunner:
                     else np.ones_like(tmesh)
                 stride = 1
                 if k > 1:
-                    fmax = float(np.max(np.abs(freqs)))
+                    fmax = self._nyquist_fmax(freqs)
                     nyq = max(int(1.0 / (2 * fmax) / plan.dt), 1) \
                         if fmax > 0 else k
                     stride = k * max(1, nyq // k)
