@@ -800,36 +800,49 @@ class PallasKStepper:
                 def _(dma=dma):
                     dma.wait()
 
-        # psi state per (comp, axis[, side]). Sanitize with SELECTS
-        # (never multiplies — 0*garbage-NaN stays NaN): un-DMA'd scratch
-        # and never-written pad regions are arbitrary bits. Valid x-psi
-        # rows have b != 0 (strictly positive on real slab rows); pad
-        # columns on clamped axes are zeroed by the in-domain mask.
-        psis = {}
+        # psi state LIVES IN SCRATCH between substeps (holding 10+ MB
+        # of psi windows as live values through the whole kernel tips
+        # Mosaic over its VMEM budget). Sanitize the scratch once, in
+        # place, with SELECTS (never multiplies — 0*garbage-NaN stays
+        # NaN): un-DMA'd scratch and never-written pad regions are
+        # arbitrary bits. Valid x-psi rows have b != 0 (strictly
+        # positive on real slab rows); pad columns on clamped axes are
+        # zeroed by the in-domain mask.
         y_clamped = boundaries[1][0] in ("pec", "pmc")
         x_clamped = boundaries[0][0] in ("pec", "pmc")
         gy_in = jnp.logical_and(gy >= 0, gy < ny)
         gx_in = jnp.logical_and(gx >= 0, gx < nx)
         if "psix" in pack_keys:
-            raw4 = _f32(r["s_psix"][:])[:, :, :, :nz]
-            for ci, (comp, fam, sgn) in enumerate(px["comps"]):
-                bvec = r["bx_pk"][pl.ds(x_off, Wx), ci]
-                valid = jnp.logical_and(x_part, bvec != 0.0)
-                if y_clamped:
-                    valid = jnp.logical_and(valid, gy_in)
-                psis[(comp, 0)] = jnp.where(valid, raw4[:, ci], 0.0)
+            sref = r["s_psix"]
+            bvec4 = r["bx_pk"][pl.ds(x_off, Wx)]           # (Wx, 4, 1, 1)
+            valid = jnp.logical_and(x_part, bvec4 != 0.0)
+            if y_clamped:
+                valid = jnp.logical_and(
+                    valid, jnp.reshape(gy_in, (1, 1, Wy, 1)))
+            sref[:] = jnp.where(valid, sref[:],
+                                jnp.zeros((), sref.dtype))
         for side in ("lo", "hi"):
             key = f"psiy_{side}"
             if key not in pack_keys:
                 continue
-            raw4 = _f32(r[f"s_{key}"][:])[:, :, :, :nz]
-            for ci, (comp, fam, sgn) in enumerate(
-                    self.psiy_pack[side]["comps"]):
-                valid = y_part[side]
-                if x_clamped:
-                    valid = jnp.logical_and(valid, gx_in)
-                psis[(comp, 1, side)] = jnp.where(
-                    valid, raw4[:, ci], 0.0)
+            sref = r[f"s_{key}"]
+            valid = y_part[side]
+            if x_clamped:
+                valid = jnp.logical_and(
+                    valid, jnp.reshape(gx_in, (Wx, 1, 1, 1)))
+            sref[:] = jnp.where(valid, sref[:],
+                                jnp.zeros((), sref.dtype))
+
+        def psi_get(key, ci):
+            return _f32(r[f"s_{key}"][:, ci])[:, :, :nz]
+
+        def psi_put(key, ci, val):
+            sref = r[f"s_{key}"]
+            if self.nz_p != nz:
+                val = jnp.concatenate(
+                    [val, jnp.zeros(val.shape[:2] + (self.nz_p - nz,),
+                                    val.dtype)], axis=2)
+            sref[:, ci] = val.astype(sref.dtype)
 
         coeff_vals = {name: r[f"s_{name}"][:][:, :, :nz]
                       for name in self.var_coeffs}
@@ -951,8 +964,8 @@ class PallasKStepper:
                 pmul = x_part.astype(jnp.float32)
                 bvec = r["bx_pk"][pl.ds(x_off, Wx), ci] * pmul
                 cvec = r["cx_pk"][pl.ds(x_off, Wx), ci] * pmul
-                psi_new = bvec * psis[(comp, 0)] + cvec * d
-                psis[(comp, 0)] = psi_new
+                psi_new = bvec * psi_get("psix", ci) + cvec * d
+                psi_put("psix", ci, psi_new)
                 out = out + ((sign * sgn) * cb) * psi_new
             for side in ("lo", "hi"):
                 if (comp, side) not in py_index \
@@ -964,8 +977,8 @@ class PallasKStepper:
                 d_slab = d_by_axis[1][:, r0:r0 + width, :]
                 bv = r[f"by_pk_{side}"][:, ci] * pmul
                 cv = r[f"cy_pk_{side}"][:, ci] * pmul
-                psi_new = bv * psis[(comp, 1, side)] + cv * d_slab
-                psis[(comp, 1, side)] = psi_new
+                psi_new = bv * psi_get(f"psiy_{side}", ci) + cv * d_slab
+                psi_put(f"psiy_{side}", ci, psi_new)
                 cb_eff = (sign * sgn) * cb
                 cb_sl = cb_eff[:, r0:r0 + width, :] \
                     if jnp.ndim(cb_eff) else cb_eff
@@ -1114,30 +1127,12 @@ class PallasKStepper:
         # pad regions are neutralized by the read-side sanitize; wrap
         # pads on periodic axes are refreshed by edge programs copying
         # their edge core slabs to the opposite pads.
+        # scratch already holds the final psi state (updated in place
+        # every substep) — write-back is pure DMA
         write_waits = []
         for key in pack_keys:
             sref = r[f"s_{key}"]
-            if key == "psix":
-                metas = px["comps"]
-                getv = lambda comp: psis[(comp, 0)]
-            else:
-                side_ = key[5:]
-                metas = self.psiy_pack[side_]["comps"]
-                getv = lambda comp, side_=side_: psis[(comp, 1, side_)]
             cond = psi_cond(key)
-            vals = []
-            for ci, (comp, fam, sgn) in enumerate(metas):
-                v = getv(comp)
-                if self.nz_p != nz:
-                    v = jnp.concatenate(
-                        [v, jnp.zeros(v.shape[:2] + (self.nz_p - nz,),
-                                      v.dtype)], axis=2)
-                vals.append(v[:, None])
-            packed = jnp.concatenate(vals, axis=1).astype(sref.dtype)
-
-            @pl.when(cond)
-            def _(sref=sref, packed=packed):
-                sref[:] = packed
             oref = r[f"o_{key}"]
             if key == "psix":
                 dma = pltpu.make_async_copy(
