@@ -147,58 +147,90 @@ class FieldData(AbstractFieldData, FieldDataset):
                 (1,) * (arr.values.ndim - 1) + (-1,)), coords=arr.coords)
         return self.copy(update=update)
 
-    def make_adjoint_sources(self, dataset_names, fwidth: float):
-        """Adjoint sources from field VJPs: point dipoles for point monitors,
-        a CustomCurrentSource with J = -2i E_vjp (M flipped) otherwise
-        (reference: monitor_data.py make_adjoint_sources:1020)."""
+    def make_adjoint_sources(self, dataset_names, fwidth: float, grid=None):
+        """Adjoint current sources from field VJPs stored in this data.
+
+        Protocol (reference behavior: monitor_data.py
+        make_adjoint_sources:1020): the stored values are objective VJPs
+        g = dJ/dRe(E) + i dJ/dIm(E) per complex sample. The adjoint
+        problem A lam = v with v = conj(g)/2 (so that dJ = 2 Re[v . dE])
+        is driven by a current density J_adj = v / (i omega mu_0) realized
+        as a delta at each sample: density amplitude
+        A_s = conj(g) / (2 i omega mu_0 V_s), V_s the Yee cell volume at
+        the sample (derivation: web/autograd.py).
+
+        ``grid``: the simulation Grid, used for the per-sample Yee cell
+        volumes; falls back to monitor coord spacing when absent.
+        """
         from ..source import CustomCurrentSource, GaussianPulse, PointDipole
         from ...constants import MU_0
         from .data_array import ScalarFieldDataArray
 
-        if np.allclose(tuple(self.monitor.size), 0.0):
-            sources = []
-            for pol, arr in self.field_components.items():
-                if arr is None:
-                    continue
-                for freq0 in np.atleast_1d(np.asarray(arr.coords["f"],
-                                                      dtype=float)):
-                    vals = np.asarray(arr.sel(f=freq0).values).ravel()
-                    amp = complex(np.sum(vals))
-                    if amp == 0.0:
-                        continue
-                    omega0 = 2 * np.pi * freq0
-                    scaling = 33 / (MU_0 * omega0)
-                    sources.append(PointDipole(
-                        center=self.monitor.center, polarization=pol,
-                        source_time=GaussianPulse(
-                            freq0=float(freq0), fwidth=fwidth,
-                            amplitude=float(abs(scaling * amp)),
-                            phase=float(np.pi + np.angle(amp)))))
-            return sources
+        def cell_sizes(comp: str, coords: dict) -> np.ndarray:
+            """(nx, ny, nz) per-sample Yee cell volumes."""
+            vols = np.ones(tuple(len(coords[d]) for d in "xyz"))
+            for ax, d in enumerate("xyz"):
+                pts = np.asarray(coords[d], dtype=float)
+                if grid is not None:
+                    # spacing of the global Yee coords of this component
+                    from ...solver.lowering_utils import yee_coords
+
+                    gc = np.asarray(yee_coords(grid, comp)[d], dtype=float)
+                else:
+                    gc = pts
+                if len(gc) < 2:
+                    dl_at = np.ones_like(pts)
+                else:
+                    dl_all = np.gradient(gc)
+                    idx = np.clip(np.searchsorted(gc, pts), 0, len(gc) - 1)
+                    dl_at = dl_all[idx]
+                shape = [1, 1, 1]
+                shape[ax] = len(pts)
+                vols = vols * dl_at.reshape(shape)
+            return vols
 
         sources = []
+        point_like = np.allclose(tuple(self.monitor.size), 0.0)
         for freq0 in np.atleast_1d(np.asarray(self.monitor.freqs,
                                               dtype=float)):
+            omega0 = 2 * np.pi * float(freq0)
+            scale = 1.0 / (2j * omega0 * MU_0)
             comps = {}
             for name, arr in self.field_components.items():
-                if arr is None:
+                if arr is None or name not in dataset_names:
                     continue
-                vals = 2 * -1j * np.asarray(arr.sel(f=freq0).values)
-                if "H" in name:
-                    vals = -vals
-                if np.all(vals == 0):
+                g = np.asarray(arr.sel(f=freq0).values)
+                if np.all(g == 0):
                     continue
                 coords = {d: np.asarray(arr.coords[d]) for d in "xyz"}
-                coords["f"] = np.array([freq0])
+                dens = np.conj(g) * scale / cell_sizes(name, coords)
+                if point_like:
+                    # one dipole per (non-zero-VJP) sample, at the sample's
+                    # actual Yee position: each needs moment
+                    # conj(g_s) * scale, and the dipole's interpolated-delta
+                    # profile deposits amplitude * V_s of moment
+                    vols = cell_sizes(name, coords)
+                    for (ix, iy, iz) in zip(*np.nonzero(g)):
+                        amp = np.conj(g[ix, iy, iz]) * scale / vols[ix, iy, iz]
+                        sources.append(PointDipole(
+                            center=(float(coords["x"][ix]),
+                                    float(coords["y"][iy]),
+                                    float(coords["z"][iz])),
+                            polarization=name,
+                            source_time=GaussianPulse(
+                                freq0=float(freq0), fwidth=fwidth,
+                                amplitude=float(np.abs(amp)),
+                                phase=float(np.angle(amp)))))
+                    continue
                 comps[name] = ScalarFieldDataArray(
-                    vals[..., None] if vals.ndim == 3 else vals,
-                    coords=coords)
-            if not comps:
-                continue
-            sources.append(CustomCurrentSource(
-                center=self.monitor.center, size=self.monitor.size,
-                source_time=GaussianPulse(freq0=float(freq0), fwidth=fwidth),
-                current_dataset=comps))
+                    dens[..., None] if dens.ndim == 3 else dens,
+                    coords={**coords, "f": np.array([freq0])})
+            if comps:
+                sources.append(CustomCurrentSource(
+                    center=self.monitor.center, size=self.monitor.size,
+                    source_time=GaussianPulse(freq0=float(freq0),
+                                              fwidth=fwidth),
+                    current_dataset=comps))
         return sources
 
     @cached_property

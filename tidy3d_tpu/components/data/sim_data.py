@@ -108,8 +108,12 @@ class SimulationData(AbstractSimulationData):
             names = ["amps"] + [c for c in ("Ex", "Ey", "Ez", "Hx", "Hy",
                                             "Hz")]
             try:
-                adjoint_sources += maker(names, fwidth)
-            except (TypeError, NotImplementedError):
+                try:
+                    adjoint_sources += maker(names, fwidth,
+                                             grid=self.simulation.grid)
+                except TypeError:
+                    adjoint_sources += maker(names, fwidth)
+            except NotImplementedError:
                 continue
         return self.simulation.copy(update=dict(
             sources=tuple(adjoint_sources), monitors=()))

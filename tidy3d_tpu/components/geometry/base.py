@@ -35,6 +35,9 @@ from ..types import (
 )
 from . import utils as geo_utils
 from .utils import PlanarPolygon, pop_axis, unpop_axis
+from ..autograd.derivative_utils import quad_weights
+
+E_COMPS_ADJ = ("Ex", "Ey", "Ez")
 
 POLY_GRID_SIZE = 1e-12
 # number of sample points per cell side for Monte-Carlo-free volume estimates
@@ -395,6 +398,72 @@ class Box(Centered):
     @cached_property
     def frame(self):
         return None
+
+    # ------------------------------------------------------------------ #
+    # shape-derivative adjoint VJPs
+    # ------------------------------------------------------------------ #
+
+    def _face_gradients(self, derivative_info) -> dict:
+        """dJ/d(face position) per (axis, side) via face surface integrals.
+
+        Reference behavior: Box.compute_derivatives face integrals
+        (/root/reference/tidy3d/components/geometry/base.py:2333-2494).
+        Sign convention: the returned value is dJ/d(coordinate of that
+        face), so moving the hi face in +axis grows the box (+integral)
+        and moving the lo face in +axis shrinks it (-integral).
+        """
+        info = derivative_info
+        rmin, rmax = self.bounds
+        grads = {}
+        for axis in range(3):
+            if self.size[axis] == 0.0:
+                grads[(axis, "lo")] = 0.0
+                grads[(axis, "hi")] = 0.0
+                continue
+            b_ax, c_ax = (axis + 1) % 3, (axis + 2) % 3
+            # quadrature grids along the two tangential axes from the
+            # gradient monitor's sample coords, clipped to the face extent
+            normal = np.zeros(3)
+            normal[axis] = 1.0
+            ref_coords = info.sample_coords(E_COMPS_ADJ[b_ax])
+            cb = ref_coords["xyz"[b_ax]]
+            cc = ref_coords["xyz"[c_ax]]
+            sel_b = (cb >= rmin[b_ax] - 1e-9) & (cb <= rmax[b_ax] + 1e-9)
+            sel_c = (cc >= rmin[c_ax] - 1e-9) & (cc <= rmax[c_ax] + 1e-9)
+            cb, cc = cb[sel_b], cc[sel_c]
+            if len(cb) == 0 or len(cc) == 0:
+                grads[(axis, "lo")] = 0.0
+                grads[(axis, "hi")] = 0.0
+                continue
+            wb = quad_weights(cb, rmin[b_ax], rmax[b_ax])
+            wc = quad_weights(cc, rmin[c_ax], rmax[c_ax])
+            w2d = wb[:, None] * wc[None, :]
+            for side, pos in (("lo", rmin[axis]), ("hi", rmax[axis])):
+                pts = [None, None, None]
+                pts[axis] = np.full((len(cb), len(cc)), pos)
+                pts[b_ax] = np.broadcast_to(cb[:, None], (len(cb), len(cc)))
+                pts[c_ax] = np.broadcast_to(cc[None, :], (len(cb), len(cc)))
+                integrand = info.surface_integrand(normal, *pts)
+                integral = np.sum(integrand * w2d)
+                sign = 1.0 if side == "hi" else -1.0
+                grads[(axis, side)] = sign * info.real_grad(integral)
+        return grads
+
+    def compute_derivatives(self, paths, derivative_info) -> dict:
+        """Adjoint gradients for requested paths ('center', 'size')."""
+        face = self._face_gradients(derivative_info)
+        out = {}
+        for path in paths:
+            if path == "center":
+                out[path] = np.array([face[(a, "hi")] + face[(a, "lo")]
+                                      for a in range(3)])
+            elif path == "size":
+                out[path] = np.array([0.5 * (face[(a, "hi")] - face[(a, "lo")])
+                                      for a in range(3)])
+            else:
+                raise NotImplementedError(
+                    f"Box derivative for path {path!r} not supported")
+        return out
 
 
 class Transformed(Geometry):

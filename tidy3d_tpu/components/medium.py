@@ -23,6 +23,7 @@ import pydantic
 from ..constants import C_0, EPSILON_0, HBAR, MU_0, fp_eps, inf
 from ..exceptions import SetupError, ValidationError
 from ..log import log
+from .autograd.derivative_utils import quad_weights
 from .base import Tidy3dBaseModel, cached_property
 from .data.data_array import ScalarFieldDataArray, SpatialDataArray
 from .types import (
@@ -307,6 +308,57 @@ class Medium(AbstractMedium):
     def n_cfl(self) -> float:
         n, _ = self.eps_complex_to_nk(self.permittivity + 0j)
         return float(n)
+
+    def compute_derivatives(self, paths, derivative_info, geometry) -> dict:
+        """Adjoint gradients for 'permittivity' / 'conductivity': the
+        volume integral of E_fwd . E_adj over the geometry interior
+        (reference behavior: medium.py compute_derivatives:1146).
+
+        d(eps_eff)/d(eps_r) = 1; d(eps_eff)/d(sigma) = i / (omega eps_0)
+        in the e^{-i w t} phasor convention the monitors use.
+        """
+        info = derivative_info
+        total = 0.0 + 0.0j
+        rmin, rmax = geometry.bounds
+        for comp in ("Ex", "Ey", "Ez"):
+            coords = info.sample_coords(comp)
+            cs, ws = [], []
+            for ax, d in enumerate("xyz"):
+                c = coords[d]
+                sel = (c >= rmin[ax] - 1e-9) & (c <= rmax[ax] + 1e-9)
+                c = c[sel]
+                if len(c) == 0:
+                    break
+                cs.append(c)
+                ws.append(quad_weights(c, rmin[ax], rmax[ax]))
+            else:
+                X, Y, Z = np.meshgrid(*cs, indexing="ij")
+                # occupancy per cell: prefer the measured permittivity
+                # fraction (captures the rasterizer's subpixel-averaged
+                # interface cells, ~linear in eps there); fall back to the
+                # binary inside mask when eps contrast is degenerate
+                d_eps = info.eps_in - info.eps_out
+                if info.eps is not None and comp in info.eps \
+                        and abs(d_eps) > 1e-6:
+                    eps_meas = np.real(info.eps[comp](X, Y, Z))
+                    frac = (eps_meas - np.real(info.eps_out)) / np.real(d_eps)
+                    mask = np.clip(frac, 0.0, 1.0)
+                else:
+                    mask = geometry.inside(X, Y, Z)
+                w3 = (ws[0][:, None, None] * ws[1][None, :, None]
+                      * ws[2][None, None, :])
+                total += np.sum(info.e_prod(comp, X, Y, Z) * w3 * mask)
+        out = {}
+        omega = 2 * np.pi * info.frequency
+        for path in paths:
+            if path == "permittivity":
+                out[path] = info.real_grad(total)
+            elif path == "conductivity":
+                out[path] = info.real_grad(total * (1j / (omega * EPSILON_0)))
+            else:
+                raise NotImplementedError(
+                    f"Medium derivative for path {path!r} not supported")
+        return out
 
 
 class PECMedium(AbstractMedium):

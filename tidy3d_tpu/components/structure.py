@@ -67,6 +67,49 @@ class Structure(AbstractStructure):
     def viz_spec(self):
         return None
 
+    # ------------------------------------------------------------------ #
+    # shape-derivative adjoint protocol
+    # ------------------------------------------------------------------ #
+
+    def make_adjoint_monitors(self, freqs, index: int, pad: float = 0.0):
+        """Gradient monitors over this structure's bounding box (padded by
+        ``pad`` on every side so interface integrals can interpolate across
+        the boundary): a raw (non-colocated) FieldMonitor plus a
+        PermittivityMonitor (reference: structure.py make_adjoint_monitors:209)."""
+        from .monitor import FieldMonitor, PermittivityMonitor
+
+        rmin, rmax = self.geometry.bounds
+        center = tuple(0.5 * (lo + hi) for lo, hi in zip(rmin, rmax))
+        size = tuple((hi - lo) + 2 * pad for lo, hi in zip(rmin, rmax))
+        kwargs = dict(center=center, size=size, freqs=list(freqs))
+        fld = FieldMonitor(fields=["Ex", "Ey", "Ez"], colocate=False,
+                           name=f"adjoint_fld_{index}", **kwargs)
+        eps = PermittivityMonitor(name=f"adjoint_eps_{index}", **kwargs)
+        return fld, eps
+
+    def compute_derivatives(self, structure_paths, derivative_info) -> dict:
+        """Dispatch adjoint gradients to geometry / medium
+        (reference: structure.py compute_derivatives:244).
+
+        ``structure_paths``: sequences like ('geometry', 'center') or
+        ('medium', 'permittivity').
+        """
+        by_field = {}
+        for path in structure_paths:
+            by_field.setdefault(path[0], []).append(path[1])
+        out = {}
+        if "geometry" in by_field:
+            grads = self.geometry.compute_derivatives(
+                by_field["geometry"], derivative_info)
+            for sub, val in grads.items():
+                out[("geometry", sub)] = val
+        if "medium" in by_field:
+            grads = self.medium.compute_derivatives(
+                by_field["medium"], derivative_info, self.geometry)
+            for sub, val in grads.items():
+                out[("medium", sub)] = val
+        return out
+
 
 class MeshOverrideStructure(AbstractStructure):
     """A geometry with user-defined mesh step sizes (used by AutoGrid)."""
