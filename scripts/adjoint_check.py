@@ -23,10 +23,10 @@ FREQ0 = C_0 / 1.55
 DL = 0.05
 
 
-def make_sim(eps=4.0, size=(0.6, 0.5, 0.4), center=(0.15, 0, 0), verts=None):
+def make_sim(eps=4.0, size=(0.585, 0.505, 0.395), center=(0.163, 0.011, -0.017), verts=None):
     structures = []
     if verts is not None:
-        geo = td.PolySlab(vertices=verts, slab_bounds=(-0.2, 0.2), axis=2)
+        geo = td.PolySlab(vertices=verts, slab_bounds=(-0.213, 0.188), axis=2)
     else:
         geo = td.Box(center=center, size=size)
     structures = [td.Structure(geometry=geo, medium=td.Medium(permittivity=eps))]
@@ -37,7 +37,7 @@ def make_sim(eps=4.0, size=(0.6, 0.5, 0.4), center=(0.15, 0, 0), verts=None):
             source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
             polarization="Ez")],
         structures=structures,
-        monitors=[td.FieldMonitor(center=(0.55, 0, 0), size=(0, 0, 0),
+        monitors=[td.FieldMonitor(center=(0.65, 0, 0), size=(0, 0, 0),
                                   freqs=[FREQ0], colocate=False,
                                   name="point")],
         boundary_spec=td.BoundarySpec.all_sides(td.PML(num_layers=8)),
@@ -75,7 +75,7 @@ def check_box():
     for ax in range(3):
         for which in ("size", "center"):
             g_adj = grads[0][("geometry", which)][ax]
-            base = dict(size=[0.6, 0.5, 0.4], center=[0.15, 0, 0])
+            base = dict(size=[0.585, 0.505, 0.395], center=[0.163, 0.011, -0.017])
             pp = {k: list(v) for k, v in base.items()}
             pm = {k: list(v) for k, v in base.items()}
             pp[which][ax] += h
@@ -88,7 +88,7 @@ def check_box():
 
 
 def check_polyslab():
-    verts0 = [(-0.25, -0.3), (0.45, -0.3), (0.45, 0.3), (-0.25, 0.3)]
+    verts0 = [(-0.237, -0.285), (0.462, -0.294), (0.441, 0.308), (-0.256, 0.277)]
     val, grads, _ = run_structure_gradients(
         make_sim(verts=verts0), objective, {0: [("geometry", "vertices")]})
     g = grads[0][("geometry", "vertices")]
@@ -105,6 +105,76 @@ def check_polyslab():
         print(f"[vertex {vi},{'xy'[k]}] adj={g[vi, k]:.5e} fd={g_fd:.5e} ratio={r:.4f}")
 
 
+
+
+def check_flux():
+    """Flux-like mixed E/H objective: exercises magnetic adjoint currents."""
+    import tidy3d_tpu as td
+
+    def make(eps=4.0):
+        sim = make_sim(eps=eps)
+        mon = td.FieldMonitor(center=(0.65, 0, 0), size=(0, 0.6, 0.6),
+                              freqs=[FREQ0], colocate=False, name="plane")
+        return sim.copy(update=dict(monitors=(mon,)))
+
+    def obj(fields):
+        ey, ez = fields["plane"]["Ey"], fields["plane"]["Ez"]
+        hy, hz = fields["plane"]["Hy"], fields["plane"]["Hz"]
+        n = min(ey.shape[1], hz.shape[1]), min(ey.shape[2], hz.shape[2])
+        s = (ey[:, :n[0], :n[1]] * jnp.conj(hz[:, :n[0], :n[1]])
+             - ez[:, :n[0], :n[1]] * jnp.conj(hy[:, :n[0], :n[1]]))
+        return jnp.sum(jnp.real(s))
+
+    def J_of_f(sim):
+        data = _web_run(sim, verbose=False)
+        f = _monitor_fields(data, ["plane"])
+        f = {k: {c: jnp.asarray(v) for c, v in d.items()} for k, d in f.items()}
+        return float(obj(f))
+
+    val, grads, _ = run_structure_gradients(
+        make(), obj, {0: [("medium", "permittivity")]},
+        monitor_names=["plane"])
+    g_adj = grads[0][("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_f(make(4.0 + h)) - J_of_f(make(4.0 - h))) / (2 * h)
+    print(f"[flux-like]  J={val:.6e} adj={g_adj:.6e} fd={g_fd:.6e} "
+          f"ratio={g_adj / g_fd:.4f}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "eps"
-    dict(eps=check_eps, box=check_box, poly=check_polyslab)[which]()
+    if which.startswith("plane"):
+        check_plane(which.split(":")[1] if ":" in which else "Ez")
+    else:
+        dict(eps=check_eps, box=check_box, poly=check_polyslab,
+             flux=check_flux)[which]()
+
+
+def check_plane(comp="Ez"):
+    """Single-component plane-monitor objective: isolates the
+    CustomCurrentSource adjoint branch (E comps) and the magnetic branch
+    (H comps)."""
+    import tidy3d_tpu as td
+
+    def make(eps=4.0):
+        sim = make_sim(eps=eps)
+        mon = td.FieldMonitor(center=(0.65, 0, 0), size=(0, 0.6, 0.6),
+                              freqs=[FREQ0], colocate=False, name="plane")
+        return sim.copy(update=dict(monitors=(mon,)))
+
+    def obj(fields):
+        return jnp.sum(jnp.abs(fields["plane"][comp]) ** 2)
+
+    def J_of_f(sim):
+        data = _web_run(sim, verbose=False)
+        f = _monitor_fields(data, ["plane"])
+        return float(np.sum(np.abs(f["plane"][comp]) ** 2))
+
+    val, grads, _ = run_structure_gradients(
+        make(), obj, {0: [("medium", "permittivity")]},
+        monitor_names=["plane"])
+    g_adj = grads[0][("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_f(make(4.0 + h)) - J_of_f(make(4.0 - h))) / (2 * h)
+    print(f"[plane {comp}]  adj={g_adj:.6e} fd={g_fd:.6e} "
+          f"ratio={g_adj / g_fd:.4f}")

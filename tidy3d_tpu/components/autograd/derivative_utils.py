@@ -10,10 +10,9 @@ shape derivative of a dielectric interface:
     dJ/d(outward shift) = Re{ pref * [ (eps_in - eps_out) E_par,f . E_par,a
                                 - (1/eps_out - 1/eps_in) D_n,f . D_n,a ] } dA
 
-with D = eps_r E (relative units) and pref = 2 k0^2 exp(-i w dt) per
-frequency, where the exp(-i w dt) corrects the half-step offset between the
-source-spectrum normalization time base and the actual injection/DFT time
-bases of the two runs (derivation in web/autograd.py).
+with D = eps_r E (relative units) and pref = 2 k0^2 per frequency
+(derivation in web/autograd.py; the discrete half-step offsets cancel
+because the DFT timestamps reference the true sample times).
 
 All fields are evaluated by trilinear interpolation from the adjoint
 gradient monitors' raw (non-colocated) Yee samples.
@@ -95,21 +94,53 @@ class DerivativeInfo:
                  eps_in: complex, eps_out: complex, frequency: float,
                  bounds: Tuple[Tuple[float, float, float],
                                Tuple[float, float, float]],
-                 dt: float = 0.0):
+                 dt: float = 0.0, dl_loc: float = None, avg_dls=None):
         self.fwd = {c: _Field3(*E_fwd[c]) for c in E_fwd}
         self.adj = {c: _Field3(*E_adj[c]) for c in E_adj}
         self.eps = {c: _Field3(*eps_data[c]) for c in eps_data} \
             if eps_data else None
+        # relative-D fields: the product eps_r * E is formed PER SAMPLE and
+        # then interpolated — D_n is continuous across the interface while
+        # eps and E_n each jump, so interpolating the factors separately
+        # and multiplying is wrong exactly where the face integrals look
+        avg_eps = 0.5 * (complex(eps_in) + complex(eps_out))
+        self.dfwd = {}
+        self.dadj = {}
+        for c in self.fwd:
+            if eps_data and c in eps_data \
+                    and np.shape(eps_data[c][0]) == np.shape(E_fwd[c][0]):
+                eps_vals = eps_data[c][0]
+            else:
+                eps_vals = avg_eps
+            self.dfwd[c] = _Field3(eps_vals * E_fwd[c][0], E_fwd[c][1])
+            self.dadj[c] = _Field3(eps_vals * E_adj[c][0], E_adj[c][1])
         self.eps_in = complex(eps_in)
         self.eps_out = complex(eps_out)
         self.frequency = float(frequency)
         self.bounds = bounds
+        if dl_loc is None:
+            # fall back to the mean sample spacing (matches the rasterizer's
+            # dl_loc = mean over axes of the mean cell size on uniform grids)
+            spacings = []
+            for fld in self.fwd.values():
+                for d in "xyz":
+                    c = fld.coords[d]
+                    if len(c) > 1:
+                        spacings.append(float(np.mean(np.diff(c))))
+                break
+            dl_loc = float(np.mean(spacings)) if spacings else 1.0
+        self.dl_loc = float(dl_loc)
+        self.avg_dls = tuple(avg_dls) if avg_dls is not None \
+            else (self.dl_loc,) * 3
         omega = 2 * np.pi * self.frequency
         k0 = omega / C_0
-        # 2 k0^2 from the shape-derivative chain; exp(-i w dt) corrects the
-        # dt/2 offset each of the two runs carries between its normalization
-        # time base (tmesh) and its injection time base (tmesh + dt/2)
-        self.prefactor = 2.0 * k0**2 * np.exp(-1j * omega * dt)
+        # 2 k0^2 from the shape-derivative chain. No discrete-time phase
+        # correction: the monitor DFT timestamps (tmesh + dt for E) and the
+        # source-spectrum time base (tmesh) both reference the actual sample
+        # times, so the half-step injection offset cancels exactly (verified
+        # numerically against jax.grad through the solver: phase fit 0.0 +-
+        # 0.1 deg, scale 1.000 +- 0.008, scripts/adjoint_map_check.py)
+        self.prefactor = 2.0 * k0**2
 
     # ------------------------------------------------------------------ #
     # sampled products
@@ -123,13 +154,9 @@ class DerivativeInfo:
         return self.fwd[comp](x, y, z) * self.adj[comp](x, y, z)
 
     def d_prod(self, comp: str, x, y, z) -> np.ndarray:
-        """(eps_r E)_fwd * (eps_r E)_adj at the given points, using the
-        measured permittivity for continuity across the interface."""
-        if self.eps is not None and comp in self.eps:
-            eps = self.eps[comp](x, y, z)
-        else:
-            eps = 0.5 * (self.eps_in + self.eps_out)
-        return (eps * self.fwd[comp](x, y, z)) * (eps * self.adj[comp](x, y, z))
+        """(eps_r E)_fwd * (eps_r E)_adj at the given points (each factor
+        is a per-sample product interpolated as a whole — D continuity)."""
+        return self.dfwd[comp](x, y, z) * self.dadj[comp](x, y, z)
 
     def e_vec(self, which: str, x, y, z) -> np.ndarray:
         """Stacked (3, ...) E vector of the fwd/adj run at the points."""
@@ -138,15 +165,8 @@ class DerivativeInfo:
 
     def d_vec(self, which: str, x, y, z) -> np.ndarray:
         """Stacked (3, ...) relative-D vector (eps_r E) at the points."""
-        fields = self.fwd if which == "fwd" else self.adj
-        out = []
-        for c in E_COMPS:
-            if self.eps is not None and c in self.eps:
-                eps = self.eps[c](x, y, z)
-            else:
-                eps = 0.5 * (self.eps_in + self.eps_out)
-            out.append(eps * fields[c](x, y, z))
-        return np.stack(out)
+        fields = self.dfwd if which == "fwd" else self.dadj
+        return np.stack([fields[c](x, y, z) for c in E_COMPS])
 
     # ------------------------------------------------------------------ #
     # interface integrand
@@ -181,3 +201,78 @@ class DerivativeInfo:
     def real_grad(self, integral: np.ndarray) -> np.ndarray:
         """Fold the physics prefactor and take the real part."""
         return np.real(self.prefactor * integral)
+
+
+def raster_eps(geometry, cs, ci: int, dl_loc: float,
+               eps_in: float, eps_out: float,
+               avg_dls=None) -> np.ndarray:
+    """The rasterizer's polarized-subpixel eps for component ``ci`` on the
+    tensor grid ``cs = [xs, ys, zs]`` — the exact formula of
+    solver/lowering.py (frac from the SDF, normal from the SDF gradient,
+    harmonic along the normal / arithmetic transverse), INCLUDING its
+    per-structure crop to bounds +- avg_dl: band cells can land on the
+    crop edge where np.gradient falls back to one-sided differences, and
+    matching those normals exactly is required for the adjoint to equal
+    finite differences of the solve."""
+    if avg_dls is None:
+        avg_dls = (dl_loc, dl_loc, dl_loc)
+    rmin, rmax = geometry.bounds
+    sels = []
+    crop = []
+    for ax, c in enumerate(cs):
+        sel = np.nonzero((c >= rmin[ax] - avg_dls[ax])
+                         & (c <= rmax[ax] + avg_dls[ax]))[0]
+        sels.append(sel)
+        crop.append(np.asarray(c, float)[sel])
+    out = np.full(tuple(len(c) for c in cs), float(eps_out))
+    if any(len(c) == 0 for c in crop):
+        return out
+    X, Y, Z = np.meshgrid(*crop, indexing="ij")
+    sdf = np.broadcast_to(np.asarray(geometry.sdf(X, Y, Z), float), X.shape)
+    frac = np.clip(0.5 - sdf / dl_loc, 0.0, 1.0)
+    if min(len(c) for c in crop) > 1:
+        grads = np.gradient(sdf, *crop, edge_order=1)
+    else:
+        grads = [np.zeros_like(sdf)] * 3
+    gnorm = np.sqrt(sum(g**2 for g in grads)) + 1e-30
+    w_n = (grads[ci] / gnorm) ** 2
+    eps_arith = frac * eps_in + (1.0 - frac) * eps_out
+    eps_harm = 1.0 / (frac / eps_in + (1.0 - frac) / max(eps_out, 1e-6))
+    out[np.ix_(*sels)] = (1.0 - w_n) * eps_arith + w_n * eps_harm
+    return out
+
+
+def raster_grad(info: DerivativeInfo, perturbed_geos: Dict,
+                dl_loc: float) -> Dict:
+    """Shape gradients as the exact discrete adjoint of the SDF rasterizer.
+
+    dJ/dp = sum_cells sum_c dJ/deps_c(cell) * deps_c/dp, where
+    dJ/deps_c(cell) = Re[pref E_fwd,c E_adj,c] dV (verified to match
+    jax.grad through the solver, scripts/adjoint_map_check.py) and
+    deps_c/dp is a central difference of the rasterizer's full
+    polarized-averaging formula (``raster_eps``) under the perturbed
+    geometries — capturing frac, clip AND interface-normal-rotation
+    sensitivity (the normal term dominates at box edges/corners and is
+    missed by continuum face integrals).
+
+    ``perturbed_geos``: param name -> (geometry_plus, geometry_minus, 2h).
+    """
+    eps_in = float(np.real(info.eps_in))
+    eps_out = float(np.real(info.eps_out))
+    out = {name: 0.0 for name in perturbed_geos}
+    for ci, comp in enumerate(E_COMPS):
+        coords = info.sample_coords(comp)
+        cs = [np.asarray(coords[d], dtype=float) for d in "xyz"]
+        if any(len(c) == 0 for c in cs):
+            continue
+        X, Y, Z = np.meshgrid(*cs, indexing="ij")
+        ws = [quad_weights(c, c[0] - 1e-12, c[-1] + 1e-12)
+              if len(c) > 1 else np.array([dl_loc]) for c in cs]
+        w3 = ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
+        g_eps = info.real_grad(info.e_prod(comp, X, Y, Z)) * w3
+        avg_dls = getattr(info, "avg_dls", None)
+        for name, (gp, gm, span) in perturbed_geos.items():
+            ep = raster_eps(gp, cs, ci, dl_loc, eps_in, eps_out, avg_dls)
+            em = raster_eps(gm, cs, ci, dl_loc, eps_in, eps_out, avg_dls)
+            out[name] = out[name] + np.sum(g_eps * (ep - em)) / span
+    return out

@@ -203,7 +203,17 @@ class FieldData(AbstractFieldData, FieldDataset):
                 if np.all(g == 0):
                     continue
                 coords = {d: np.asarray(arr.coords[d]) for d in "xyz"}
-                dens = np.conj(g) * scale / cell_sizes(name, coords)
+                # H-sample VJPs enter through dJ = 2Re[w . dH] with
+                # H = curl E/(i w mu0): transposing the curl gives an
+                # effective E-space source curl(w)/(i w mu0), realized as
+                # the magnetic current M_adj = -w/(i w mu0). The kernel
+                # injects H-component dataset entries as H -= cb * prof,
+                # i.e. with the OPPOSITE sign convention (+M_eff), so the
+                # dataset value is +w/(i w mu0): same formula as the
+                # electric branch (FD-validated on a flux-like mixed E/H
+                # objective, scripts/adjoint_check.py flux)
+                sgn = 1.0
+                dens = sgn * np.conj(g) * scale / cell_sizes(name, coords)
                 if point_like:
                     # one dipole per (non-zero-VJP) sample, at the sample's
                     # actual Yee position: each needs moment
@@ -211,7 +221,8 @@ class FieldData(AbstractFieldData, FieldDataset):
                     # profile deposits amplitude * V_s of moment
                     vols = cell_sizes(name, coords)
                     for (ix, iy, iz) in zip(*np.nonzero(g)):
-                        amp = np.conj(g[ix, iy, iz]) * scale / vols[ix, iy, iz]
+                        amp = sgn * np.conj(g[ix, iy, iz]) * scale \
+                            / vols[ix, iy, iz]
                         sources.append(PointDipole(
                             center=(float(coords["x"][ix]),
                                     float(coords["y"][iy]),

@@ -450,15 +450,31 @@ class Box(Centered):
         return grads
 
     def compute_derivatives(self, paths, derivative_info) -> dict:
-        """Adjoint gradients for requested paths ('center', 'size')."""
-        face = self._face_gradients(derivative_info)
+        """Adjoint gradients for requested paths ('center', 'size') as the
+        exact discrete adjoint of the SDF subpixel rasterizer
+        (``sdf_chain_grad``); the reference instead evaluates continuum
+        face integrals (geometry/base.py:2333-2494) — same continuum
+        limit, but this matches the solver's own discretization, which is
+        what finite differences of the objective measure."""
+        from ..autograd.derivative_utils import raster_grad
+
+        info = derivative_info
+        h = 1e-3 * info.dl_loc
+        geos = {}
+        for ax in range(3):
+            if self.size[ax] == 0.0:
+                continue
+            for which in ("center", "size"):
+                def perturbed(sign, ax=ax, which=which):
+                    vals = list(getattr(self, which))
+                    vals[ax] += sign * h
+                    return self.copy(update={which: tuple(vals)})
+                geos[(which, ax)] = (perturbed(+1), perturbed(-1), 2 * h)
+        grads = raster_grad(info, geos, info.dl_loc)
         out = {}
         for path in paths:
-            if path == "center":
-                out[path] = np.array([face[(a, "hi")] + face[(a, "lo")]
-                                      for a in range(3)])
-            elif path == "size":
-                out[path] = np.array([0.5 * (face[(a, "hi")] - face[(a, "lo")])
+            if path in ("center", "size"):
+                out[path] = np.array([grads.get((path, a), 0.0)
                                       for a in range(3)])
             else:
                 raise NotImplementedError(

@@ -211,106 +211,57 @@ class PolySlab(base.Planar):
     # ------------------------------------------------------------------ #
 
     def compute_derivatives(self, paths, derivative_info) -> dict:
-        """Adjoint gradients for 'vertices' (per-vertex in-plane shape
-        gradient via sidewall surface integrals with linear edge basis
-        functions) and 'slab_bounds' (top/bottom face integrals).
+        """Adjoint gradients for 'vertices' ((N, 2) per-vertex in-plane
+        shape gradient) and 'slab_bounds', as the exact discrete adjoint
+        of the SDF subpixel rasterizer (``raster_grad``).
 
         Reference behavior: polyslab.py compute_derivative_vertices
-        (/root/reference/tidy3d/components/geometry/polyslab.py:1389).
-        Straight walls only; sidewall angle/dilation gradients are not
-        implemented (the values are still correct to first order for
-        small angles).
+        (/root/reference/tidy3d/components/geometry/polyslab.py:1389),
+        which evaluates continuum sidewall surface integrals with linear
+        edge basis functions; here the same continuum limit is reached by
+        differentiating the solver's own rasterization, which also
+        captures the interface-normal-rotation sensitivity at corners.
         """
-        out = {}
+        from ..autograd.derivative_utils import raster_grad
+
+        info = derivative_info
+        h = 1e-3 * info.dl_loc
+        verts = np.asarray(self.vertices, dtype=float)
+        geos = {}
         for path in paths:
             if path == "vertices":
-                out[path] = self._vertices_grad(derivative_info)
+                for vi in range(len(verts)):
+                    for k in range(2):
+                        def perturbed(sign, vi=vi, k=k):
+                            v2 = verts.copy()
+                            v2[vi, k] += sign * h
+                            return self.copy(update=dict(
+                                vertices=tuple(map(tuple, v2))))
+                        geos[("vertices", vi, k)] = (
+                            perturbed(+1), perturbed(-1), 2 * h)
             elif path == "slab_bounds":
-                out[path] = self._slab_bounds_grad(derivative_info)
+                for bi in range(2):
+                    def perturbed(sign, bi=bi):
+                        sb = list(self.slab_bounds)
+                        sb[bi] += sign * h
+                        return self.copy(update=dict(slab_bounds=tuple(sb)))
+                    geos[("slab_bounds", bi)] = (
+                        perturbed(+1), perturbed(-1), 2 * h)
             else:
                 raise NotImplementedError(
                     f"PolySlab derivative for path {path!r} not supported")
-        return out
-
-    def _vertices_grad(self, info) -> np.ndarray:
-        from ..autograd.derivative_utils import quad_weights
-
-        verts = np.asarray(self.vertices, dtype=float)
-        n_verts = len(verts)
-        axis = self.axis
-        lo, hi = self.slab_bounds
-        # axial quadrature from the gradient monitor's sample density
-        zc_all = np.asarray(info.sample_coords("Ex")["xyz"[axis]])
-        sel = (zc_all >= lo - 1e-9) & (zc_all <= hi + 1e-9)
-        zc = zc_all[sel]
-        if len(zc) == 0:
-            zc = np.array([0.5 * (lo + hi)])
-        wz = quad_weights(zc, lo, hi)
-        ds_ref = float(np.mean(np.diff(zc_all))) if len(zc_all) > 1 else \
-            (hi - lo if hi > lo else 1.0)
-        # polygon orientation: CCW -> outward normal = rotate tangent by -90
-        area2 = np.sum(verts[:, 0] * np.roll(verts[:, 1], -1)
-                       - np.roll(verts[:, 0], -1) * verts[:, 1])
-        ccw = area2 > 0
-        grad = np.zeros((n_verts, 2))
-        for i in range(n_verts):
-            v0, v1 = verts[i], verts[(i + 1) % n_verts]
-            edge = v1 - v0
-            length = float(np.hypot(*edge))
-            if length == 0.0:
-                continue
-            t_hat = edge / length
-            n2d = np.array([t_hat[1], -t_hat[0]]) if ccw \
-                else np.array([-t_hat[1], t_hat[0]])
-            n_s = max(2, int(np.ceil(length / max(ds_ref, 1e-9))))
-            s = (np.arange(n_s) + 0.5) * (length / n_s)
-            ws = length / n_s
-            p2d = v0[None, :] + s[:, None] * t_hat[None, :]
-            # 3D points (n_s, n_z)
-            pts2 = [np.broadcast_to(p2d[:, k, None], (n_s, len(zc)))
-                    for k in range(2)]
-            zz = np.broadcast_to(zc[None, :], (n_s, len(zc)))
-            xyz = unpop_axis(zz, tuple(pts2), axis)
-            normal3 = np.asarray(unpop_axis(0.0, tuple(n2d), axis))
-            integ = info.surface_integrand(normal3, *xyz)
-            g_sz = info.real_grad(integ) * ws * wz[None, :]
-            # linear basis: weight (1 - s/L) on vertex i, (s/L) on i+1
-            w_i = 1.0 - s / length
-            w_j = s / length
-            grad[i] += n2d * np.sum(w_i[:, None] * g_sz)
-            grad[(i + 1) % n_verts] += n2d * np.sum(w_j[:, None] * g_sz)
-        return grad
-
-    def _slab_bounds_grad(self, info) -> np.ndarray:
-        from ..autograd.derivative_utils import quad_weights
-
-        axis = self.axis
-        lo, hi = self.slab_bounds
-        rmin, rmax = self.bounds
-        b_ax, c_ax = (axis + 1) % 3, (axis + 2) % 3
-        coords = info.sample_coords("Ex")
-        cb = coords["xyz"[b_ax]]
-        cc = coords["xyz"[c_ax]]
-        sel_b = (cb >= rmin[b_ax] - 1e-9) & (cb <= rmax[b_ax] + 1e-9)
-        sel_c = (cc >= rmin[c_ax] - 1e-9) & (cc <= rmax[c_ax] + 1e-9)
-        cb, cc = cb[sel_b], cc[sel_c]
-        if len(cb) == 0 or len(cc) == 0:
-            return np.zeros(2)
-        wb = quad_weights(cb, rmin[b_ax], rmax[b_ax])
-        wc = quad_weights(cc, rmin[c_ax], rmax[c_ax])
-        w2d = wb[:, None] * wc[None, :]
-        normal3 = np.zeros(3)
-        normal3[axis] = 1.0
-        B, C = np.meshgrid(cb, cc, indexing="ij")
-        out = np.zeros(2)
-        for k, (pos, sign) in enumerate(((lo, -1.0), (hi, 1.0))):
-            xyz = unpop_axis(np.full_like(B, pos), (B, C), axis)
-            # restrict to the polygon cross-section
-            sdf2d = polygon_sdf(B, C, np.asarray(self.vertices))
-            inside2d = sdf2d <= self.offset_at_axis_position(pos)
-            integ = info.surface_integrand(normal3, *xyz)
-            out[k] = sign * info.real_grad(
-                np.sum(integ * w2d * inside2d))
+        grads = raster_grad(info, geos, info.dl_loc)
+        out = {}
+        for path in paths:
+            if path == "vertices":
+                g = np.zeros((len(verts), 2))
+                for vi in range(len(verts)):
+                    for k in range(2):
+                        g[vi, k] = grads[("vertices", vi, k)]
+                out[path] = g
+            else:
+                out[path] = np.array([grads[("slab_bounds", 0)],
+                                      grads[("slab_bounds", 1)]])
         return out
 
     def volume(self, bounds: Bound = None) -> float:

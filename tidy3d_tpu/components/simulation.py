@@ -284,6 +284,326 @@ class Simulation(Box):
                         )
         return self
 
+    @pydantic.model_validator(mode="after")
+    def _bloch_with_symmetry(self):
+        """Bloch boundaries cannot be combined with symmetry along the same
+        axis (reference: simulation.py bloch_with_symmetry:2295)."""
+        for axis in range(3):
+            if self.symmetry[axis] == 0:
+                continue
+            minus, _ = self.boundary_spec.to_list[axis]
+            if isinstance(minus, BlochBoundary):
+                raise SetupError(
+                    f"Bloch boundary along axis {'xyz'[axis]} cannot be used "
+                    "together with symmetry along that axis."
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _tfsf_with_symmetry(self):
+        """TFSF sources are incompatible with symmetry
+        (reference: simulation.py tfsf_with_symmetry:2465)."""
+        if any(isinstance(s, TFSF) for s in self.sources) and any(
+                sym != 0 for sym in self.symmetry):
+            raise SetupError("TFSF sources cannot be used with symmetries.")
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _tfsf_boundaries(self):
+        """A TFSF box must stay inside the domain along its injection axis
+        and may only touch/cross transverse boundaries that are periodic
+        or Bloch (reference: simulation.py tfsf_boundaries:2391)."""
+        rmin = [c - s / 2 for c, s in zip(self.center, self.size)]
+        rmax = [c + s / 2 for c, s in zip(self.center, self.size)]
+        for source in self.sources:
+            if not isinstance(source, TFSF):
+                continue
+            inj = source.injection_axis
+            src_rmin, src_rmax = source.bounds
+            if src_rmin[inj] <= rmin[inj] or src_rmax[inj] >= rmax[inj]:
+                raise SetupError(
+                    "TFSF source must not touch or cross the simulation "
+                    f"boundary along its injection axis {'xyz'[inj]}."
+                )
+            for axis in range(3):
+                if axis == inj:
+                    continue
+                crosses = (src_rmin[axis] <= rmin[axis]
+                           or src_rmax[axis] >= rmax[axis])
+                minus, plus = self.boundary_spec.to_list[axis]
+                per_ok = all(isinstance(b, (Periodic, BlochBoundary))
+                             for b in (minus, plus))
+                if crosses and not per_ok:
+                    raise SetupError(
+                        "TFSF source must not touch or cross the simulation "
+                        f"boundary along {'xyz'[axis]} unless that boundary "
+                        "is Periodic or BlochBoundary."
+                    )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _boundaries_for_zero_dims(self):
+        """Zero-size axes forbid Bloch boundaries, symmetry, and unmatched
+        plus/minus boundary kinds
+        (reference: simulation.py boundaries_for_zero_dims:2475);
+        absorbing boundaries are checked in _bloch_boundaries_zero_dims."""
+        for axis, (minus, plus) in enumerate(self.boundary_spec.to_list):
+            if self.size[axis] != 0.0:
+                continue
+            name = "xyz"[axis]
+            if isinstance(minus, BlochBoundary) or isinstance(plus, BlochBoundary):
+                raise SetupError(
+                    f"Zero size along {name}: Bloch boundaries are not "
+                    "supported there (the Bloch vector is defined in units "
+                    "of 2*pi/size); use a small nonzero size instead."
+                )
+            if self.symmetry[axis] != 0:
+                raise SetupError(
+                    f"Zero size along {name}: symmetry along that axis is "
+                    "incorrect; use PEC/PMC boundaries to select the source "
+                    "polarization instead."
+                )
+            if type(minus) is not type(plus):
+                raise SetupError(
+                    f"Zero size along {name}: the plus and minus boundary "
+                    "conditions must be the same kind."
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _2d_geometry_has_2d_medium(self):
+        """Zero-thickness (sheet) geometries require a Medium2D and 3D
+        geometries cannot carry a Medium2D
+        (reference: simulation.py _validate_2d_geometry_has_2d_medium:2537)."""
+        from .medium import Medium2D
+
+        for structure in self.structures:
+            zero_dims = getattr(structure.geometry, "zero_dims", [])
+            is_2d_geo = len(zero_dims) == 1
+            is_2d_med = isinstance(structure.medium, Medium2D)
+            if is_2d_med and not is_2d_geo:
+                raise SetupError(
+                    f"Structure '{structure.name}' has a Medium2D but its "
+                    "geometry is not a zero-thickness sheet."
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _check_normalize_index(self):
+        """normalize_index must point at an existing, nonzero source
+        (reference: simulation.py _check_normalize_index:3193)."""
+        idx = self.normalize_index
+        if idx is None or len(self.sources) == 0:
+            return self
+        if idx >= len(self.sources):
+            raise SetupError(
+                f"normalize_index {idx} out of bounds for "
+                f"{len(self.sources)} sources."
+            )
+        if self.sources[idx].source_time.amplitude == 0.0:
+            log.warning("normalize_index points at a source with zero "
+                        "amplitude.", log_once=True)
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _source_homogeneous_isotropic(self):
+        """Field sources (plane wave / beams / mode) must be embedded in a
+        single isotropic medium on their plane
+        (reference: simulation.py _source_homogeneous_isotropic:3136)."""
+        from .medium import AnisotropicMedium, FullyAnisotropicMedium
+        from .source import GaussianBeam, ModeSource
+
+        for source in self.sources:
+            if not isinstance(source, (PlaneWave, GaussianBeam)):
+                continue
+            mediums = self.scene.intersecting_media(
+                Box(center=source.center, size=source.size))
+            if len(mediums) > 1:
+                raise SetupError(
+                    f"Source '{getattr(source, 'name', None)}' spans more "
+                    "than one medium; plane-wave and beam sources must be "
+                    "embedded in a homogeneous medium."
+                )
+            for medium in mediums:
+                if isinstance(medium, (AnisotropicMedium,
+                                       FullyAnisotropicMedium)):
+                    raise SetupError(
+                        "Plane-wave and beam sources cannot be embedded in "
+                        "an anisotropic medium."
+                    )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _projection_monitors_homogeneous(self):
+        """Field-projection monitor surfaces must lie in a single medium
+        (reference: simulation.py _projection_monitors_homogeneous:2762)."""
+        for monitor in self.monitors:
+            if not isinstance(monitor, AbstractFieldProjectionMonitor):
+                continue
+            mediums = self.scene.intersecting_media(
+                Box(center=monitor.center, size=monitor.size))
+            if len(mediums) > 1:
+                raise SetupError(
+                    f"Projection monitor '{monitor.name}' intersects more "
+                    "than one medium; near-field surfaces must be in a "
+                    "homogeneous medium."
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _projection_monitors_distance(self):
+        """Warn when the far-field approximation is used at projection
+        distances that are not much larger than the monitor size
+        (reference: simulation.py _projection_monitors_distance:2922)."""
+        for monitor in self.monitors:
+            proj_distance = getattr(monitor, "proj_distance", None)
+            if proj_distance is None:
+                continue
+            if not getattr(monitor, "far_field_approx", True):
+                continue
+            max_size = max(s for s in monitor.size if not np.isinf(s))
+            if abs(proj_distance) < 10 * max_size:
+                log.warning(
+                    f"Projection monitor '{monitor.name}' has proj_distance "
+                    "closer than 10x its size while far_field_approx=True; "
+                    "set far_field_approx=False for near-zone accuracy.",
+                    log_once=True,
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _warn_monitor_simulation_frequency_range(self):
+        """Warn when monitor frequencies fall outside the source spectrum
+        (reference: simulation.py _warn_monitor_simulation_frequency_range:2704)."""
+        if not self.sources:
+            return self
+        fmins = []
+        fmaxs = []
+        for source in self.sources:
+            st = source.source_time
+            fmins.append(st.freq0 - 2.5 * st.fwidth)
+            fmaxs.append(st.freq0 + 2.5 * st.fwidth)
+        fmin, fmax = min(fmins), max(fmaxs)
+        for monitor in self.monitors:
+            freqs = np.atleast_1d(np.asarray(getattr(monitor, "freqs", [])
+                                             or []))
+            if freqs.size and (np.any(freqs < fmin) or np.any(freqs > fmax)):
+                log.warning(
+                    f"Monitor '{monitor.name}' has frequencies outside the "
+                    "sources' spectral range; data there will be noisy.",
+                    log_once=True,
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _warn_monitor_mediums_frequency_range(self):
+        """Warn when monitor frequencies are outside a medium's fitted
+        frequency_range
+        (reference: simulation.py _warn_monitor_mediums_frequency_range:2651)."""
+        freqs = []
+        for monitor in self.monitors:
+            freqs.extend(np.atleast_1d(np.asarray(
+                getattr(monitor, "freqs", []) or [])).tolist())
+        if not freqs:
+            return self
+        fmin, fmax = min(freqs), max(freqs)
+        mediums = [self.medium] + [s.medium for s in self.structures]
+        for medium in mediums:
+            frange = getattr(medium, "frequency_range", None)
+            if frange is None:
+                continue
+            if fmin < frange[0] or fmax > frange[1]:
+                log.warning(
+                    f"Monitor frequencies are outside medium "
+                    f"'{getattr(medium, 'name', None)}' fitted "
+                    "frequency_range; the dispersion model is extrapolating.",
+                    log_once=True,
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _structures_not_close_pml(self):
+        """Warn if a structure terminates inside the PML region: structures
+        should either stay out of the PML or extend completely through it
+        (reference: simulation.py _structures_not_close_pml:2592)."""
+        pml_thick = []
+        for axis in range(3):
+            minus, plus = self.boundary_spec.to_list[axis]
+            n_lo = minus.num_layers if isinstance(minus, AbsorberSpec) else 0
+            n_hi = plus.num_layers if isinstance(plus, AbsorberSpec) else 0
+            pml_thick.append((n_lo, n_hi))
+        if not any(n for pair in pml_thick for n in pair):
+            return self
+        try:
+            bounds_grid = self.grid.boundaries.to_list
+        except Exception:
+            return self
+        warned = False
+        for structure in self.structures:
+            if warned:
+                break
+            rmin, rmax = structure.geometry.bounds
+            for axis in range(3):
+                coords = np.asarray(bounds_grid[axis])
+                n_lo, n_hi = pml_thick[axis]
+                dom_lo = self.center[axis] - self.size[axis] / 2
+                dom_hi = self.center[axis] + self.size[axis] / 2
+                pml_lo_edge = coords[0]
+                pml_hi_edge = coords[-1]
+                # terminates strictly inside the PML region
+                if n_lo and pml_lo_edge < rmin[axis] < dom_lo:
+                    warned = True
+                if n_hi and dom_hi < rmax[axis] < pml_hi_edge:
+                    warned = True
+            if warned:
+                log.warning(
+                    f"Structure '{structure.name}' terminates inside the PML "
+                    "region; structures should extend completely through the "
+                    "PML to avoid reflection artifacts.", log_once=True,
+                )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _integration_surfaces_in_bounds(self):
+        """Flux-like monitors need their integration surfaces inside the
+        domain (reference: simulation.py _integration_surfaces_in_bounds:2901)."""
+        from .monitor import FluxMonitor, FluxTimeMonitor
+
+        rmin = [c - s / 2 for c, s in zip(self.center, self.size)]
+        rmax = [c + s / 2 for c, s in zip(self.center, self.size)]
+        for monitor in self.monitors:
+            if not isinstance(monitor, (FluxMonitor, FluxTimeMonitor)):
+                continue
+            m_rmin, m_rmax = monitor.bounds
+            for axis in range(3):
+                if self.size[axis] == 0.0:
+                    continue
+                if m_rmin[axis] > rmax[axis] or m_rmax[axis] < rmin[axis]:
+                    raise SetupError(
+                        f"Monitor '{monitor.name}' integration surface lies "
+                        "outside the simulation domain."
+                    )
+        return self
+
+    @pydantic.model_validator(mode="after")
+    def _validate_custom_source_time(self):
+        """Warn when a CustomSourceTime envelope does not cover the run
+        time (reference: simulation.py _validate_custom_source_time:3240)."""
+        from .source import CustomSourceTime
+
+        for source in self.sources:
+            st = source.source_time
+            if not isinstance(st, CustomSourceTime):
+                continue
+            t_end = st.end_time()
+            if t_end is not None and t_end < self.run_time:
+                log.warning(
+                    "CustomSourceTime envelope ends before run_time; the "
+                    "source is extrapolated with its last value.",
+                    log_once=True,
+                )
+        return self
+
     # ------------------------------------------------------------------ #
     # scene / structures
     # ------------------------------------------------------------------ #

@@ -270,6 +270,172 @@ _add("MoS2", "Const", Const=_const(4.2, ref="monolayer effective @ 1.55 um"))
 _add("Graphene_substrate", "Const", Const=_const(2.65, ref="graphite-like"))
 
 # --------------------------------------------------------------------------- #
+# round-2 expansion: anisotropy companions, additional fitted variants, and
+# materials from the reference's inventory (reference checklist:
+# tidy3d/material_library/material_library.py variant lists; coefficients
+# below are from the cited primary literature, not from the reference)
+# --------------------------------------------------------------------------- #
+
+# extraordinary-ray companions of the uniaxial crystals
+_M["MgF2"].variants["Dodge1984_extraordinary"] = _sellmeier(
+    [(0.41344023, 0.03684262**2), (0.50497499, 0.09076162**2),
+     (2.4904862, 23.771995**2)],
+    "M. J. Dodge, Appl. Opt. 23, 1980 (1984) (extraordinary ray)")
+_M["Al2O3"].variants["Malitson1972_extraordinary"] = _sellmeier(
+    [(1.5039759, 0.0740288**2), (0.55069141, 0.1216529**2),
+     (6.5927379, 20.072248**2)],
+    "I. H. Malitson and M. J. Dodge (1972) (extraordinary ray)")
+_M["Sapphire"].variants["Malitson1972_extraordinary"] = \
+    _M["Al2O3"].variants["Malitson1972_extraordinary"]
+_M["LiNbO3"].variants["Zelmon1997_extraordinary"] = _sellmeier(
+    [(2.9804, 0.02047), (0.5981, 0.0666), (8.9543, 416.08)],
+    "D. E. Zelmon et al., J. Opt. Soc. Am. B 14, 3319 (1997) (extraordinary)")
+
+_add("CrystalQuartz", "Ghosh1999_ordinary",
+     Ghosh1999_ordinary=_sellmeier(
+         [(0.28604141, 1e-8), (1.07044083, 1.00585997e-2),
+          (1.10202242, 100.0)],
+         "G. Ghosh, Opt. Commun. 163, 95 (1999) (ordinary ray)"),
+     Ghosh1999_extraordinary=_sellmeier(
+         [(0.28851804, 1e-8), (1.09509924, 1.02101864e-2),
+          (1.15662475, 100.0)],
+         "G. Ghosh, Opt. Commun. 163, 95 (1999) (extraordinary ray)"))
+
+# additional fitted variants of existing materials
+_M["cSi"].variants["SalzbergVilla1957"] = _sellmeier(
+    [(10.6684293, 0.301516485**2), (0.0030434748, 1.13475115**2),
+     (1.54133408, 1104.0**2)],
+    "C. D. Salzberg and J. J. Villa, J. Opt. Soc. Am. 47, 244 (1957)")
+_M["SiO2"].variants["Palik_Lossless"] = _M["SiO2"].variants["Malitson1965"]
+_M["Ge"].variants["Barnes1979"] = _sellmeier(
+    [(8.56934, 1e-8), (6.59891, 0.665904), (0.1292641, 62.1**2)],
+    "N. P. Barnes and M. S. Piltch, J. Opt. Soc. Am. 69, 178 (1979) "
+    "(n^2 form refit; 2-14 um)")
+_M["H2O"].variants["Daimon2007"] = _sellmeier(
+    [(0.5684027565, 0.005101829712), (0.1726177391, 0.01821153936),
+     (0.02086189578, 0.02620722293), (0.1130748688, 10.69792721)],
+    "M. Daimon and A. Masumura, Appl. Opt. 46, 3811 (2007) (20 C)")
+
+# new dielectric materials
+_add("Diamond", "Peter1923",
+     Peter1923=_sellmeier(
+         [(4.3356, 0.1060**2), (0.3306, 0.1750**2)],
+         "F. Peter, Z. Phys. 15, 358 (1923); H. R. Phillip and E. A. Taft"))
+
+_add("GeO2", "Fleming1984",
+     Fleming1984=_sellmeier(
+         [(0.80686642, 0.068972606**2), (0.71815848, 0.15396605**2),
+          (0.85416831, 11.841931**2)],
+         "J. W. Fleming, Appl. Opt. 23, 4486 (1984)"))
+
+_add("BaF2", "Li1980",
+     Li1980=_sellmeier(
+         [(0.643356, 0.057789**2), (0.506762, 0.10968**2),
+          (3.8261, 46.3864**2)],
+         "H. H. Li, J. Phys. Chem. Ref. Data 9, 161 (1980)"))
+
+_add("Y2O3", "Nigara1968",
+     Nigara1968=_sellmeier(
+         [(2.578, 0.1387**2), (3.935, 22.936**2)],
+         "Y. Nigara, Jpn. J. Appl. Phys. 7, 404 (1968)"))
+
+_add("AlAs", "FernOnton1971",
+     FernOnton1971=_sellmeier(
+         [(1.0792, 1e-8), (6.0840, 0.2822**2), (1.900, 27.62**2)],
+         "R. E. Fern and A. Onton, J. Appl. Phys. 42, 3499 (1971)"))
+
+_add("ZnTe", "Marple1964",
+     Marple1964=_sellmeier(
+         [(3.27, 1e-8), (3.01, 0.142)],
+         "D. T. F. Marple, J. Appl. Phys. 35, 539 (1964) "
+         "(n^2 = 4.27 + 3.01 L/(L-0.142))"))
+
+_add("CdTe", "DeBell1979",
+     DeBell1979=_sellmeier(
+         [(6.1977889, 0.317069**2), (3.2243821, 72.0663**2)],
+         "A. G. DeBell et al., Appl. Opt. 18, 3114 (1979) (6-22 um fit, "
+         "accurate through the NIR)"))
+
+_add("MgO", "StephensMalitson1952",
+     StephensMalitson1952=_sellmeier(
+         [(1.111033, 0.0712465**2), (0.8460085, 0.1375204**2),
+          (7.808527, 26.89302**2)],
+         "R. E. Stephens and I. H. Malitson, J. Res. NBS 49 (1952) "
+         "(Sellmeier refit of the published dispersion)"))
+
+# oxide/ceramic thin-film materials — single-resonance Lorentz models anchored
+# at the commonly used telecom/visible index, with a UV pole giving the
+# correct normal dispersion trend
+_add("HfO2", "Lorentz",
+     Lorentz=_lorentz(1.0, [(2.54, 1.9e15, 0.0)],
+                      "UV-pole model anchored to n=1.88 @ 632 nm "
+                      "(typical ALD film, cf. Al-Kuhaili 2004)"))
+
+_add("Ta2O5", "Lorentz",
+     Lorentz=_lorentz(1.0, [(3.28, 1.72e15, 0.0)],
+                      "UV-pole model anchored to n=2.07 @ 1550 nm "
+                      "(typical sputtered film, cf. Gao 2012)"))
+
+_add("ZrO2", "Lorentz",
+     Lorentz=_lorentz(1.0, [(3.55, 1.85e15, 0.0)],
+                      "UV-pole model anchored to n=2.13 @ 632 nm "
+                      "(cf. Wood & Nassau 1982)"))
+
+_add("SiON", "Const",
+     Const=_const(1.65, ref="mid-composition oxynitride @ 1.55 um"))
+
+_add("SiO", "Const",
+     Const=_const(1.9, ref="silicon monoxide film, visible (Hass 1950s)"))
+
+# narrow-gap / III-V semiconductors (transparent-range index models)
+_add("InAs", "Const",
+     Const=_const(3.51, ref="n @ 3.7+ um transparent range (Palik tables)"))
+
+_add("GaSb", "Const",
+     Const=_const(3.82, ref="n @ 2+ um transparent range (Palik tables)"))
+
+_add("InSb", "Const",
+     Const=_const(3.95, ref="n @ 8-12 um transparent range (Palik tables)"))
+
+_add("AlGaN", "Const",
+     Const=_const(2.25, ref="Al0.3Ga0.7N visible (Brunner 1997 interp)"))
+
+_add("AlGaAs", "Const",
+     Const=_const(3.3, ref="Al0.3Ga0.7As @ 1.55 um (Gehrsitz 2000 interp)"))
+
+# 2D-material bulk effective indices (in-plane, telecom band)
+_add("MoSe2", "Const",
+     Const=_const(4.25, 0.1, freq=C_0 / 1.55,
+                  ref="bulk effective @ 1.55 um (Beal & Hughes 1979)"))
+
+_add("WS2", "Const",
+     Const=_const(4.0, 0.05, freq=C_0 / 1.55,
+                  ref="bulk effective @ 1.55 um (Beal & Hughes 1979)"))
+
+_add("WSe2", "Const",
+     Const=_const(4.4, 0.1, freq=C_0 / 1.55,
+                  ref="bulk effective @ 1.55 um (Beal & Hughes 1979)"))
+
+# polymers / organics
+_add("PET", "Const",
+     Const=_const(1.575, ref="polyethylene terephthalate, visible"))
+
+_add("PDMS", "Const",
+     Const=_const(1.4, ref="Sylgard 184 @ 1.55 um (Schneider 2009)"))
+
+_add("Parylene", "Const",
+     Const=_const(1.62, ref="parylene-C, visible"))
+
+_add("AminoAcid", "Const",
+     Const=_const(1.55, ref="generic amino-acid film, visible"))
+
+_add("AZO", "Drude",
+     Drude=_drude_lorentz(
+         3.8, [(1.6e15 / (2 * np.pi), 6.0e13 / (2 * np.pi))], [],
+         "Al:ZnO Drude model, epsilon_inf + plasma edge near 1.3 um "
+         "(cf. Naik 2013)"))
+
+# --------------------------------------------------------------------------- #
 # metals (Drude-Lorentz parameters: Rakic et al., Appl. Opt. 37, 5271 (1998))
 # plasma frequencies/damping in eV converted to Hz
 # --------------------------------------------------------------------------- #

@@ -504,14 +504,89 @@ class PallasKStepper:
     # the pallas call
     # ------------------------------------------------------------------ #
 
+    # ------------------------------------------------------------------ #
+    # static grid partition: interior programs never see psi x/y machinery
+    # ------------------------------------------------------------------ #
+
+    def _regions(self):
+        """Static partition of the (ni, nj) program grid by CPML
+        participation. psi x/y participation is a STATIC function of the
+        block index, so the grid splits into an interior region whose
+        pallas kernel contains NO psi x/y machinery at all (no scratch,
+        no guarded DMAs, no masked recursions — it compiles to the tight
+        vacuum kernel) plus thin boundary-strip regions carrying the full
+        machinery. Measured on v5e (384^3 + CPML): the single mega-kernel
+        pays the psi machinery in every program even though ~85% of
+        programs never touch a slab (superadditive VMEM/pipeline cost;
+        skip-psi ceiling 20.6 vs 13.0 Gcell*steps/s).
+
+        Regions are dicts (i0, ni_r, j0, nj_r, use_psix, use_psiy) in
+        bx/by block units; x strips span all j (they own the corners).
+        """
+        if getattr(self, "_regions_cache", None) is not None:
+            return self._regions_cache
+        nx, ny, _ = self.shape
+        ni, nj = nx // self.bx, ny // self.by
+        import os as _os
+        force_single = _os.environ.get("TIDY3D_TPU_KSTEP_SPLIT", "1") == "0"
+        kx_lo = kx_hi = 0
+        if self.psix_pack is not None:
+            px = self.psix_pack
+            if px["has_lo"]:
+                kx_lo = px["s_clamp_lo"] // self.bx + 1
+            if px["has_hi"]:
+                kx_hi = ni - px["s_min_hi"] // self.bx
+        ky_lo = 1 if "lo" in self.psiy_pack else 0
+        ky_hi = 1 if "hi" in self.psiy_pack else 0
+        ni_int = ni - kx_lo - kx_hi
+        nj_int = nj - ky_lo - ky_hi
+        full = dict(i0=0, ni_r=ni, j0=0, nj_r=nj,
+                    use_psix=True, use_psiy=True)
+        if force_single or (kx_lo + kx_hi + ky_lo + ky_hi == 0) \
+                or ni_int <= 0 or nj_int <= 0:
+            self._regions_cache = [full]
+            return self._regions_cache
+        regions = []
+        if kx_lo:
+            regions.append(dict(i0=0, ni_r=kx_lo, j0=0, nj_r=nj,
+                                use_psix=True, use_psiy=True))
+        if kx_hi:
+            regions.append(dict(i0=ni - kx_hi, ni_r=kx_hi, j0=0, nj_r=nj,
+                                use_psix=True, use_psiy=True))
+        if ky_lo:
+            regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=0, nj_r=ky_lo,
+                                use_psix=False, use_psiy=True))
+        if ky_hi:
+            regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=nj - ky_hi,
+                                nj_r=ky_hi, use_psix=False, use_psiy=True))
+        regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=ky_lo, nj_r=nj_int,
+                            use_psix=False, use_psiy=False))
+        self._regions_cache = regions
+        return regions
+
     def step_group(self, t0, view: dict, consts: dict, alt=None):
         """Advance (E, H, psi) by k steps starting at global step t0.
 
         `alt` (the ping-pong buffer set) supplies donation targets: each
         output is aliased onto the corresponding stale buffer so the
         outer time loop runs in-place (without this XLA copies every
-        field array per group to thread the while-loop carry).
+        field array per group to thread the while-loop carry). With the
+        static partition active, one pallas_call per region runs against
+        the same pre-group field state; outputs chain through the
+        donation targets (each call overwrites only its region's blocks).
         """
+        regions = self._regions()
+        cur_alias = alt
+        newE = newH = None
+        new_psi = dict(view["psi"])
+        for region in regions:
+            newE, newH, psi_out = self._region_call(
+                t0, view, consts, cur_alias, region)
+            new_psi.update(psi_out)
+            cur_alias = {"E": newE, "H": newH, "psi": new_psi}
+        return newE, newH, new_psi
+
+    def _region_call(self, t0, view: dict, consts: dict, alt, region):
         import os as _os
         _sk = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         _skip_psi = "psi" in _sk
@@ -523,7 +598,8 @@ class PallasKStepper:
         Wx, Wy = self.Wx, self.Wy
         dtype = self.dtype
         kc = consts["kstep"]
-        ni, nj = nx // bx, ny // by
+        i0, j0 = region["i0"], region["j0"]
+        ni, nj = region["ni_r"], region["nj_r"]
         rbx, rby = bx // hwx, by // hwy
         nbx_h, nby_h = nx // hwx, ny // hwy
         x_per = plan.boundaries[0][0] not in ("pec", "pmc")
@@ -539,22 +615,24 @@ class PallasKStepper:
             specs.append(spec)
 
         def xmap(xk):
+            # region offset i0 is in bx-block units; l/h pieces index in
+            # hwx units, m pieces in bx units
             if xk == "m":
-                return lambda b: b
+                return lambda b: b + i0
             if xk == "l":
-                return (lambda b: (b * rbx - 1) % nbx_h) if x_per \
-                    else (lambda b: jnp.maximum(b * rbx - 1, 0))
-            return (lambda b: (b * rbx + rbx) % nbx_h) if x_per \
-                else (lambda b: jnp.minimum(b * rbx + rbx, nbx_h - 1))
+                return (lambda b: ((b + i0) * rbx - 1) % nbx_h) if x_per \
+                    else (lambda b: jnp.maximum((b + i0) * rbx - 1, 0))
+            return (lambda b: ((b + i0) * rbx + rbx) % nbx_h) if x_per \
+                else (lambda b: jnp.minimum((b + i0) * rbx + rbx, nbx_h - 1))
 
         def ymap(yk):
             if yk == "m":
-                return lambda b: b
+                return lambda b: b + j0
             if yk == "l":
-                return (lambda b: (b * rby - 1) % nby_h) if y_per \
-                    else (lambda b: jnp.maximum(b * rby - 1, 0))
-            return (lambda b: (b * rby + rby) % nby_h) if y_per \
-                else (lambda b: jnp.minimum(b * rby + rby, nby_h - 1))
+                return (lambda b: ((b + j0) * rby - 1) % nby_h) if y_per \
+                    else (lambda b: jnp.maximum((b + j0) * rby - 1, 0))
+            return (lambda b: ((b + j0) * rby + rby) % nby_h) if y_per \
+                else (lambda b: jnp.minimum((b + j0) * rby + rby, nby_h - 1))
 
         def piece_spec(xk, yk, depth=nz):
             bsx = hwx if xk in "lh" else bx
@@ -596,25 +674,31 @@ class PallasKStepper:
                      "inv_h_x", "inv_h_y", "inv_h_z"):
             add(name, kc[name], full)
         for key in kc:
+            if key.startswith(("bx_", "cx_")) and not region["use_psix"]:
+                continue
+            if key.startswith(("by_", "cy_")) and not region["use_psiy"]:
+                continue
             if key.startswith(("bx_", "cx_", "by_", "cy_", "bz_", "cz_")):
                 add(key, kc[key], full)
         for si, sm in enumerate(self.src_meta):
             if sm["kind"] == "thin_z":
                 ze = sm["ze"]
                 add(f"src_{si}", kc[f"src_{si}"], pl.BlockSpec(
-                    (1, 1, Wx, ze, Wy), lambda b_i, b_j: (b_i, b_j, 0, 0, 0),
+                    (1, 1, Wx, ze, Wy),
+                    lambda b_i, b_j: (b_i + i0, b_j + j0, 0, 0, 0),
                     memory_space=pltpu.VMEM))
             else:
                 add(f"src_{si}", kc[f"src_{si}"], full)
         for name in self.var_coeffs:
             add(name, kc[name], pl.BlockSpec(memory_space=pltpu.ANY))
 
-        # packed x/y psi state arrays (one ANY-space input each)
+        # packed x/y psi state arrays (one ANY-space input each) — only in
+        # regions whose programs can participate (static partition)
         pack_keys = []
-        if self.psix_pack is not None and not _skip_psi \
-                and "psix" not in _sk:
+        if region["use_psix"] and self.psix_pack is not None \
+                and not _skip_psi and "psix" not in _sk:
             pack_keys.append("psix")
-        if not _skip_psi and "psiy" not in _sk:
+        if region["use_psiy"] and not _skip_psi and "psiy" not in _sk:
             for side in self.psiy_pack:
                 pack_keys.append(f"psiy_{side}")
         for key in pack_keys:
@@ -622,8 +706,9 @@ class PallasKStepper:
 
         out_shapes = [jax.ShapeDtypeStruct((nx, ny, nz), dtype)
                       for _ in range(6)]
-        out_specs = [pl.BlockSpec((bx, by, nz), lambda b_i, b_j: (b_i, b_j, 0),
-                                  memory_space=pltpu.VMEM) for _ in range(6)]
+        out_specs = [pl.BlockSpec(
+            (bx, by, nz), lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
+            memory_space=pltpu.VMEM) for _ in range(6)]
         out_names = [f"out_{c}" for c in E_COMPS + H_COMPS]
         for key in pack_keys:
             arr = view["psi"][key]
@@ -636,7 +721,8 @@ class PallasKStepper:
             arr = view["psi"][f"psiz_{fam}"]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(
-                (bx, by, self.psiz_L[fam]), lambda b_i, b_j: (b_i, b_j, 0),
+                (bx, by, self.psiz_L[fam]),
+                lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
                 memory_space=pltpu.VMEM))
             out_names.append(f"opsiz_{fam}")
 
@@ -677,7 +763,7 @@ class PallasKStepper:
 
         def kernel(*refs):
             r = dict(zip(all_names, refs))
-            stepper._kernel_body(r, pack_keys)
+            stepper._kernel_body(r, pack_keys, region)
 
         results = pl.pallas_call(
             kernel,
@@ -705,7 +791,7 @@ class PallasKStepper:
     # kernel body
     # ------------------------------------------------------------------ #
 
-    def _kernel_body(self, r, pack_keys):
+    def _kernel_body(self, r, pack_keys, region):
         import os as _os
         _skip = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         nx, ny, nz = self.shape
@@ -715,8 +801,8 @@ class PallasKStepper:
         boundaries = self.plan.boundaries
         dtype = self.dtype
 
-        b_i = pl.program_id(0)
-        b_j = pl.program_id(1)
+        b_i = pl.program_id(0) + region["i0"]
+        b_j = pl.program_id(1) + region["j0"]
         s = b_i * bx
         sy = b_j * by
         t0 = r["t0"][0, 0]

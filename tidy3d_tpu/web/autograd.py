@@ -205,6 +205,11 @@ def run_structure_gradients(
     data_adj = run_fn(sim_adj, task_name="adjoint_bwd", verbose=False)
 
     dt = simulation.dt
+    # identical to the rasterizer's local dl scales (solver/lowering.py)
+    avg_dls = tuple(
+        float(np.mean(np.diff(np.asarray(
+            simulation.grid.boundaries.to_list[a])))) for a in range(3))
+    dl_loc = float(np.mean(avg_dls))
     grads: Dict[int, Dict[PathLike, np.ndarray]] = {}
     for si, paths in traced.items():
         structure: Structure = simulation.structures[si]
@@ -221,7 +226,8 @@ def run_structure_gradients(
             E_adj=_field_tuple(md_adj, freq=freq0),
             eps_data=_eps_tuple(md_eps, freq0),
             eps_in=eps_in, eps_out=eps_out,
-            frequency=freq0, bounds=structure.geometry.bounds, dt=dt)
+            frequency=freq0, bounds=structure.geometry.bounds, dt=dt,
+            dl_loc=dl_loc, avg_dls=avg_dls)
         grads[si] = structure.compute_derivatives(
             [tuple(p) for p in paths], info)
     return value, grads, data_fwd
