@@ -141,15 +141,6 @@ def check_flux():
           f"ratio={g_adj / g_fd:.4f}")
 
 
-if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "eps"
-    if which.startswith("plane"):
-        check_plane(which.split(":")[1] if ":" in which else "Ez")
-    else:
-        dict(eps=check_eps, box=check_box, poly=check_polyslab,
-             flux=check_flux)[which]()
-
-
 def check_plane(comp="Ez"):
     """Single-component plane-monitor objective: isolates the
     CustomCurrentSource adjoint branch (E comps) and the magnetic branch
@@ -178,3 +169,45 @@ def check_plane(comp="Ez"):
     g_fd = (J_of_f(make(4.0 + h)) - J_of_f(make(4.0 - h))) / (2 * h)
     print(f"[plane {comp}]  adj={g_adj:.6e} fd={g_fd:.6e} "
           f"ratio={g_adj / g_fd:.4f}")
+
+
+def check_plane_single():
+    """Plane monitor but objective touches ONE sample: must reproduce the
+    validated point-dipole branch exactly."""
+    import tidy3d_tpu as td
+
+    def make(eps=4.0):
+        sim = make_sim(eps=eps)
+        mon = td.FieldMonitor(center=(0.65, 0, 0), size=(0, 0.6, 0.6),
+                              freqs=[FREQ0], colocate=False, name="plane")
+        return sim.copy(update=dict(monitors=(mon,)))
+
+    import os as _os
+    ix, iy, iz = (int(v) for v in
+                  _os.environ.get("SINGLE_IDX", "0,6,6").split(","))
+
+    def obj(fields):
+        return jnp.sum(jnp.abs(fields["plane"]["Ez"][ix, iy, iz]) ** 2)
+
+    def J_of_f(sim):
+        data = _web_run(sim, verbose=False)
+        f = _monitor_fields(data, ["plane"])
+        return float(np.sum(np.abs(f["plane"]["Ez"][ix, iy, iz]) ** 2))
+
+    val, grads, _ = run_structure_gradients(
+        make(), obj, {0: [("medium", "permittivity")]},
+        monitor_names=["plane"])
+    g_adj = grads[0][("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_f(make(4.0 + h)) - J_of_f(make(4.0 - h))) / (2 * h)
+    print(f"[plane-single Ez]  adj={g_adj:.6e} fd={g_fd:.6e} "
+          f"ratio={g_adj / g_fd:.4f}")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "eps"
+    if which.startswith("plane"):
+        check_plane(which.split(":")[1] if ":" in which else "Ez")
+    else:
+        dict(eps=check_eps, box=check_box, poly=check_polyslab,
+             flux=check_flux, single=check_plane_single)[which]()

@@ -206,13 +206,11 @@ class FieldData(AbstractFieldData, FieldDataset):
                 # H-sample VJPs enter through dJ = 2Re[w . dH] with
                 # H = curl E/(i w mu0): transposing the curl gives an
                 # effective E-space source curl(w)/(i w mu0), realized as
-                # the magnetic current M_adj = -w/(i w mu0). The kernel
-                # injects H-component dataset entries as H -= cb * prof,
-                # i.e. with the OPPOSITE sign convention (+M_eff), so the
-                # dataset value is +w/(i w mu0): same formula as the
-                # electric branch (FD-validated on a flux-like mixed E/H
-                # objective, scripts/adjoint_check.py flux)
-                sgn = 1.0
+                # the magnetic current M_adj = -w/(i w mu0) — the same
+                # delta normalization as the electric branch with opposite
+                # sign (FD-validated: plane |Hy|^2 objective ratio 1.0005,
+                # flux-like mixed E/H objective, scripts/adjoint_check.py)
+                sgn = -1.0 if name[0] == "H" else 1.0
                 dens = sgn * np.conj(g) * scale / cell_sizes(name, coords)
                 if point_like:
                     # one dipole per (non-zero-VJP) sample, at the sample's
@@ -237,8 +235,28 @@ class FieldData(AbstractFieldData, FieldDataset):
                     dens[..., None] if dens.ndim == 3 else dens,
                     coords={**coords, "f": np.array([freq0])})
             if comps:
+                # the source box must span the SAMPLE extent, not the
+                # monitor box: plane monitors store +-1 extra layers along
+                # their normal (for colocation), and a zero-thickness box
+                # would silently drop those layers' VJPs
+                lo = [np.inf] * 3
+                hi = [-np.inf] * 3
+                pad = [0.0] * 3
+                for arr in comps.values():
+                    for ax, d in enumerate("xyz"):
+                        c = np.asarray(arr.coords[d], dtype=float)
+                        lo[ax] = min(lo[ax], c.min())
+                        hi[ax] = max(hi[ax], c.max())
+                        if len(c) > 1:
+                            pad[ax] = max(pad[ax],
+                                          0.45 * float(np.min(np.diff(c))))
+                # pad below half a cell so edge samples survive the
+                # lowering's in-box test under fp rounding, without
+                # capturing any extra Yee layer
+                center = tuple(0.5 * (a + b) for a, b in zip(lo, hi))
+                size = tuple((b - a) + 2 * p for a, b, p in zip(lo, hi, pad))
                 sources.append(CustomCurrentSource(
-                    center=self.monitor.center, size=self.monitor.size,
+                    center=center, size=size,
                     source_time=GaussianPulse(freq0=float(freq0),
                                               fwidth=fwidth),
                     current_dataset=comps))
@@ -769,6 +787,118 @@ class DiffractionData(MonitorData):
             "orders_y": self.amps.coords["orders_y"],
             "f": self.amps.coords["f"]},
             dims=("orders_x", "orders_y", "f"))
+
+    def make_adjoint_sources(self, dataset_names, fwidth: float, grid=None):
+        """Adjoint current sheet from diffraction-order amplitude VJPs
+        (reference behavior: monitor_data.py DiffractionData
+        make_adjoint_sources:2923). The order amplitudes are linear in
+        the plane's tangential E fields (Fourier projection against
+        exp(-i k_t . r) with area weights, s/p decomposition with
+        obliquity folding — web/run.py _make_diffraction_data), so the
+        VJP transposes to a current sheet whose pattern is the conjugate
+        Fourier kernel weighted by the amp VJPs; densities follow the
+        same per-sample delta normalization as FieldData.
+
+        Requires ``grid`` (to rebuild the plane sample coords and cell
+        volumes) and ``self.medium`` for the background index.
+        """
+        from ..source import CustomCurrentSource, GaussianPulse
+        from ...constants import C_0, MU_0
+        from ...solver.lowering_utils import yee_coords
+        from .data_array import ScalarFieldDataArray
+
+        g_amp = np.asarray(self.amps.values)  # (mb, nc, nf, 2)
+        if np.all(g_amp == 0) or grid is None:
+            return []
+        monitor = self.monitor
+        axis = tuple(monitor.size).index(0.0)
+        b_ax, c_ax = (axis + 1) % 3, (axis + 2) % 3
+        b_dim, c_dim = "xyz"[b_ax], "xyz"[c_ax]
+        rmin, rmax = monitor.bounds
+        # colocation target grid: in-plane coords of E{b_dim} (matches
+        # _colocated_tangential_fields / _make_diffraction_data)
+        eb_coords = yee_coords(grid, f"E{b_dim}")
+        bb = np.asarray(eb_coords[b_dim], dtype=float)
+        cc = np.asarray(eb_coords[c_dim], dtype=float)
+        bb = bb[(bb >= rmin[b_ax] - 1e-9) & (bb <= rmax[b_ax] + 1e-9)]
+        cc = cc[(cc >= rmin[c_ax] - 1e-9) & (cc <= rmax[c_ax] + 1e-9)]
+        if len(bb) == 0 or len(cc) == 0:
+            return []
+        Lb, Lc = self.sim_size
+        Lb_eff = Lb if Lb > 0 else 1.0
+        Lc_eff = Lc if Lc > 0 else 1.0
+        wb = np.gradient(bb) if len(bb) > 1 else np.array([Lb_eff])
+        wc = np.gradient(cc) if len(cc) > 1 else np.array([Lc_eff])
+        w2 = (wb[:, None] * wc[None, :]) / (Lb_eff * Lc_eff)
+        eps_bg = self.medium.eps_model(float(self.amps.coords["f"][0])) \
+            if self.medium is not None else 1.0
+        n_med = float(np.real(np.sqrt(eps_bg)))
+        kb0 = 2 * np.pi * self.bloch_vecs[0] / Lb if Lb > 0 else 0.0
+        kc0 = 2 * np.pi * self.bloch_vecs[1] / Lc if Lc > 0 else 0.0
+        # normal thickness of the sample layer for the delta normalization
+        bounds_a = np.asarray(grid.boundaries.to_list[axis])
+        a_pos = float(monitor.center[axis])
+        dl_a = float(np.mean(np.diff(bounds_a))) if len(bounds_a) > 1 else 1.0
+
+        sources = []
+        freqs = np.atleast_1d(np.asarray(self.amps.coords["f"], dtype=float))
+        orders_b = self.orders_x
+        orders_c = self.orders_y
+        for fi, freq0 in enumerate(freqs):
+            omega0 = 2 * np.pi * float(freq0)
+            scale = 1.0 / (2j * omega0 * MU_0)
+            k0 = omega0 * n_med / C_0
+            g_eb = np.zeros((len(bb), len(cc)), dtype=complex)
+            g_ec = np.zeros((len(bb), len(cc)), dtype=complex)
+            for mi_, m in enumerate(orders_b):
+                for ni_, n in enumerate(orders_c):
+                    g_s = g_amp[mi_, ni_, fi, 0]
+                    g_p = g_amp[mi_, ni_, fi, 1]
+                    if g_s == 0 and g_p == 0:
+                        continue
+                    kb = kb0 + (2 * np.pi * m / Lb if Lb > 0 else 0.0)
+                    kc = kc0 + (2 * np.pi * n / Lc if Lc > 0 else 0.0)
+                    kt2 = kb**2 + kc**2
+                    if kt2 >= k0**2:
+                        continue
+                    if kt2 > 0:
+                        ub, uc = kb / np.sqrt(kt2), kc / np.sqrt(kt2)
+                    else:
+                        ub, uc = 1.0, 0.0
+                    cos_t = np.sqrt(k0**2 - kt2) / k0
+                    sq = np.sqrt(cos_t)
+                    # transpose of the s/p decomposition (real coefficients)
+                    g_cb = -uc * sq * g_s + ub / sq * g_p
+                    g_cc = ub * sq * g_s + uc / sq * g_p
+                    kern = np.exp(-1j * (kb * bb[:, None] + kc * cc[None, :]))
+                    g_eb += np.conj(kern * w2) * g_cb
+                    g_ec += np.conj(kern * w2) * g_cc
+            if np.all(g_eb == 0) and np.all(g_ec == 0):
+                continue
+            vols = (wb[:, None] * wc[None, :]) * dl_a
+            comps = {}
+            for name, g in ((f"E{b_dim}", g_eb), (f"E{c_dim}", g_ec)):
+                if np.all(g == 0):
+                    continue
+                dens = np.conj(g) * scale / vols
+                shape3 = [1, 1, 1]
+                shape3[b_ax] = len(bb)
+                shape3[c_ax] = len(cc)
+                vals = np.moveaxis(dens[..., None], (0, 1, 2),
+                                   (b_ax, c_ax, axis)).reshape(
+                    shape3 + [1])
+                coords3 = {b_dim: bb, c_dim: cc, "xyz"[axis]: [a_pos],
+                           "f": np.array([float(freq0)])}
+                comps[name] = ScalarFieldDataArray(
+                    vals, coords={d: np.asarray(coords3[d])
+                                  for d in ("x", "y", "z", "f")})
+            if comps:
+                sources.append(CustomCurrentSource(
+                    center=monitor.center, size=monitor.size,
+                    source_time=GaussianPulse(freq0=float(freq0),
+                                              fwidth=fwidth),
+                    current_dataset=comps))
+        return sources
 
 
 MonitorDataType = Union[

@@ -280,6 +280,112 @@ def compute_modes(
     return fields, n_complex
 
 
+def _shear_tensor(angle_theta: float, angle_phi: float) -> np.ndarray:
+    """Constant tensor pattern T = A A^T of the angled-propagation shear.
+
+    Reference behavior: plugins/mode/transforms.py angled_transform:74 —
+    a coordinate shear maps the tilted propagation direction onto the new
+    normal axis, turning a scalar permittivity into eps' = eps * T with
+
+        A = [[1, 0, -tx], [0, 1, -ty], [0, 0, 1]],  det A = 1,
+        tx = tan(theta) cos(phi), ty = tan(theta) sin(phi),
+
+    identically for mu. The solved beta' is the propagation constant
+    along the tilted direction scaled by 1/cos(theta):
+    n_eff = beta' cos(theta) / k0.
+    """
+    tx = np.tan(angle_theta) * np.cos(angle_phi)
+    ty = np.tan(angle_theta) * np.sin(angle_phi)
+    A = np.array([[1.0, 0.0, -tx], [0.0, 1.0, -ty], [0.0, 0.0, 1.0]])
+    return A @ A.T
+
+
+def _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0: float,
+                      masks, num_modes: int, sigma_beta: complex):
+    """4N x 4N first-order tensorial eigenproblem i beta v = L v on
+    v = (Ex, Ey, hx, hy) with full 3x3 eps and mu tensors
+    (reference behavior: plugins/mode/solver.py solver_tensorial:594).
+
+    Derivation (h = eta0 H, all D include the PML stretches): the z-rows
+    of the two curl equations express Ez, hz in terms of the transverse
+    fields; substituting into the transverse rows gives
+
+      i b Ex =  i k0 (mu_yx hx + mu_yy hy + mu_yz hz) + Dxf Ez
+      i b Ey = -i k0 (mu_xx hx + mu_xy hy + mu_xz hz) + Dyf Ez
+      i b hx = -i k0 (eps_yx Ex + eps_yy Ey + eps_yz Ez) + Dxb hz
+      i b hy = +i k0 (eps_xx Ex + eps_xy Ey + eps_xz Ez) + Dyb hz
+
+      Ez = (1/eps_zz) [-(Dxb hy - Dyb hx)/(i k0) - eps_zx Ex - eps_zy Ey]
+      hz = (1/mu_zz)  [ (Dxf Ey - Dyf Ex)/(i k0) - mu_zx hx - mu_zy hy]
+
+    ``eps_t``/``mu_t``: (3, 3) nested lists of length-N complex vectors.
+    ``masks``: (mask_x, mask_y) PEC wall masks for the tangential E rows.
+    Returns (betas, vecs (4N, M)).
+    """
+    N = Dxf.shape[0]
+    ik0 = 1j * k0
+
+    def dia(v):
+        return sp.diags(np.asarray(v, dtype=complex))
+
+    inv_ezz = dia(1.0 / eps_t[2][2])
+    inv_mzz = dia(1.0 / mu_t[2][2])
+    # Ez = Ce_x Ex + Ce_y Ey + Ch_x hx + Ch_y hy
+    Ce_x = -inv_ezz @ dia(eps_t[2][0])
+    Ce_y = -inv_ezz @ dia(eps_t[2][1])
+    Ch_x = (1.0 / ik0) * (inv_ezz @ Dyb)
+    Ch_y = -(1.0 / ik0) * (inv_ezz @ Dxb)
+    # hz = De_x Ex + De_y Ey + Dh_x hx + Dh_y hy
+    De_x = -(1.0 / ik0) * (inv_mzz @ Dyf)
+    De_y = (1.0 / ik0) * (inv_mzz @ Dxf)
+    Dh_x = -inv_mzz @ dia(mu_t[2][0])
+    Dh_y = -inv_mzz @ dia(mu_t[2][1])
+
+    def row(prefac_tensor_row, hz_or_ez, deriv, tensor, tensor_z):
+        """Common structure: pre * (t_x X + t_y Y + t_z Z) + D Z2."""
+        return None
+
+    # row 1: i b Ex
+    L11 = ik0 * dia(mu_t[1][2]) @ De_x + Dxf @ Ce_x
+    L12 = ik0 * dia(mu_t[1][2]) @ De_y + Dxf @ Ce_y
+    L13 = ik0 * (dia(mu_t[1][0]) + dia(mu_t[1][2]) @ Dh_x) + Dxf @ Ch_x
+    L14 = ik0 * (dia(mu_t[1][1]) + dia(mu_t[1][2]) @ Dh_y) + Dxf @ Ch_y
+    # row 2: i b Ey
+    L21 = -ik0 * dia(mu_t[0][2]) @ De_x + Dyf @ Ce_x
+    L22 = -ik0 * dia(mu_t[0][2]) @ De_y + Dyf @ Ce_y
+    L23 = -ik0 * (dia(mu_t[0][0]) + dia(mu_t[0][2]) @ Dh_x) + Dyf @ Ch_x
+    L24 = -ik0 * (dia(mu_t[0][1]) + dia(mu_t[0][2]) @ Dh_y) + Dyf @ Ch_y
+    # row 3: i b hx
+    L31 = -ik0 * (dia(eps_t[1][0]) + dia(eps_t[1][2]) @ Ce_x) + Dxb @ De_x
+    L32 = -ik0 * (dia(eps_t[1][1]) + dia(eps_t[1][2]) @ Ce_y) + Dxb @ De_y
+    L33 = -ik0 * dia(eps_t[1][2]) @ Ch_x + Dxb @ Dh_x
+    L34 = -ik0 * dia(eps_t[1][2]) @ Ch_y + Dxb @ Dh_y
+    # row 4: i b hy
+    L41 = ik0 * (dia(eps_t[0][0]) + dia(eps_t[0][2]) @ Ce_x) + Dyb @ De_x
+    L42 = ik0 * (dia(eps_t[0][1]) + dia(eps_t[0][2]) @ Ce_y) + Dyb @ De_y
+    L43 = ik0 * dia(eps_t[0][2]) @ Ch_x + Dyb @ Dh_x
+    L44 = ik0 * dia(eps_t[0][2]) @ Ch_y + Dyb @ Dh_y
+
+    mask_x, mask_y = masks
+    Px = sp.diags(mask_x.ravel().astype(complex))
+    Py = sp.diags(mask_y.ravel().astype(complex))
+    I = sp.identity(N, dtype=complex)
+    P = sp.block_diag([Px, Py, I, I]).tocsr()
+    L = sp.bmat([[L11, L12, L13, L14],
+                 [L21, L22, L23, L24],
+                 [L31, L32, L33, L34],
+                 [L41, L42, L43, L44]]).tocsr()
+    L = (P @ L @ P).tocsr()
+
+    if 4 * N <= 2 * DENSE_SIZE_CUTOFF:
+        vals, vecs = np.linalg.eig(L.toarray())
+    else:
+        vals, vecs = spl.eigs(L, k=min(4 * num_modes + 8, 4 * N - 2),
+                              sigma=1j * sigma_beta, which="LM")
+    betas = vals / 1j
+    return betas, vecs
+
+
 def _pml_stretch(bounds: np.ndarray, num_pml: int):
     """1/s stretch factor arrays at boundary-located and center-located points."""
     n = len(bounds) - 1

@@ -541,26 +541,36 @@ class PallasKStepper:
         ni_int = ni - kx_lo - kx_hi
         nj_int = nj - ky_lo - ky_hi
         full = dict(i0=0, ni_r=ni, j0=0, nj_r=nj,
-                    use_psix=True, use_psiy=True)
+                    use_psix=True, use_psiy=True, x_static=False,
+                    y_static=False, psiy_sides=("lo", "hi"))
         if force_single or (kx_lo + kx_hi + ky_lo + ky_hi == 0) \
                 or ni_int <= 0 or nj_int <= 0:
             self._regions_cache = [full]
             return self._regions_cache
         regions = []
+        # x strips: every program x-participates (static) -> psi DMAs run
+        # unguarded and the scratch sanitize is skipped (all scratch holds
+        # real DMA'd state). y strips: same for their single y side.
         if kx_lo:
             regions.append(dict(i0=0, ni_r=kx_lo, j0=0, nj_r=nj,
-                                use_psix=True, use_psiy=True))
+                                use_psix=True, use_psiy=True, x_static=True,
+                                y_static=False, psiy_sides=("lo", "hi")))
         if kx_hi:
             regions.append(dict(i0=ni - kx_hi, ni_r=kx_hi, j0=0, nj_r=nj,
-                                use_psix=True, use_psiy=True))
+                                use_psix=True, use_psiy=True, x_static=True,
+                                y_static=False, psiy_sides=("lo", "hi")))
         if ky_lo:
             regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=0, nj_r=ky_lo,
-                                use_psix=False, use_psiy=True))
+                                use_psix=False, use_psiy=True, x_static=False,
+                                y_static=True, psiy_sides=("lo",)))
         if ky_hi:
             regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=nj - ky_hi,
-                                nj_r=ky_hi, use_psix=False, use_psiy=True))
+                                nj_r=ky_hi, use_psix=False, use_psiy=True,
+                                x_static=False, y_static=True,
+                                psiy_sides=("hi",)))
         regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=ky_lo, nj_r=nj_int,
-                            use_psix=False, use_psiy=False))
+                            use_psix=False, use_psiy=False, x_static=False,
+                            y_static=False, psiy_sides=()))
         self._regions_cache = regions
         return regions
 
@@ -700,7 +710,8 @@ class PallasKStepper:
             pack_keys.append("psix")
         if region["use_psiy"] and not _skip_psi and "psiy" not in _sk:
             for side in self.psiy_pack:
-                pack_keys.append(f"psiy_{side}")
+                if side in region["psiy_sides"]:
+                    pack_keys.append(f"psiy_{side}")
         for key in pack_keys:
             add(key, view["psi"][key], pl.BlockSpec(memory_space=pltpu.ANY))
 
@@ -838,8 +849,16 @@ class PallasKStepper:
                 return ref.at[pl.ds(x_off, Wx), :, pl.ds(sy, Wy), :]
             return ref.at[pl.ds(s, Wx), :, :, :]
 
+        x_static = region.get("x_static", False)
+        y_static = region.get("y_static", False)
+
         def psi_cond(key):
-            return x_part if key == "psix" else y_part[key[5:]]
+            # None = statically participating (strip regions): DMAs run
+            # unguarded and pipeline; sanitize is skipped (scratch holds
+            # real DMA-d state; pad rows in the arrays are true zeros)
+            if key == "psix":
+                return None if x_static else x_part
+            return None if y_static else y_part[key[5:]]
 
         # guarded psi reads — one packed DMA per state array (the psi
         # machinery cost was dominated by per-slab semaphore/branch ops;
@@ -851,10 +870,12 @@ class PallasKStepper:
                 sems.at[dma_idx[0]])
             dma_idx[0] += 1
             cond = psi_cond(key)
-
-            @pl.when(cond)
-            def _(dma=dma):
+            if cond is None:
                 dma.start()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.start()
             read_waits.append((dma, cond))
         for name in self.var_coeffs:
             dma = pltpu.make_async_copy(
@@ -898,7 +919,7 @@ class PallasKStepper:
         x_clamped = boundaries[0][0] in ("pec", "pmc")
         gy_in = jnp.logical_and(gy >= 0, gy < ny)
         gx_in = jnp.logical_and(gx >= 0, gx < nx)
-        if "psix" in pack_keys:
+        if "psix" in pack_keys and not x_static:
             sref = r["s_psix"]
             bvec4 = r["bx_pk"][pl.ds(x_off, Wx)]           # (Wx, 4, 1, 1)
             valid = jnp.logical_and(x_part, bvec4 != 0.0)
@@ -909,7 +930,7 @@ class PallasKStepper:
                                 jnp.zeros((), sref.dtype))
         for side in ("lo", "hi"):
             key = f"psiy_{side}"
-            if key not in pack_keys:
+            if key not in pack_keys or y_static:
                 continue
             sref = r[f"s_{key}"]
             valid = y_part[side]
@@ -1047,9 +1068,13 @@ class PallasKStepper:
             if comp in px_index and "psix" in pack_keys:
                 ci, sgn = px_index[comp]
                 d = d_by_axis[0]
-                pmul = x_part.astype(jnp.float32)
-                bvec = r["bx_pk"][pl.ds(x_off, Wx), ci] * pmul
-                cvec = r["cx_pk"][pl.ds(x_off, Wx), ci] * pmul
+                if x_static:
+                    bvec = r["bx_pk"][pl.ds(x_off, Wx), ci]
+                    cvec = r["cx_pk"][pl.ds(x_off, Wx), ci]
+                else:
+                    pmul = x_part.astype(jnp.float32)
+                    bvec = r["bx_pk"][pl.ds(x_off, Wx), ci] * pmul
+                    cvec = r["cx_pk"][pl.ds(x_off, Wx), ci] * pmul
                 psi_new = bvec * psi_get("psix", ci) + cvec * d
                 psi_put("psix", ci, psi_new)
                 out = out + ((sign * sgn) * cb) * psi_new
@@ -1059,10 +1084,14 @@ class PallasKStepper:
                     continue
                 ci, sgn, width = py_index[(comp, side)]
                 r0 = hwy if side == "lo" else hwy + by - width
-                pmul = y_part[side].astype(jnp.float32)
                 d_slab = d_by_axis[1][:, r0:r0 + width, :]
-                bv = r[f"by_pk_{side}"][:, ci] * pmul
-                cv = r[f"cy_pk_{side}"][:, ci] * pmul
+                if y_static:
+                    bv = r[f"by_pk_{side}"][:, ci]
+                    cv = r[f"cy_pk_{side}"][:, ci]
+                else:
+                    pmul = y_part[side].astype(jnp.float32)
+                    bv = r[f"by_pk_{side}"][:, ci] * pmul
+                    cv = r[f"cy_pk_{side}"][:, ci] * pmul
                 psi_new = bv * psi_get(f"psiy_{side}", ci) + cv * d_slab
                 psi_put(f"psiy_{side}", ci, psi_new)
                 cb_eff = (sign * sgn) * cb
@@ -1215,6 +1244,17 @@ class PallasKStepper:
         # their edge core slabs to the opposite pads.
         # scratch already holds the final psi state (updated in place
         # every substep) — write-back is pure DMA
+        def start_guarded(dma, cond):
+            if cond is None:
+                dma.start()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.start()
+
+        def and_cond(cond, extra):
+            return extra if cond is None else jnp.logical_and(cond, extra)
+
         write_waits = []
         for key in pack_keys:
             sref = r[f"s_{key}"]
@@ -1227,34 +1267,25 @@ class PallasKStepper:
                             pl.ds(sy + hwy, by), :],
                     sems.at[dma_idx[0]])
                 dma_idx[0] += 1
-
-                @pl.when(cond)
-                def _(dma=dma):
-                    dma.start()
+                start_guarded(dma, cond)
                 write_waits.append((dma, cond))
                 if not y_clamped and hwy:
-                    c_lo = jnp.logical_and(cond, sy == 0)
+                    c_lo = and_cond(cond, sy == 0)
                     d1 = pltpu.make_async_copy(
                         sref.at[hwx:hwx + bx, :, hwy:2 * hwy, :],
                         oref.at[pl.ds(x_off + hwx, bx), :,
                                 ny + hwy:ny + 2 * hwy, :],
                         sems.at[dma_idx[0]])
                     dma_idx[0] += 1
-
-                    @pl.when(c_lo)
-                    def _(dma=d1):
-                        dma.start()
+                    start_guarded(d1, c_lo)
                     write_waits.append((d1, c_lo))
-                    c_hi = jnp.logical_and(cond, sy + by == ny)
+                    c_hi = and_cond(cond, sy + by == ny)
                     d2 = pltpu.make_async_copy(
                         sref.at[hwx:hwx + bx, :, by:by + hwy, :],
                         oref.at[pl.ds(x_off + hwx, bx), :, 0:hwy, :],
                         sems.at[dma_idx[0]])
                     dma_idx[0] += 1
-
-                    @pl.when(c_hi)
-                    def _(dma=d2):
-                        dma.start()
+                    start_guarded(d2, c_hi)
                     write_waits.append((d2, c_hi))
             else:
                 dma = pltpu.make_async_copy(
@@ -1262,35 +1293,29 @@ class PallasKStepper:
                     oref.at[pl.ds(s + hwx, bx), :, :, :],
                     sems.at[dma_idx[0]])
                 dma_idx[0] += 1
-
-                @pl.when(cond)
-                def _(dma=dma):
-                    dma.start()
+                start_guarded(dma, cond)
                 write_waits.append((dma, cond))
                 if not x_clamped and hwx:
-                    c_lo = jnp.logical_and(cond, s == 0)
+                    c_lo = and_cond(cond, s == 0)
                     d1 = pltpu.make_async_copy(
                         sref.at[hwx:2 * hwx, :, :, :],
                         oref.at[nx + hwx:nx + 2 * hwx, :, :, :],
                         sems.at[dma_idx[0]])
                     dma_idx[0] += 1
-
-                    @pl.when(c_lo)
-                    def _(dma=d1):
-                        dma.start()
+                    start_guarded(d1, c_lo)
                     write_waits.append((d1, c_lo))
-                    c_hi = jnp.logical_and(cond, s + bx == nx)
+                    c_hi = and_cond(cond, s + bx == nx)
                     d2 = pltpu.make_async_copy(
                         sref.at[bx:bx + hwx, :, :, :],
                         oref.at[0:hwx, :, :, :],
                         sems.at[dma_idx[0]])
                     dma_idx[0] += 1
-
-                    @pl.when(c_hi)
-                    def _(dma=d2):
-                        dma.start()
+                    start_guarded(d2, c_hi)
                     write_waits.append((d2, c_hi))
         for dma, cond in write_waits:
-            @pl.when(cond)
-            def _(dma=dma):
+            if cond is None:
                 dma.wait()
+            else:
+                @pl.when(cond)
+                def _(dma=dma):
+                    dma.wait()

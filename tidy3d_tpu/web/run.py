@@ -434,7 +434,8 @@ def _make_diffraction_data(simulation, mp, raw_mon):
     bloch_b = getattr(simulation.boundary_spec.to_list[b_ax][0], "bloch_vec", 0.0) or 0.0
     bloch_c = getattr(simulation.boundary_spec.to_list[c_ax][0], "bloch_vec", 0.0) or 0.0
     return DiffractionData(monitor=monitor, amps=amps_da,
-                           sim_size=(Lb, Lc), bloch_vecs=(bloch_b, bloch_c))
+                           sim_size=(Lb, Lc), bloch_vecs=(bloch_b, bloch_c),
+                           medium=simulation.medium)
 
 
 def _make_mode_data(simulation, mp, raw_mon):
