@@ -142,9 +142,6 @@ class ModeSolver(Tidy3dBaseModel):
         num_modes = self.mode_spec.num_modes
         a = self.normal_axis
         b, c = self.plane_axes
-        if self.mode_spec.angle_theta != 0.0:
-            log.warning("angled mode planes are not yet supported by the native "
-                        "mode solver; solving at normal incidence.")
 
         field_arrays = {comp: [] for comp in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz")}
         n_complex = np.zeros((len(freqs), num_modes), dtype=complex)

@@ -234,6 +234,17 @@ def compute_modes(
         n_target = n_max
     sigma = (n_target * k0) ** 2
 
+    # angled propagation: shear transform -> full-tensor eps/mu ->
+    # 4N x 4N first-order eigenproblem (reference: transforms.py:74 +
+    # solver.py solver_tensorial:594)
+    theta = float(getattr(mode_spec, "angle_theta", 0.0) or 0.0)
+    phi = float(getattr(mode_spec, "angle_phi", 0.0) or 0.0)
+    if theta != 0.0:
+        return _compute_modes_angled(
+            eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
+            Dxf, Dxb, Dyf, Dyb, k0, theta, phi, n_target, n_max,
+            num_modes, (mask_x, mask_y, mask_z), nx, ny, direction)
+
     # request extra eigenpairs so spurious ones can be filtered out
     num_request = min(num_modes + 4, 2 * N - 2)
     if 2 * N <= DENSE_SIZE_CUTOFF:
@@ -280,6 +291,67 @@ def compute_modes(
     return fields, n_complex
 
 
+def _compute_modes_angled(eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
+                          Dxf, Dxb, Dyf, Dyb, k0, theta, phi, n_target,
+                          n_max, num_modes, masks, nx, ny, direction):
+    """Angled-propagation solve via the shear transform + tensorial
+    eigenproblem. Returns (fields, n_complex) with
+    n_eff = beta' cos(theta)/k0 (the index along the tilted direction);
+    in-plane field components are physical (the shear leaves tangential
+    components unchanged — A^T acts only on the normal component)."""
+    mask_x, mask_y, mask_z = masks
+    T = _shear_tensor(theta, phi)
+    eps_rows = (eps_xx.ravel(), eps_yy.ravel(), eps_zz.ravel())
+    mu_rows = (np.asarray(mu_xx).ravel(), np.asarray(mu_yy).ravel(),
+               np.asarray(mu_zz).ravel())
+    eps_t = [[T[i, j] * eps_rows[i] for j in range(3)] for i in range(3)]
+    mu_t = [[T[i, j] * mu_rows[i] for j in range(3)] for i in range(3)]
+    cos_t = np.cos(theta)
+    sigma_beta = n_target * k0 / cos_t
+    betas, vecs = _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0,
+                                    (mask_x, mask_y, mask_z), num_modes,
+                                    sigma_beta)
+    n_eff_all = betas * cos_t / k0
+    order = np.argsort(-np.real(n_eff_all))
+    keep = []
+    for idx in order:
+        ne = n_eff_all[idx]
+        if np.real(ne) > n_max * (1 + 1e-6) or np.real(ne) <= 0:
+            continue
+        keep.append(idx)
+    if len(keep) < num_modes:
+        extras = [i for i in order if i not in keep]
+        keep = keep + extras[: num_modes - len(keep)]
+    keep = keep[:num_modes]
+    n_complex = n_eff_all[keep]
+
+    N = nx * ny
+    ik0 = 1j * k0
+    inv_ezz = 1.0 / eps_t[2][2]
+    inv_mzz = 1.0 / mu_t[2][2]
+    fields = {name: np.zeros((nx, ny, len(keep)), dtype=complex)
+              for name in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz")}
+    for mi, idx in enumerate(keep):
+        v = vecs[:, idx]
+        ex, ey, hx, hy = v[:N], v[N:2 * N], v[2 * N:3 * N], v[3 * N:]
+        ez = inv_ezz * (-(Dxb @ hy - Dyb @ hx) / ik0
+                        - eps_t[2][0] * ex - eps_t[2][1] * ey)
+        ez = ez * mask_z.ravel()
+        hz = inv_mzz * ((Dxf @ ey - Dyf @ ex) / ik0
+                        - mu_t[2][0] * hx - mu_t[2][1] * hy)
+        fields["Ex"][:, :, mi] = ex.reshape(nx, ny)
+        fields["Ey"][:, :, mi] = ey.reshape(nx, ny)
+        fields["Ez"][:, :, mi] = ez.reshape(nx, ny)
+        fields["Hx"][:, :, mi] = hx.reshape(nx, ny) / ETA_0
+        fields["Hy"][:, :, mi] = hy.reshape(nx, ny) / ETA_0
+        fields["Hz"][:, :, mi] = hz.reshape(nx, ny) / ETA_0
+    if direction == "-":
+        fields["Hx"] = -fields["Hx"]
+        fields["Hy"] = -fields["Hy"]
+        fields["Ez"] = -fields["Ez"]
+    return fields, n_complex
+
+
 def _shear_tensor(angle_theta: float, angle_phi: float) -> np.ndarray:
     """Constant tensor pattern T = A A^T of the angled-propagation shear.
 
@@ -319,7 +391,10 @@ def _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0: float,
       hz = (1/mu_zz)  [ (Dxf Ey - Dyf Ex)/(i k0) - mu_zx hx - mu_zy hy]
 
     ``eps_t``/``mu_t``: (3, 3) nested lists of length-N complex vectors.
-    ``masks``: (mask_x, mask_y) PEC wall masks for the tangential E rows.
+    ``masks``: (mask_x, mask_y, mask_z) PEC wall masks: tangential E rows
+    are projected out on their walls, and Ez is pinned on the plane-edge
+    rows through the masked 1/eps_zz (exactly as the diagonal path's
+    ``inv_eps_z = Pz @ diags(1/eps_zz)``).
     Returns (betas, vecs (4N, M)).
     """
     N = Dxf.shape[0]
@@ -328,7 +403,9 @@ def _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0: float,
     def dia(v):
         return sp.diags(np.asarray(v, dtype=complex))
 
-    inv_ezz = dia(1.0 / eps_t[2][2])
+    mask_x, mask_y, mask_z = masks
+    Pz = sp.diags(np.asarray(mask_z, dtype=complex).ravel())
+    inv_ezz = Pz @ dia(1.0 / eps_t[2][2])
     inv_mzz = dia(1.0 / mu_t[2][2])
     # Ez = Ce_x Ex + Ce_y Ey + Ch_x hx + Ch_y hy
     Ce_x = -inv_ezz @ dia(eps_t[2][0])
@@ -340,10 +417,6 @@ def _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0: float,
     De_y = (1.0 / ik0) * (inv_mzz @ Dxf)
     Dh_x = -inv_mzz @ dia(mu_t[2][0])
     Dh_y = -inv_mzz @ dia(mu_t[2][1])
-
-    def row(prefac_tensor_row, hz_or_ez, deriv, tensor, tensor_z):
-        """Common structure: pre * (t_x X + t_y Y + t_z Z) + D Z2."""
-        return None
 
     # row 1: i b Ex
     L11 = ik0 * dia(mu_t[1][2]) @ De_x + Dxf @ Ce_x
@@ -366,7 +439,6 @@ def _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0: float,
     L43 = ik0 * dia(eps_t[0][2]) @ Ch_x + Dyb @ Dh_x
     L44 = ik0 * dia(eps_t[0][2]) @ Ch_y + Dyb @ Dh_y
 
-    mask_x, mask_y = masks
     Px = sp.diags(mask_x.ravel().astype(complex))
     Py = sp.diags(mask_y.ravel().astype(complex))
     I = sp.identity(N, dtype=complex)
@@ -377,11 +449,16 @@ def _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0: float,
                  [L41, L42, L43, L44]]).tocsr()
     L = (P @ L @ P).tocsr()
 
-    if 4 * N <= 2 * DENSE_SIZE_CUTOFF:
+    # the 4N first-order operator conditions worse under shift-invert
+    # than the 2N beta^2 form: prefer dense up to a larger cutoff and give
+    # ARPACK a wide Krylov basis
+    if 4 * N <= 4 * DENSE_SIZE_CUTOFF:
         vals, vecs = np.linalg.eig(L.toarray())
     else:
-        vals, vecs = spl.eigs(L, k=min(4 * num_modes + 8, 4 * N - 2),
-                              sigma=1j * sigma_beta, which="LM")
+        k_req = min(4 * num_modes + 8, 4 * N - 2)
+        vals, vecs = spl.eigs(L, k=k_req, sigma=1j * sigma_beta,
+                              which="LM", ncv=min(max(6 * k_req, 60), 4 * N),
+                              maxiter=80 * N, tol=1e-9)
     betas = vals / 1j
     return betas, vecs
 
