@@ -148,3 +148,40 @@ def test_kstep_monitor_dft_matches_xla():
             # spectrum; agreement is limited by the stride approximation
             assert np.max(np.abs(a - b)) / scale < 2e-2, \
                 f"monitor {mi} field {key}"
+
+
+def test_kstep_split_regions_match_xla(monkeypatch):
+    """The static grid partition (interior + strips + corners with
+    piece-plumbed psi) against the XLA path. The default test grids are
+    too small to split (the interior region collapses), so force small
+    blocks on a rectangular grid that yields the full 9-region set."""
+    monkeypatch.setenv("TIDY3D_TPU_KSTEP_CFG", "8,16,2,8")
+    dl = 0.05
+    sim = td.Simulation(
+        center=(0, 0, 0), size=(64 * dl, 48 * dl, 16 * dl),
+        run_time=2.2e-14,
+        sources=[td.PointDipole(
+            center=(0, 0, 0),
+            source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
+            polarization="Ez")],
+        boundary_spec=td.BoundarySpec.all_sides(td.PML(num_layers=8)),
+        grid_spec=td.GridSpec.uniform(dl=dl), shutoff=0.0)
+    # sanity: the region set actually split
+    from tidy3d_tpu.solver.fdtd import FDTDRunner
+    from tidy3d_tpu.solver.lowering import lower
+    os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"
+    os.environ["TIDY3D_TPU_KSTEP"] = "2"
+    try:
+        runner = FDTDRunner(lower(sim))
+        assert runner.kstep is not None
+        assert len(runner.kstep._regions()) >= 7, runner.kstep._regions()
+    finally:
+        os.environ.pop("TIDY3D_TPU_KERNEL", None)
+        os.environ.pop("TIDY3D_TPU_KSTEP", None)
+    ref = _run_fields(sim, "xla", nsteps=24)
+    got = _run_fields(sim, "kstep_interpret", nsteps=24)
+    scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
+    for c in ref:
+        assert np.all(np.isfinite(got[c])), f"{c} non-finite"
+        err = np.max(np.abs(ref[c] - got[c])) / scale
+        assert err < TOL, f"{c}: rel err {err:.2e}"

@@ -73,6 +73,7 @@ from .source import (
     TFSF,
 )
 from .structure import Structure
+from .subpixel_spec import SubpixelSpec
 from .types import Ax, Axis, Bound, Coordinate, Symmetry, annotate_type
 
 # scale caps (reference: simulation.py:117-135)
@@ -128,11 +129,26 @@ class Simulation(Box):
         description="Stop when the ratio of the max field intensity to the "
         "max ever intensity drops below this (0 disables).",
     )
-    subpixel: bool = pydantic.Field(
+    subpixel: Union[bool, SubpixelSpec] = pydantic.Field(
         True, title="Subpixel Averaging",
-        description="Apply subpixel (SDF volume-fraction) permittivity "
-        "averaging at material interfaces in the solver lowering.",
+        description="Apply subpixel permittivity averaging at material "
+        "interfaces in the solver lowering: True/False for the default "
+        "polarized scheme / staircasing, or a SubpixelSpec selecting "
+        "per-material-type schemes (reference: subpixel_spec.py:117).",
     )
+
+    @property
+    def subpixel_spec(self) -> SubpixelSpec:
+        """Normalized per-material-type subpixel selection."""
+        if isinstance(self.subpixel, SubpixelSpec):
+            return self.subpixel
+        if self.subpixel:
+            return SubpixelSpec()
+        from .subpixel_spec import Staircasing
+
+        stair = Staircasing()
+        return SubpixelSpec(dielectric=stair, metal=stair, pec=stair,
+                            lossy_metal=stair)
     normalize_index: Optional[pydantic.NonNegativeInt] = pydantic.Field(
         0, title="Normalization index",
         description="Source index whose spectrum normalizes frequency monitors.",
@@ -770,7 +786,18 @@ class Simulation(Box):
         dl_sum_inv_sq = sum(1 / dl**2 for dl in dl_mins)
         dl_avg = 1 / np.sqrt(dl_sum_inv_sq)
         n_cfl = min(min(mat.n_cfl for mat in self.scene.mediums), 1)
-        return float(n_cfl * self.courant * dl_avg / C_0)
+        dt = float(n_cfl * self.courant * dl_avg / C_0)
+        # conformal PEC meshing trades time step for stability
+        # (reference: subpixel_spec.py PECConformal.timestep_reduction)
+        from .subpixel_spec import PECConformal
+
+        pec_scheme = self.subpixel_spec.pec
+        if isinstance(pec_scheme, PECConformal):
+            has_pec = any(isinstance(st.medium, PECMedium)
+                          for st in self.structures)
+            if has_pec:
+                dt *= pec_scheme.courant_ratio()
+        return dt
 
     @cached_property
     def complex_fields(self) -> bool:

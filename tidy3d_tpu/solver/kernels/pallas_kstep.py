@@ -472,6 +472,29 @@ class PallasKStepper:
                                           comp=sp.comp, wf=sp.waveform_key))
             kc[f"src_{si}"] = padded
 
+        # split-mode b/c tables for the piece-plumbed psi x layout: per
+        # side, rows = strip x-extent plus hwx zero pads on both ends so
+        # the kernel slices [b_i*bx, +Wx) windows without clamping
+        PXS = [("Ey", "dual"), ("Ez", "dual"), ("Hy", "primal"),
+               ("Hz", "primal")]
+        for side, kx_blocks in self._psix_strip_blocks().items():
+            rows = kx_blocks * bx + 2 * hwx
+            b = np.zeros((rows, 4, 1, 1), f32)
+            c = np.zeros((rows, 4, 1, 1), f32)
+            x_base = 0 if side == "lo" else nx - kx_blocks * bx
+            for ci, (comp, fam) in enumerate(PXS):
+                wl, wh = runner.pml_meta[(fam, 0)]
+                pml_c = runner.consts["pml"].get(f"{fam}0")
+                if side == "lo" and wl:
+                    b[hwx:hwx + wl, ci] = pml_c["b_lo"].reshape(-1, 1, 1)
+                    c[hwx:hwx + wl, ci] = pml_c["c_lo"].reshape(-1, 1, 1)
+                if side == "hi" and wh:
+                    r0 = hwx + (nx - wh) - x_base
+                    b[r0:r0 + wh, ci] = pml_c["b_hi"].reshape(-1, 1, 1)
+                    c[r0:r0 + wh, ci] = pml_c["c_hi"].reshape(-1, 1, 1)
+            kc[f"bxs_{side}"] = b
+            kc[f"cxs_{side}"] = c
+
         runner.consts["kstep"] = kc
 
     # ------------------------------------------------------------------ #
@@ -481,24 +504,47 @@ class PallasKStepper:
     def psi_shapes(self) -> Dict[str, Tuple[int, ...]]:
         """Shapes for every psi state array.
 
-        x: one packed (rows, 4, ny + 2hwy, nz_p) array (both sides in a
-        unified row space). y: one packed (nx + 2hwx, 4, w, nz_p) array
-        per side. z: one lane-packed (nx, ny, L) array per family,
-        blocked exactly like the fields.
+        Split (piece-plumbed) mode: per-side true-wrap layouts fed
+        through l/m/h BlockSpec pieces exactly like the fields — x-side
+        slabs (kx*bx, 4, ny, nz), y-side slabs (nx, 4, w, nz); no stored
+        halo pads (wrap/clamp handled by the piece index maps).
+        Single-call fallback: the round-1 packed layouts with manual
+        guarded DMAs (see _build_kconsts).
+        z: one lane-packed (nx, ny, L) array per family in both modes.
         """
         nx, ny, nz = self.shape
         hwx, hwy = self.hwx, self.hwy
         shapes = {}
-        if self.psix_pack is not None:
-            px = self.psix_pack
-            shapes["psix"] = (px["xpad_lo"] + px["xpad_hi"], 4,
-                              ny + 2 * hwy, self.nz_p)
-        for side, pk in self.psiy_pack.items():
-            shapes[f"psiy_{side}"] = (nx + 2 * hwx, 4, pk["w"], self.nz_p)
+        if len(self._regions()) > 1:
+            for side, kx in self._psix_strip_blocks().items():
+                shapes[f"psix_{side}"] = (kx * self.bx, 4, ny, nz)
+            for side, pk in self.psiy_pack.items():
+                shapes[f"psiy_{side}"] = (nx, 4, pk["w"], nz)
+        else:
+            if self.psix_pack is not None:
+                px = self.psix_pack
+                shapes["psix"] = (px["xpad_lo"] + px["xpad_hi"], 4,
+                                  ny + 2 * hwy, self.nz_p)
+            for side, pk in self.psiy_pack.items():
+                shapes[f"psiy_{side}"] = (nx + 2 * hwx, 4, pk["w"],
+                                          self.nz_p)
         for fam in ("dual", "primal"):
             if self.psiz_L[fam]:
                 shapes[f"psiz_{fam}"] = (nx, ny, self.psiz_L[fam])
         return shapes
+
+    def _psix_strip_blocks(self) -> Dict[str, int]:
+        """x-slab strip width per side in bx blocks (split mode)."""
+        nx, _, _ = self.shape
+        ni = nx // self.bx
+        out = {}
+        if self.psix_pack is not None:
+            px = self.psix_pack
+            if px["has_lo"]:
+                out["lo"] = px["s_clamp_lo"] // self.bx + 1
+            if px["has_hi"]:
+                out["hi"] = ni - px["s_min_hi"] // self.bx
+        return out
 
     # ------------------------------------------------------------------ #
     # the pallas call
@@ -512,16 +558,17 @@ class PallasKStepper:
         """Static partition of the (ni, nj) program grid by CPML
         participation. psi x/y participation is a STATIC function of the
         block index, so the grid splits into an interior region whose
-        pallas kernel contains NO psi x/y machinery at all (no scratch,
-        no guarded DMAs, no masked recursions — it compiles to the tight
-        vacuum kernel) plus thin boundary-strip regions carrying the full
-        machinery. Measured on v5e (384^3 + CPML): the single mega-kernel
-        pays the psi machinery in every program even though ~85% of
-        programs never touch a slab (superadditive VMEM/pipeline cost;
-        skip-psi ceiling 20.6 vs 13.0 Gcell*steps/s).
+        pallas kernel contains NO psi x/y machinery at all (it compiles
+        to the tight vacuum kernel), thin boundary strips, and corner
+        blocks. In split mode the psi x/y state uses the same true-wrap
+        l/m/h BlockSpec piece plumbing as the fields — fully pipelined
+        by Mosaic, no manual DMAs, no sanitize, no guards (measured on
+        v5e 384^3+CPML: manual psi DMAs serialize against compute and
+        strip programs ran 1.7-2.5x slower per cell than interior).
 
-        Regions are dicts (i0, ni_r, j0, nj_r, use_psix, use_psiy) in
-        bx/by block units; x strips span all j (they own the corners).
+        Region dicts: i0/ni_r/j0/nj_r in bx/by block units, psix in
+        {None, "lo", "hi", "manual"}, psiy_sides tuple with psiy_mode in
+        {None, "pieces", "manual"}.
         """
         if getattr(self, "_regions_cache", None) is not None:
             return self._regions_cache
@@ -540,37 +587,36 @@ class PallasKStepper:
         ky_hi = 1 if "hi" in self.psiy_pack else 0
         ni_int = ni - kx_lo - kx_hi
         nj_int = nj - ky_lo - ky_hi
-        full = dict(i0=0, ni_r=ni, j0=0, nj_r=nj,
-                    use_psix=True, use_psiy=True, x_static=False,
-                    y_static=False, psiy_sides=("lo", "hi"))
+        full = dict(i0=0, ni_r=ni, j0=0, nj_r=nj, psix="manual",
+                    psiy_mode="manual", psiy_sides=("lo", "hi"),
+                    x_static=False, y_static=False)
         if force_single or (kx_lo + kx_hi + ky_lo + ky_hi == 0) \
                 or ni_int <= 0 or nj_int <= 0:
             self._regions_cache = [full]
             return self._regions_cache
         regions = []
-        # x strips: every program x-participates (static) -> psi DMAs run
-        # unguarded and the scratch sanitize is skipped (all scratch holds
-        # real DMA'd state). y strips: same for their single y side.
-        if kx_lo:
-            regions.append(dict(i0=0, ni_r=kx_lo, j0=0, nj_r=nj,
-                                use_psix=True, use_psiy=True, x_static=True,
-                                y_static=False, psiy_sides=("lo", "hi")))
-        if kx_hi:
-            regions.append(dict(i0=ni - kx_hi, ni_r=kx_hi, j0=0, nj_r=nj,
-                                use_psix=True, use_psiy=True, x_static=True,
-                                y_static=False, psiy_sides=("lo", "hi")))
-        if ky_lo:
-            regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=0, nj_r=ky_lo,
-                                use_psix=False, use_psiy=True, x_static=False,
-                                y_static=True, psiy_sides=("lo",)))
-        if ky_hi:
-            regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=nj - ky_hi,
-                                nj_r=ky_hi, use_psix=False, use_psiy=True,
-                                x_static=False, y_static=True,
-                                psiy_sides=("hi",)))
+        x_sides = [(side, kx, i0x) for side, kx, i0x in
+                   (("lo", kx_lo, 0), ("hi", kx_hi, ni - kx_hi)) if kx]
+        y_rows = [(side, j0y) for side, ky, j0y in
+                  (("lo", ky_lo, 0), ("hi", ky_hi, nj - 1)) if ky]
+        # corners: psix + psiy pieces, one j-row each
+        for xs, kx, i0x in x_sides:
+            for ys, j0y in y_rows:
+                regions.append(dict(i0=i0x, ni_r=kx, j0=j0y, nj_r=1,
+                                    psix=xs, psiy_mode="pieces",
+                                    psiy_sides=(ys,)))
+        # x mid strips: psix only (their y windows never touch y slabs)
+        if nj_int > 0:
+            for xs, kx, i0x in x_sides:
+                regions.append(dict(i0=i0x, ni_r=kx, j0=ky_lo, nj_r=nj_int,
+                                    psix=xs, psiy_mode=None, psiy_sides=()))
+        # y mid strips: psiy pieces only
+        for ys, j0y in y_rows:
+            regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=j0y, nj_r=1,
+                                psix=None, psiy_mode="pieces",
+                                psiy_sides=(ys,)))
         regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=ky_lo, nj_r=nj_int,
-                            use_psix=False, use_psiy=False, x_static=False,
-                            y_static=False, psiy_sides=()))
+                            psix=None, psiy_mode=None, psiy_sides=()))
         self._regions_cache = regions
         return regions
 
@@ -684,9 +730,14 @@ class PallasKStepper:
                      "inv_h_x", "inv_h_y", "inv_h_z"):
             add(name, kc[name], full)
         for key in kc:
-            if key.startswith(("bx_", "cx_")) and not region["use_psix"]:
+            # old packed-psix tables only feed the manual fallback path;
+            # psiy tables feed both manual and piece modes; the split-mode
+            # bxs_/cxs_ tables are added with the psix piece specs
+            if key.startswith(("bx_", "cx_")) \
+                    and region.get("psix") != "manual":
                 continue
-            if key.startswith(("by_", "cy_")) and not region["use_psiy"]:
+            if key.startswith(("by_", "cy_")) \
+                    and region.get("psiy_mode") is None:
                 continue
             if key.startswith(("bx_", "cx_", "by_", "cy_", "bz_", "cz_")):
                 add(key, kc[key], full)
@@ -702,18 +753,65 @@ class PallasKStepper:
         for name in self.var_coeffs:
             add(name, kc[name], pl.BlockSpec(memory_space=pltpu.ANY))
 
-        # packed x/y psi state arrays (one ANY-space input each) — only in
-        # regions whose programs can participate (static partition)
+        # psi x/y machinery per region: "manual" (single-call fallback,
+        # packed layouts + guarded DMAs) or pieces (split mode: true-wrap
+        # per-side layouts through l/m/h BlockSpecs, fully pipelined)
+        psix_mode = region.get("psix")
+        piece_psix = psix_mode in ("lo", "hi") and not _skip_psi \
+            and "psix" not in _sk and f"psix_{psix_mode}" in view["psi"]
+        psiy_mode = region.get("psiy_mode")
+        piece_psiy_sides = tuple(
+            sd for sd in region.get("psiy_sides", ())
+            if psiy_mode == "pieces" and not _skip_psi and "psiy" not in _sk
+            and f"psiy_{sd}" in view["psi"])
         pack_keys = []
-        if region["use_psix"] and self.psix_pack is not None \
+        if psix_mode == "manual" and self.psix_pack is not None \
                 and not _skip_psi and "psix" not in _sk:
             pack_keys.append("psix")
-        if region["use_psiy"] and not _skip_psi and "psiy" not in _sk:
+        if psiy_mode == "manual" and not _skip_psi and "psiy" not in _sk:
             for side in self.psiy_pack:
                 if side in region["psiy_sides"]:
                     pack_keys.append(f"psiy_{side}")
         for key in pack_keys:
             add(key, view["psi"][key], pl.BlockSpec(memory_space=pltpu.ANY))
+
+        if piece_psix:
+            xside = psix_mode
+            arr_x = view["psi"][f"psix_{xside}"]
+            nbx_l = arr_x.shape[0] // hwx
+
+            def xmap_ps(xk):
+                # maps in the strip-local row space (array spans exactly
+                # the strip's x-extent; clamped halos are harmless: the
+                # rows read are b == 0 rows whose psi stays 0)
+                if xk == "m":
+                    return lambda b: b
+                if xk == "l":
+                    return lambda b: jnp.maximum(b * rbx - 1, 0)
+                return lambda b: jnp.minimum(b * rbx + rbx, nbx_l - 1)
+
+            for xk in "lmh":
+                for yk in "lmh":
+                    bsx = hwx if xk in "lh" else bx
+                    bsy = hwy if yk in "lh" else by
+                    xm, ym = xmap_ps(xk), ymap(yk)
+                    add(f"psixp_{xk}{yk}", arr_x, pl.BlockSpec(
+                        (bsx, 4, bsy, nz),
+                        lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), 0,
+                                                        ym(b_j), 0),
+                        memory_space=pltpu.VMEM))
+            add(f"bxs_{xside}", kc[f"bxs_{xside}"], full)
+            add(f"cxs_{xside}", kc[f"cxs_{xside}"], full)
+        for sd in piece_psiy_sides:
+            arr_y = view["psi"][f"psiy_{sd}"]
+            w_sd = arr_y.shape[2]
+            for xk in "lmh":
+                bsx = hwx if xk in "lh" else bx
+                xm = xmap(xk)
+                add(f"psiyp_{sd}_{xk}", arr_y, pl.BlockSpec(
+                    (bsx, 4, w_sd, nz),
+                    lambda b_i, b_j, xm=xm: (xm(b_i), 0, 0, 0),
+                    memory_space=pltpu.VMEM))
 
         out_shapes = [jax.ShapeDtypeStruct((nx, ny, nz), dtype)
                       for _ in range(6)]
@@ -721,11 +819,31 @@ class PallasKStepper:
             (bx, by, nz), lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
             memory_space=pltpu.VMEM) for _ in range(6)]
         out_names = [f"out_{c}" for c in E_COMPS + H_COMPS]
+        out_psi_keys = []
         for key in pack_keys:
             arr = view["psi"][key]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
             out_names.append(f"o_{key}")
+            out_psi_keys.append(key)
+        if piece_psix:
+            arr = view["psi"][f"psix_{psix_mode}"]
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+            out_specs.append(pl.BlockSpec(
+                (bx, 4, by, nz),
+                lambda b_i, b_j: (b_i, 0, b_j + j0, 0),
+                memory_space=pltpu.VMEM))
+            out_names.append("o_psixp")
+            out_psi_keys.append(f"psix_{psix_mode}")
+        for sd in piece_psiy_sides:
+            arr = view["psi"][f"psiy_{sd}"]
+            out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
+            out_specs.append(pl.BlockSpec(
+                (bx, 4, arr.shape[2], nz),
+                lambda b_i, b_j: (b_i + i0, 0, 0, 0),
+                memory_space=pltpu.VMEM))
+            out_names.append(f"o_psiyp_{sd}")
+            out_psi_keys.append(f"psiy_{sd}")
         packed_fams = [] if (_skip_psi or "psiz" in _sk) else [
             fam for fam in ("dual", "primal") if self.psiz_L[fam]]
         for fam in packed_fams:
@@ -736,6 +854,7 @@ class PallasKStepper:
                 lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
                 memory_space=pltpu.VMEM))
             out_names.append(f"opsiz_{fam}")
+            out_psi_keys.append(f"psiz_{fam}")
 
         io_aliases = {}
         if alt is not None:
@@ -744,13 +863,9 @@ class PallasKStepper:
                 src_arr = alt["E"][c] if c in E_COMPS else alt["H"][c]
                 io_aliases[len(arrays)] = oi
                 add(f"alias_{c}", src_arr, anyspec)
-            for i, key in enumerate(pack_keys):
+            for i, key in enumerate(out_psi_keys):
                 io_aliases[len(arrays)] = 6 + i
                 add(f"alias_{key}", alt["psi"][key], anyspec)
-            for i, fam in enumerate(packed_fams):
-                io_aliases[len(arrays)] = 6 + len(pack_keys) + i
-                add(f"alias_psiz_{fam}", alt["psi"][f"psiz_{fam}"],
-                    anyspec)
 
         scratch_shapes = []
         scratch_names = []
@@ -772,9 +887,13 @@ class PallasKStepper:
         all_names = names + out_names + scratch_names
         stepper = self
 
+        pieces_info = dict(
+            psix_side=psix_mode if piece_psix else None,
+            psiy_sides=piece_psiy_sides)
+
         def kernel(*refs):
             r = dict(zip(all_names, refs))
-            stepper._kernel_body(r, pack_keys, region)
+            stepper._kernel_body(r, pack_keys, region, pieces_info)
 
         results = pl.pallas_call(
             kernel,
@@ -792,17 +911,16 @@ class PallasKStepper:
         newE = {c: results[ci] for ci, c in enumerate(E_COMPS)}
         newH = {c: results[3 + ci] for ci, c in enumerate(H_COMPS)}
         new_psi = dict(view["psi"])
-        for oi, key in enumerate(pack_keys):
+        for oi, key in enumerate(out_psi_keys):
             new_psi[key] = results[6 + oi]
-        for fi, fam in enumerate(packed_fams):
-            new_psi[f"psiz_{fam}"] = results[6 + len(pack_keys) + fi]
         return newE, newH, new_psi
 
     # ------------------------------------------------------------------ #
     # kernel body
     # ------------------------------------------------------------------ #
 
-    def _kernel_body(self, r, pack_keys, region):
+    def _kernel_body(self, r, pack_keys, region, pieces_info=None):
+        pieces_info = pieces_info or dict(psix_side=None, psiy_sides=())
         import os as _os
         _skip = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         nx, ny, nz = self.shape
@@ -898,6 +1016,27 @@ class PallasKStepper:
         packed_fams = [] if ("psi" in _skip or "psiz" in _skip) else [
             fam for fam in ("dual", "primal") if self.psiz_L[fam]]
         psizw = {fam: ext(f"psiz_{fam}") for fam in packed_fams}
+
+        # piece-plumbed psi x/y windows (split mode): per-component
+        # (window, ...) values updated in place each substep, written back
+        # as core blocks — the same lifecycle as the packed z psi
+        psix_side = pieces_info["psix_side"]
+        b_i_loc = pl.program_id(0)
+        psix_state = {}
+        if psix_side is not None:
+            rows = []
+            for xk in "lmh":
+                cols = [r[f"psixp_{xk}{yk}"][:] for yk in "lmh"]
+                rows.append(jnp.concatenate(cols, axis=2))
+            psixw_full = _f32(jnp.concatenate(rows, axis=0))
+            for ci in range(4):
+                psix_state[ci] = psixw_full[:, ci]
+        psiy_state = {}
+        for sd in pieces_info["psiy_sides"]:
+            win = _f32(jnp.concatenate(
+                [r[f"psiyp_{sd}_{xk}"][:] for xk in "lmh"], axis=0))
+            for ci in range(4):
+                psiy_state[(sd, ci)] = win[:, ci]
 
         for dma, cond in read_waits:
             if cond is None:
@@ -1065,6 +1204,28 @@ class PallasKStepper:
             if "psi" in _skip:
                 return out
             sign = 1.0 if comp[0] == "E" else -1.0
+            if comp in px_index and psix_side is not None:
+                ci, sgn = px_index[comp]
+                d = d_by_axis[0]
+                bvec = r[f"bxs_{psix_side}"][pl.ds(b_i_loc * bx, Wx), ci]
+                cvec = r[f"cxs_{psix_side}"][pl.ds(b_i_loc * bx, Wx), ci]
+                psi_new = bvec * psix_state[ci] + cvec * d
+                psix_state[ci] = psi_new
+                out = out + ((sign * sgn) * cb) * psi_new
+            for side in pieces_info["psiy_sides"]:
+                if (comp, side) not in py_index:
+                    continue
+                ci, sgn, width = py_index[(comp, side)]
+                r0 = hwy if side == "lo" else hwy + by - width
+                d_slab = d_by_axis[1][:, r0:r0 + width, :]
+                bv = r[f"by_pk_{side}"][:, ci]
+                cv = r[f"cy_pk_{side}"][:, ci]
+                psi_new = bv * psiy_state[(side, ci)] + cv * d_slab
+                psiy_state[(side, ci)] = psi_new
+                cb_eff = (sign * sgn) * cb
+                cb_sl = cb_eff[:, r0:r0 + width, :] \
+                    if jnp.ndim(cb_eff) else cb_eff
+                yitems.append((r0, width, cb_sl * psi_new))
             if comp in px_index and "psix" in pack_keys:
                 ci, sgn = px_index[comp]
                 d = d_by_axis[0]
@@ -1234,6 +1395,18 @@ class PallasKStepper:
             oref = r[f"opsiz_{fam}"]
             oref[:] = psizw[fam][hwx:hwx + bx,
                                  hwy:hwy + by, :].astype(oref.dtype)
+
+        # piece-psi write-back: plain blocked output stores (pipelined)
+        if psix_side is not None:
+            oref = r["o_psixp"]
+            vals = jnp.stack([psix_state[ci] for ci in range(4)], axis=1)
+            oref[:] = vals[hwx:hwx + bx, :, hwy:hwy + by, :].astype(
+                oref.dtype)
+        for sd in pieces_info["psiy_sides"]:
+            oref = r[f"o_psiyp_{sd}"]
+            vals = jnp.stack([psiy_state[(sd, ci)] for ci in range(4)],
+                             axis=1)
+            oref[:] = vals[hwx:hwx + bx].astype(oref.dtype)
 
         # psi write-back: CORE-ONLY (cores tile the domain, so every
         # real row is written exactly once with full-dependency-cone

@@ -392,6 +392,14 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
     # local dl scale for subpixel fraction: use average cell size per axis
     avg_dl = [float(np.mean(np.diff(np.asarray(grid.boundaries.to_list[a]))))
               for a in range(3)]
+    # the subpixel smear width must come from REAL axes only: a zero-size
+    # (2D) axis carries one placeholder cell of ZERO_DIM_CELL_SIZE whose
+    # inclusion would fix the interface transition width at ~1/3 um
+    # regardless of dl (order-0 convergence; caught by
+    # scripts/subpixel_convergence.py)
+    real_axes = [a for a in range(3) if grid.num_cells[a] > 1]
+    dl_subpixel = float(np.mean([avg_dl[a] for a in real_axes])) \
+        if real_axes else float(np.mean(avg_dl))
 
     # collect (medium, mask list) info per component
     pole_accumulator: Dict[int, Dict[str, np.ndarray]] = {}
@@ -445,33 +453,87 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
             s_eps, s_sigma, s_poles = _medium_static_eps_sigma(medium, ci, freq0)
             is_pec = isinstance(medium, PECMedium) or s_eps <= 0.5 * pec_val
 
-            use_subpixel = (
-                simulation.subpixel and not is_pec and not s_poles
-                and not getattr(medium, "is_custom", False)
-                and not isinstance(medium, AnisotropicMedium)
+            # per-material-type subpixel scheme (reference schema:
+            # subpixel_spec.py:15-117; scheme selection actually changes
+            # the lowered arrays — tested by the convergence-order suite)
+            from ..components.subpixel_spec import (
+                PECConformal,
+                PolarizedAveraging,
+                VolumetricAveraging,
             )
-            if use_subpixel:
+
+            sp_spec = simulation.subpixel_spec
+            scheme = sp_spec.pec if is_pec else sp_spec.dielectric
+            smooth_ok = (not s_poles
+                         and not getattr(medium, "is_custom", False)
+                         and not isinstance(medium, AnisotropicMedium))
+            use_polarized = (not is_pec and smooth_ok
+                             and isinstance(scheme, PolarizedAveraging))
+            use_volumetric = (not is_pec and smooth_ok
+                              and isinstance(scheme, VolumetricAveraging))
+            use_conformal = is_pec and isinstance(scheme, PECConformal)
+            if use_polarized or use_volumetric:
                 sdf = geometry.sdf(xg, yg, zg)
                 sdf = np.broadcast_to(sdf, (len(ix), len(iy), len(iz)))
-                dl_loc = float(np.mean(avg_dl))
+                dl_loc = dl_subpixel
                 frac = np.clip(0.5 - sdf / dl_loc, 0.0, 1.0)
                 if np.all(frac == 0):
                     continue
-                # interface normal from SDF gradient
-                grads = np.gradient(sdf, xs[ix], ys[iy], zs[iz], edge_order=1) \
-                    if min(len(ix), len(iy), len(iz)) > 1 else [np.zeros_like(sdf)] * 3
-                gnorm = np.sqrt(sum(g**2 for g in grads)) + 1e-30
-                n_comp = grads[ci] / gnorm
                 eps, sigma = _mat(eps), _mat(sigma)
                 eps_old = eps[sl]
-                # polarized average: harmonic along normal, arithmetic transverse
                 eps_arith = frac * s_eps + (1 - frac) * eps_old
-                eps_harm = 1.0 / (frac / s_eps + (1 - frac) / np.maximum(eps_old, 1e-6))
-                w_n = n_comp**2
-                eps_new = (1 - w_n) * eps_arith + w_n * eps_harm
-                # only blend near interface & inside; outside untouched
+                if use_volumetric:
+                    # straight volume-fraction averaging for every component
+                    eps_new = eps_arith
+                else:
+                    # polarized: harmonic along the interface normal (from
+                    # the SDF gradient), arithmetic transverse
+                    grads = np.gradient(sdf, xs[ix], ys[iy], zs[iz],
+                                        edge_order=1) \
+                        if min(len(ix), len(iy), len(iz)) > 1 \
+                        else [np.zeros_like(sdf)] * 3
+                    gnorm = np.sqrt(sum(g**2 for g in grads)) + 1e-30
+                    n_comp = grads[ci] / gnorm
+                    eps_harm = 1.0 / (frac / s_eps
+                                      + (1 - frac) / np.maximum(eps_old, 1e-6))
+                    w_n = n_comp**2
+                    eps_new = (1 - w_n) * eps_arith + w_n * eps_harm
                 eps[sl] = eps_new
                 sigma[sl] = frac * s_sigma + (1 - frac) * sigma[sl]
+            elif use_conformal:
+                # Benkler-style conformal PEC (first-order edge variant):
+                # an E edge fully inside the metal is pinned (PEC value);
+                # a partially covered edge keeps only its free length, so
+                # its update stiffens by 1/f_free — realized as an
+                # effective eps_bg/f_free on that edge. Stability is paid
+                # for by the scheme's timestep_reduction (Simulation.dt).
+                dl_ci = avg_dl[ci]
+                off = np.zeros(3)
+                off[ci] = 0.5 * dl_ci
+                pts = np.meshgrid(xs[ix], ys[iy], zs[iz], indexing="ij",
+                                  sparse=True)
+                sdf_a = np.broadcast_to(geometry.sdf(
+                    pts[0] - off[0], pts[1] - off[1], pts[2] - off[2]),
+                    (len(ix), len(iy), len(iz)))
+                sdf_b = np.broadcast_to(geometry.sdf(
+                    pts[0] + off[0], pts[1] + off[1], pts[2] + off[2]),
+                    (len(ix), len(iy), len(iz)))
+                inside_both = (sdf_a <= 0) & (sdf_b <= 0)
+                partial = ((sdf_a <= 0) ^ (sdf_b <= 0))
+                if not np.any(inside_both | partial):
+                    continue
+                eps, sigma = _mat(eps), _mat(sigma)
+                denom = np.abs(sdf_a) + np.abs(sdf_b) + 1e-30
+                f_free = np.where(sdf_a > 0, sdf_a, sdf_b) / denom
+                f_free = np.clip(f_free, 0.0, 1.0)
+                F_MIN = 0.05
+                eps_part = eps[sl] / np.maximum(f_free, F_MIN)
+                eps_new = np.where(inside_both | (partial
+                                                  & (f_free < F_MIN)),
+                                   np.float32(pec_val), eps[sl])
+                eps_new = np.where(partial & (f_free >= F_MIN), eps_part,
+                                   eps_new)
+                eps[sl] = eps_new
             else:
                 mask = np.broadcast_to(geometry.inside(xg, yg, zg),
                                        (len(ix), len(iy), len(iz)))
