@@ -204,10 +204,96 @@ def check_plane_single():
           f"ratio={g_adj / g_fd:.4f}")
 
 
+def check_diffraction():
+    """Diffraction-order-amplitude objective through the adjoint protocol
+    (DiffractionData.make_adjoint_sources)."""
+    import tidy3d_tpu as td
+
+    def make(eps=4.0):
+        dl = DL
+        bspec = td.BoundarySpec(
+            x=td.Boundary.periodic(), y=td.Boundary.periodic(),
+            z=td.Boundary.pml(num_layers=8))
+        src = td.PlaneWave(center=(0, 0, -0.55), size=(td.inf, td.inf, 0),
+                           source_time=td.GaussianPulse(freq0=FREQ0,
+                                                        fwidth=FREQ0 / 5),
+                           direction="+")
+        grating = td.Structure(
+            geometry=td.Box(center=(0.2, 0.05, -0.1), size=(0.9, 1.2, 0.3)),
+            medium=td.Medium(permittivity=eps))
+        mon = td.DiffractionMonitor(center=(0, 0, 0.55),
+                                    size=(td.inf, td.inf, 0),
+                                    freqs=[FREQ0], name="diff")
+        return td.Simulation(
+            center=(0, 0, 0), size=(2.4, 2.4, 1.6), run_time=1.2e-13,
+            sources=[src], structures=[grating], monitors=[mon],
+            boundary_spec=bspec, grid_spec=td.GridSpec.uniform(dl=dl),
+            shutoff=1e-6)
+
+    def obj_amps(amps):
+        # power in the +1 x-order, s+p
+        return jnp.sum(jnp.abs(amps[-1, :, :, :]) ** 2)
+
+    def J_of_d(sim):
+        data = _web_run(sim, verbose=False)
+        return float(np.sum(np.abs(
+            np.asarray(data["diff"].amps.values)[-1]) ** 2))
+
+    import tidy3d_tpu.web.autograd as ag
+
+    # manual two-solve: the generic runner only knows Field/Mode monitors
+    sim = make()
+    sim_fwd = ag.setup_fwd(sim, {0: [("medium", "permittivity")]}, [FREQ0])
+    data_fwd = _web_run(sim_fwd, verbose=False)
+    amps = np.asarray(data_fwd["diff"].amps.values)
+    val, g = None, None
+    import jax
+
+    def fn(parts):
+        re, im = parts
+        return obj_amps(re + 1j * im)
+
+    val, (gre, gim) = jax.value_and_grad(fn)(
+        (jnp.asarray(np.real(amps)), jnp.asarray(np.imag(amps))))
+    gamp = np.asarray(gre) + 1j * np.asarray(gim)
+    md = data_fwd["diff"].copy(update=dict(amps=type(data_fwd["diff"].amps)(
+        gamp, coords=data_fwd["diff"].amps.coords)))
+    sources = md.make_adjoint_sources(["amps"], float(FREQ0 / 5),
+                                      grid=sim.grid)
+    assert sources, "no adjoint sources synthesized"
+    grad_mons = [m for m in sim_fwd.monitors
+                 if m.name.startswith("adjoint_")]
+    sim_adj = sim_fwd.copy(update=dict(sources=tuple(sources),
+                                       monitors=tuple(
+                                           m for m in grad_mons
+                                           if m.name.startswith("adjoint_fld")),
+                                       normalize_index=0))
+    data_adj = _web_run(sim_adj, verbose=False)
+    from tidy3d_tpu.components.autograd.derivative_utils import DerivativeInfo
+
+    structure = sim.structures[0]
+    dls = [float(np.mean(np.diff(np.asarray(
+        sim.grid.boundaries.to_list[a])))) for a in range(3)]
+    info = DerivativeInfo(
+        E_fwd=ag._field_tuple(data_fwd["adjoint_fld_0"], freq=FREQ0),
+        E_adj=ag._field_tuple(data_adj["adjoint_fld_0"], freq=FREQ0),
+        eps_data=ag._eps_tuple(data_fwd["adjoint_eps_0"], FREQ0),
+        eps_in=structure.medium.eps_model(FREQ0),
+        eps_out=sim.medium.eps_model(FREQ0),
+        frequency=FREQ0, bounds=structure.geometry.bounds, dt=sim.dt,
+        dl_loc=float(np.mean(dls)), avg_dls=tuple(dls))
+    grads = structure.compute_derivatives([("medium", "permittivity")], info)
+    g_adj = grads[("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_d(make(4.0 + h)) - J_of_d(make(4.0 - h))) / (2 * h)
+    print(f"[diffraction]  J={val:.6e} adj={g_adj:.6e} fd={g_fd:.6e} "
+          f"ratio={g_adj / g_fd:.4f}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "eps"
     if which.startswith("plane"):
         check_plane(which.split(":")[1] if ":" in which else "Ez")
     else:
         dict(eps=check_eps, box=check_box, poly=check_polyslab,
-             flux=check_flux, single=check_plane_single)[which]()
+             flux=check_flux, single=check_plane_single, diff=check_diffraction)[which]()

@@ -92,3 +92,45 @@ def test_polyslab_vertex_gradient():
     vm = [list(v) for v in VERTS0]; vm[2][1] -= h
     g_fd = (J_of(make_sim(verts=vp)) - J_of(make_sim(verts=vm))) / (2 * h)
     assert abs(g_adj[2, 1] / g_fd - 1.0) < 0.10, (g_adj[2, 1], g_fd)
+
+
+def test_diffraction_efficiency_gradient():
+    """Diffraction-order power objective through the generic runner:
+    DiffractionData.make_adjoint_sources synthesizes the conjugate
+    Fourier-kernel current sheet (reference: monitor_data.py:2923)."""
+    bspec = td.BoundarySpec(
+        x=td.Boundary.periodic(), y=td.Boundary.periodic(),
+        z=td.Boundary.pml(num_layers=8))
+
+    def make(eps=4.0):
+        return td.Simulation(
+            center=(0, 0, 0), size=(2.4, 2.4, 1.6), run_time=1.2e-13,
+            sources=[td.PlaneWave(
+                center=(0, 0, -0.55), size=(td.inf, td.inf, 0),
+                source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
+                direction="+")],
+            structures=[td.Structure(
+                geometry=td.Box(center=(0.2, 0.05, -0.1),
+                                size=(0.9, 1.2, 0.3)),
+                medium=td.Medium(permittivity=eps))],
+            monitors=[td.DiffractionMonitor(
+                center=(0, 0, 0.55), size=(td.inf, td.inf, 0),
+                freqs=[FREQ0], name="diff")],
+            boundary_spec=bspec, grid_spec=td.GridSpec.uniform(dl=DL),
+            shutoff=1e-6)
+
+    def objective(fields):
+        return jnp.sum(jnp.abs(fields["diff"]["amps"][-1]) ** 2)
+
+    def J_of_d(sim):
+        data = web_run(sim, verbose=False)
+        return float(np.sum(np.abs(
+            np.asarray(data["diff"].amps.values)[-1]) ** 2))
+
+    _, grads, _ = run_structure_gradients(
+        make(), objective, {0: [("medium", "permittivity")]},
+        monitor_names=["diff"])
+    g_adj = grads[0][("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_d(make(4.0 + h)) - J_of_d(make(4.0 - h))) / (2 * h)
+    assert abs(g_adj / g_fd - 1.0) < 0.05, (g_adj, g_fd)

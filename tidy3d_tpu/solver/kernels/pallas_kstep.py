@@ -378,6 +378,21 @@ class PallasKStepper:
                 kc[f"cz_pk_{fam}"] = np.concatenate(cvec).reshape(1, 1, lane)
         self.psiz_L = {fam: (m[-1]["off"] + m[-1]["width"]) if m else 0
                        for fam, m in self.psiz_meta.items()}
+        # both families lane-packed into ONE state array [dual | primal]:
+        # halves the z-psi piece streams (18 -> 9 per program)
+        self.psiz_off = {"dual": 0, "primal": self.psiz_L["dual"]}
+        self.psiz_Ltot = self.psiz_L["dual"] + self.psiz_L["primal"]
+        if self.psiz_Ltot:
+            zeros = np.zeros((1, 1, 0), f32)
+            ball = [kc.get("bz_pk_dual", zeros), kc.get("bz_pk_primal", zeros)]
+            call = [kc.get("cz_pk_dual", zeros), kc.get("cz_pk_primal", zeros)]
+            kc["bz_pk_all"] = np.concatenate(
+                [np.asarray(a, f32).reshape(1, 1, -1) for a in ball], axis=2)
+            kc["cz_pk_all"] = np.concatenate(
+                [np.asarray(a, f32).reshape(1, 1, -1) for a in call], axis=2)
+            for fam in ("dual", "primal"):
+                kc.pop(f"bz_pk_{fam}", None)
+                kc.pop(f"cz_pk_{fam}", None)
 
         # spatially varying coefficients, hw-padded in x and y for
         # window-aligned DMA. Periodic axes wrap (halo cells are real
@@ -528,9 +543,8 @@ class PallasKStepper:
             for side, pk in self.psiy_pack.items():
                 shapes[f"psiy_{side}"] = (nx + 2 * hwx, 4, pk["w"],
                                           self.nz_p)
-        for fam in ("dual", "primal"):
-            if self.psiz_L[fam]:
-                shapes[f"psiz_{fam}"] = (nx, ny, self.psiz_L[fam])
+        if self.psiz_Ltot:
+            shapes["psizp"] = (nx, ny, self.psiz_Ltot)
         return shapes
 
     def _psix_strip_blocks(self) -> Dict[str, int]:
@@ -632,17 +646,23 @@ class PallasKStepper:
         donation targets (each call overwrites only its region's blocks).
         """
         regions = self._regions()
+        # host-side per-group scalars are shared by every region call
+        t0_arr = jnp.reshape(jnp.asarray(t0, jnp.int32), (1, 1))
+        wf_all = _f32(jnp.asarray(consts["waveforms"]))
+        wf_win = lax.dynamic_slice_in_dim(
+            wf_all, jnp.asarray(t0, jnp.int32), self.k, axis=1)
         cur_alias = alt
         newE = newH = None
         new_psi = dict(view["psi"])
         for region in regions:
             newE, newH, psi_out = self._region_call(
-                t0, view, consts, cur_alias, region)
+                (t0_arr, wf_win), view, consts, cur_alias, region)
             new_psi.update(psi_out)
             cur_alias = {"E": newE, "H": newH, "psi": new_psi}
         return newE, newH, new_psi
 
-    def _region_call(self, t0, view: dict, consts: dict, alt, region):
+    def _region_call(self, t0_pack, view: dict, consts: dict, alt, region):
+        t0_arr, wf_win = t0_pack
         import os as _os
         _sk = set(_os.environ.get("TIDY3D_TPU_KSTEP_SKIP", "").split(","))
         _skip_psi = "psi" in _sk
@@ -705,26 +725,20 @@ class PallasKStepper:
                 for yk in "lmh":
                     add(f"{c}_{xk}{yk}", F, piece_spec(xk, yk))
 
-        # packed z-psi arrays ride the same modular piece machinery
-        for fam in ("dual", "primal"):
-            L = self.psiz_L[fam]
-            if not L or _skip_psi or "psiz" in _sk:
-                continue
-            arr = view["psi"][f"psiz_{fam}"]
+        # the lane-packed z-psi array rides the same piece machinery
+        use_psiz = self.psiz_Ltot and not _skip_psi and "psiz" not in _sk
+        if use_psiz:
+            arr = view["psi"]["psizp"]
             for xk in "lmh":
                 for yk in "lmh":
-                    add(f"psiz_{fam}_{xk}{yk}", arr,
-                        piece_spec(xk, yk, depth=L))
+                    add(f"psizp_{xk}{yk}", arr,
+                        piece_spec(xk, yk, depth=self.psiz_Ltot))
 
-        t0_arr = jnp.reshape(jnp.asarray(t0, jnp.int32), (1, 1))
         add("t0", t0_arr, pl.BlockSpec(memory_space=pltpu.SMEM))
 
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        # Mosaic cannot index VMEM at a dynamic lane offset; slice the
-        # k-length waveform window host-side and read scalars from SMEM.
-        wf_all = _f32(jnp.asarray(consts["waveforms"]))
-        wf_win = lax.dynamic_slice_in_dim(
-            wf_all, jnp.asarray(t0, jnp.int32), self.k, axis=1)
+        # Mosaic cannot index VMEM at a dynamic lane offset; the k-length
+        # waveform window is sliced once per group in step_group
         add("wf_win", wf_win, pl.BlockSpec(memory_space=pltpu.SMEM))
         for name in ("inv_e_x", "inv_e_y", "inv_e_z",
                      "inv_h_x", "inv_h_y", "inv_h_z"):
@@ -844,17 +858,15 @@ class PallasKStepper:
                 memory_space=pltpu.VMEM))
             out_names.append(f"o_psiyp_{sd}")
             out_psi_keys.append(f"psiy_{sd}")
-        packed_fams = [] if (_skip_psi or "psiz" in _sk) else [
-            fam for fam in ("dual", "primal") if self.psiz_L[fam]]
-        for fam in packed_fams:
-            arr = view["psi"][f"psiz_{fam}"]
+        if use_psiz:
+            arr = view["psi"]["psizp"]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(
-                (bx, by, self.psiz_L[fam]),
+                (bx, by, self.psiz_Ltot),
                 lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
                 memory_space=pltpu.VMEM))
-            out_names.append(f"opsiz_{fam}")
-            out_psi_keys.append(f"psiz_{fam}")
+            out_names.append("opsizp")
+            out_psi_keys.append("psizp")
 
         io_aliases = {}
         if alt is not None:
@@ -1013,9 +1025,16 @@ class PallasKStepper:
 
         fE = {c: ext(c) for c in E_COMPS}
         fH = {c: ext(c) for c in H_COMPS}
-        packed_fams = [] if ("psi" in _skip or "psiz" in _skip) else [
-            fam for fam in ("dual", "primal") if self.psiz_L[fam]]
-        psizw = {fam: ext(f"psiz_{fam}") for fam in packed_fams}
+        use_psiz_body = (self.psiz_Ltot and "psi" not in _skip
+                         and "psiz" not in _skip)
+        packed_fams = [fam for fam in ("dual", "primal")
+                       if use_psiz_body and self.psiz_L[fam]]
+        psizw = {}
+        if use_psiz_body:
+            zall = ext("psizp")
+            for fam in packed_fams:
+                ofs = self.psiz_off[fam]
+                psizw[fam] = zall[:, :, ofs:ofs + self.psiz_L[fam]]
 
         # piece-plumbed psi x/y windows (split mode): per-component
         # (window, ...) values updated in place each substep, written back
@@ -1275,8 +1294,10 @@ class PallasKStepper:
             dpk = jnp.concatenate(
                 [dz_map[m["comp"]][:, :, m["z0"]:m["z0"] + m["width"]]
                  for m in meta], axis=2)
-            pz = r[f"bz_pk_{fam}"][:] * psizw[fam] \
-                + r[f"cz_pk_{fam}"][:] * dpk
+            ofs = self.psiz_off[fam]
+            Lf = self.psiz_L[fam]
+            pz = r["bz_pk_all"][:, :, ofs:ofs + Lf] * psizw[fam] \
+                + r["cz_pk_all"][:, :, ofs:ofs + Lf] * dpk
             psizw[fam] = pz
             sign = 1.0 if fam == "dual" else -1.0
             zitems = {}
@@ -1391,10 +1412,11 @@ class PallasKStepper:
         for c in H_COMPS:
             r[f"out_{c}"][:] = fH[c][hwx:hwx + bx,
                                      hwy:hwy + by, :].astype(dtype)
-        for fam in packed_fams:
-            oref = r[f"opsiz_{fam}"]
-            oref[:] = psizw[fam][hwx:hwx + bx,
-                                 hwy:hwy + by, :].astype(oref.dtype)
+        if use_psiz_body:
+            oref = r["opsizp"]
+            oref[:] = jnp.concatenate(
+                [psizw[fam] for fam in packed_fams],
+                axis=2)[hwx:hwx + bx, hwy:hwy + by, :].astype(oref.dtype)
 
         # piece-psi write-back: plain blocked output stores (pipelined)
         if psix_side is not None:

@@ -18,10 +18,10 @@ yields
     dJ/d(eps_r)(x) = 2 k0^2 Re[lam(x) . E_m(x)] dV,
     A lam = v  ->  adjoint current J_adj = v / (i w mu0).
 
-The half-step offset between the source-spectrum time base (tmesh) and
-the injection time base (tmesh + dt/2) leaves each normalized run with a
-factor e^{+i w dt/2}; the product is corrected by e^{-i w dt} in
-``DerivativeInfo.prefactor``.
+No discrete-time phase correction is needed: the monitor DFT kernels
+timestamp the true sample times (tmesh + dt for E), so the half-step
+injection offsets cancel exactly (verified numerically against jax.grad
+through the solver, scripts/adjoint_map_check.py).
 """
 
 from __future__ import annotations
@@ -31,7 +31,12 @@ from typing import Callable, Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..components.autograd.derivative_utils import DerivativeInfo
-from ..components.data.monitor_data import FieldData, ModeData, PermittivityData
+from ..components.data.monitor_data import (
+    DiffractionData,
+    FieldData,
+    ModeData,
+    PermittivityData,
+)
 from ..components.data.sim_data import SimulationData
 from ..components.simulation import Simulation
 from ..components.structure import Structure
@@ -46,7 +51,7 @@ def _monitor_fields(sim_data: SimulationData, names: Sequence[str]) -> Dict:
     out = {}
     for name in names:
         md = sim_data[name]
-        if isinstance(md, ModeData):
+        if isinstance(md, (ModeData, DiffractionData)):
             out[name] = {"amps": np.asarray(md.amps.values)}
         elif isinstance(md, FieldData):
             out[name] = {c: np.asarray(arr.values)
@@ -54,8 +59,8 @@ def _monitor_fields(sim_data: SimulationData, names: Sequence[str]) -> Dict:
                          if arr is not None}
         else:
             raise SetupError(
-                f"objective monitor {name!r} must be a FieldMonitor or "
-                f"ModeMonitor (got {type(md).__name__})")
+                f"objective monitor {name!r} must be a Field, Mode or "
+                f"Diffraction monitor (got {type(md).__name__})")
     return out
 
 
@@ -87,7 +92,7 @@ def _vjp_data(sim_data: SimulationData, vjps: Dict) -> SimulationData:
         name = md.monitor.name
         if name in vjps:
             update = {}
-            if isinstance(md, ModeData):
+            if isinstance(md, (ModeData, DiffractionData)):
                 update["amps"] = type(md.amps)(vjps[name]["amps"],
                                                coords=md.amps.coords)
             else:
