@@ -196,6 +196,24 @@ class Simulation(Box):
         simulation_to_gds_file(self, fname, z=z, y=y, x=x,
                                gds_layer_dtype_map=gds_layer_dtype_map)
 
+    @pydantic.model_validator(mode="before")
+    @classmethod
+    def _migrate_old_schema(cls, values):
+        """Serialized sims from older schema versions are migrated through
+        the Updater chain before validation (reference behavior:
+        base_sim/simulation.py:107 warns and updates on load)."""
+        if isinstance(values, dict):
+            version = values.get("version")
+            if isinstance(version, str) and version.split(".")[:2] != \
+                    __version__.split(".")[:2]:
+                from ..updater import Updater
+
+                log.warning(
+                    f"Simulation written with schema version {version}; "
+                    f"updating to {__version__}.", log_once=True)
+                values = Updater(sim_dict=values).update_to_current()
+        return values
+
     @pydantic.field_validator("monitors")
     @classmethod
     def _monitor_names_unique(cls, val):
@@ -501,8 +519,9 @@ class Simulation(Box):
             fmaxs.append(st.freq0 + 2.5 * st.fwidth)
         fmin, fmax = min(fmins), max(fmaxs)
         for monitor in self.monitors:
-            freqs = np.atleast_1d(np.asarray(getattr(monitor, "freqs", [])
-                                             or []))
+            raw = getattr(monitor, "freqs", None)
+            freqs = np.atleast_1d(np.asarray(
+                raw if raw is not None else []))
             if freqs.size and (np.any(freqs < fmin) or np.any(freqs > fmax)):
                 log.warning(
                     f"Monitor '{monitor.name}' has frequencies outside the "
@@ -518,8 +537,10 @@ class Simulation(Box):
         (reference: simulation.py _warn_monitor_mediums_frequency_range:2651)."""
         freqs = []
         for monitor in self.monitors:
-            freqs.extend(np.atleast_1d(np.asarray(
-                getattr(monitor, "freqs", []) or [])).tolist())
+            raw = getattr(monitor, "freqs", None)
+            if raw is None:
+                continue
+            freqs.extend(np.atleast_1d(np.asarray(raw)).tolist())
         if not freqs:
             return self
         fmin, fmax = min(freqs), max(freqs)

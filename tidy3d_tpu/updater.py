@@ -118,9 +118,154 @@ class Updater(Tidy3dBaseModel):
         return sim_dict
 
 
+def _iterate_update_dict(update_dict, update_types: Dict[str, Callable]):
+    """Recursively apply per-``type`` fixers to every tagged sub-dict."""
+    if isinstance(update_dict, dict):
+        type_name = update_dict.get("type")
+        if type_name in update_types:
+            update_types[type_name](update_dict)
+        for val in list(update_dict.values()):
+            _iterate_update_dict(val, update_types)
+    elif isinstance(update_dict, (list, tuple)):
+        for item in update_dict:
+            _iterate_update_dict(item, update_types)
+
+
+def _bump(sim_dict: dict, version: str) -> dict:
+    sim_dict = dict(sim_dict)
+    sim_dict["version"] = version
+    return sim_dict
+
+
+# ---- migration chain for genuinely old reference-written files ----
+# (behavioral model: the reference's chain, tidy3d/updater.py:207-345)
+
+
+@updates_from_version("1.3")
+def _update_1_3(sim_dict: dict) -> dict:
+    """1.3 -> 1.4: per-axis pml_layers became the BoundarySpec schema."""
+    sim_dict = dict(sim_dict)
+    if "pml_layers" in sim_dict:
+        bspec = {}
+        for dim, layer in zip("xyz", sim_dict.pop("pml_layers")):
+            bspec[dim] = {"plus": layer, "minus": layer}
+        sim_dict["boundary_spec"] = bspec
+    return _bump(sim_dict, "1.4")
+
+
+@updates_from_version("1.4")
+def _update_1_4(sim_dict: dict) -> dict:
+    """1.4 -> 1.5: PolySlab/GeometryGroup lost derived fields; ModeSpec
+    lost sort_by."""
+
+    def fix_polyslab(d):
+        d.pop("length", None)
+        d.pop("center", None)
+
+    def fix_modespec(d):
+        sort_by = d.pop("sort_by", None)
+        if sort_by and sort_by != "largest_neff":
+            log.warning("ModeSpec.sort_by was removed; sorting by largest "
+                        "effective index (use filter_pol instead).")
+
+    def fix_group(d):
+        d.pop("center", None)
+
+    _iterate_update_dict(sim_dict, {"PolySlab": fix_polyslab,
+                                    "ModeSpec": fix_modespec,
+                                    "GeometryGroup": fix_group})
+    return _bump(sim_dict, "1.5")
+
+
+@updates_from_version("1.5")
+def _update_1_5(sim_dict: dict) -> dict:
+    """1.5 -> 1.6: ModeFieldMonitor renamed to ModeSolverMonitor."""
+
+    def fix(d):
+        d["type"] = "ModeSolverMonitor"
+
+    _iterate_update_dict(sim_dict, {"ModeFieldMonitor": fix})
+    return _bump(sim_dict, "1.6")
+
+
+@updates_from_version("1.6")
+def _update_1_6(sim_dict: dict) -> dict:
+    """1.6 -> 1.7: Simulation.grid_size replaced by grid_spec."""
+    sim_dict = dict(sim_dict)
+    sim_dict.pop("grid_size", None)
+    return _bump(sim_dict, "1.7")
+
+
+@updates_from_version("1.7")
+def _update_1_7(sim_dict: dict) -> dict:
+    """1.7 -> 1.8: Near2Far* monitors became FieldProjection* monitors;
+    BlochBoundary.bloch_vec became a plain float."""
+
+    def fix_angle(d):
+        d["type"] = "FieldProjectionAngleMonitor"
+        d.pop("fields", None)
+        d.pop("medium", None)
+        d["proj_distance"] = 1e6
+
+    def fix_cartesian(d):
+        d["type"] = "FieldProjectionCartesianMonitor"
+        d.pop("fields", None)
+        d.pop("medium", None)
+        d["proj_distance"] = d.pop("plane_distance", 1e6)
+        if "plane_axis" in d:
+            d["proj_axis"] = d.pop("plane_axis")
+
+    def fix_kspace(d):
+        d["type"] = "FieldProjectionKSpaceMonitor"
+        d.pop("fields", None)
+        d.pop("medium", None)
+        d["proj_distance"] = 1e6
+        if "u_axis" in d:
+            d["proj_axis"] = d.pop("u_axis")
+
+    def fix_diffraction(d):
+        d.pop("medium", None)
+        d.pop("orders_x", None)
+        d.pop("orders_y", None)
+
+    def fix_bloch(d):
+        if isinstance(d.get("bloch_vec"), dict):
+            d["bloch_vec"] = d["bloch_vec"]["real"]
+
+    _iterate_update_dict(sim_dict, {
+        "Near2FarAngleMonitor": fix_angle,
+        "Near2FarCartesianMonitor": fix_cartesian,
+        "Near2FarKSpaceMonitor": fix_kspace,
+        "DiffractionMonitor": fix_diffraction,
+        "BlochBoundary": fix_bloch,
+    })
+    return _bump(sim_dict, "1.8")
+
+
+@updates_from_version("1.8")
+def _update_1_8(sim_dict: dict) -> dict:
+    """1.8 -> 1.9: placeholder DataArray tags got concrete names."""
+
+    def fix(d):
+        for key, val in d.get("field_dataset", {}).items():
+            if val == "XR.DATAARRAY":
+                d["field_dataset"][key] = "ScalarFieldDataArray"
+
+    _iterate_update_dict(sim_dict, {"CustomFieldSource": fix})
+    return _bump(sim_dict, "1.9")
+
+
+@updates_from_version("1.9")
+def _update_1_9(sim_dict: dict) -> dict:
+    """1.9 -> 2.6: no structural changes load-relevant here."""
+    return _bump(sim_dict, "2.6")
+
+
+for _v in ("2.0", "2.1", "2.2", "2.3", "2.4", "2.5"):
+    UPDATE_MAP[_v] = _update_1_9
+
+
 @updates_from_version("2.6")
 def _update_2_6(sim_dict: dict) -> dict:
     """2.6 -> 2.7: no structural changes required by this framework."""
-    sim_dict = dict(sim_dict)
-    sim_dict["version"] = "2.7.6"
-    return sim_dict
+    return _bump(sim_dict, "2.7.6")
