@@ -110,9 +110,10 @@ class PallasKStepper:
         _psi_env = _os.environ.get("TIDY3D_TPU_PSI_DTYPE", "")
         # reduced-precision psi STORAGE (compute stays f32): bf16 halves
         # the psi DMA traffic (+2.4 Gcell*steps/s on v5e) but floors the
-        # CPML at ~-40 dB; f16's 10-bit mantissa is the middle ground
-        self.psi_dtype = {"bfloat16": jnp.bfloat16,
-                          "float16": jnp.float16}.get(_psi_env, self.dtype)
+        # CPML at ~-40 dB vs f32's -73 dB — opt-in for speed-over-accuracy
+        # runs. (float16 storage crashes Mosaic on v5e; not offered.)
+        self.psi_dtype = jnp.bfloat16 if _psi_env == "bfloat16" \
+            else self.dtype
         self._build_kconsts()
 
     # ------------------------------------------------------------------ #
