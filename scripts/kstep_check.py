@@ -69,8 +69,13 @@ def run_steps(sim, kernel, nsteps):
     consts = jax.device_put(runner.consts)
     state = jax.jit(runner.init_state)()
     state = jax.jit(lambda st: runner._run_chunk(0, nsteps, st, consts))(state)
-    out = {c: np.asarray(state["E"][c]) for c in ("Ex", "Ey", "Ez")}
-    out.update({c: np.asarray(state["H"][c]) for c in ("Hx", "Hy", "Hz")})
+    if isinstance(state["E"], dict):
+        out = {c: np.asarray(state["E"][c]) for c in ("Ex", "Ey", "Ez")}
+        out.update({c: np.asarray(state["H"][c]) for c in ("Hx", "Hy", "Hz")})
+    else:  # kstep: component-packed arrays
+        E, H = np.asarray(state["E"]), np.asarray(state["H"])
+        out = {c: E[:, i] for i, c in enumerate(("Ex", "Ey", "Ez"))}
+        out.update({c: H[:, i] for i, c in enumerate(("Hx", "Hy", "Hz"))})
     return out, runner
 
 

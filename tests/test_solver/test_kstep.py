@@ -70,9 +70,14 @@ def _run_fields(sim, kernel, nsteps=40, k="2"):
         state = jax.jit(runner.init_state)()
         state = jax.jit(
             lambda st: runner._run_chunk(0, nsteps, st, consts))(state)
-        out = {c: np.asarray(state["E"][c]) for c in ("Ex", "Ey", "Ez")}
-        out.update(
-            {c: np.asarray(state["H"][c]) for c in ("Hx", "Hy", "Hz")})
+        if isinstance(state["E"], dict):
+            out = {c: np.asarray(state["E"][c]) for c in ("Ex", "Ey", "Ez")}
+            out.update(
+                {c: np.asarray(state["H"][c]) for c in ("Hx", "Hy", "Hz")})
+        else:  # kstep path: component-packed (nx, 3, ny, nz) arrays
+            E, H = np.asarray(state["E"]), np.asarray(state["H"])
+            out = {c: E[:, i] for i, c in enumerate(("Ex", "Ey", "Ez"))}
+            out.update({c: H[:, i] for i, c in enumerate(("Hx", "Hy", "Hz"))})
         return out
     finally:
         os.environ.pop("TIDY3D_TPU_KERNEL", None)

@@ -1,0 +1,137 @@
+"""Sharded k-step kernel equivalence (SURVEY.md §2.2 P1 on the fast path).
+
+The round-1 GSPMD decomposition dropped sharded runs to the XLA kernels
+(~6x slower per chip). This path runs the k-step Pallas kernel inside
+shard_map with an x-axis decomposition: per-shard padded row spaces,
+ring ppermute halo exchange of fields AND CPML psi state per group
+(SURVEY.md §7 hard part 2), and SPMD-uniform psi strip calls with
+per-shard zeroed tables off the global edges.
+
+Runs in interpret mode on the virtual CPU mesh (conftest forces 8
+devices). The equivalence contract: sharded == SINGLE-DEVICE K-STEP
+(same k, same Nyquist-strided DFT quadrature) to ~float32 roundoff.
+The XLA path is a different time quadrature of the same spectrum
+(stride nyq vs k*(nyq//k)); kstep-vs-XLA closeness is covered with a
+quadrature-limited tolerance by tests/test_solver/test_kstep.py.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import tidy3d_tpu as td
+from tidy3d_tpu.constants import C_0
+from tidy3d_tpu.solver.fdtd import FDTDRunner
+from tidy3d_tpu.solver.lowering import lower
+from tidy3d_tpu.solver.sharding import ShardingPlan, make_mesh
+
+FREQ0 = C_0 / 1.55
+TOL = 2e-5
+
+
+def _build_sim(case="pml"):
+    # totals incl. 8-layer PML (slabs lower to width 16 after staggered
+    # extension + quanta padding): x = 208+16 = 224 (4 shards x 7 bx=8
+    # blocks: 3+3 strip blocks + interior), y = 80+16 = 96 (by=32, nj=3:
+    # psiy strips + interior), z = 24+16 = 40 (psiz lanes 2*32 <= 128)
+    dl = 0.0625  # exact binary: n*dl/dl round-trips without ceil slop
+    nx, ny, nz = 208, 80, 24
+    boundary = td.BoundarySpec.all_sides(td.PML(num_layers=8))
+    if case == "periodic":
+        nx, ny = 192, 96
+        boundary = td.BoundarySpec(
+            x=td.Boundary(minus=td.Periodic(), plus=td.Periodic()),
+            y=td.Boundary(minus=td.Periodic(), plus=td.Periodic()),
+            z=td.Boundary(minus=td.PML(num_layers=8),
+                          plus=td.PML(num_layers=8)))
+    structures = []
+    if case == "dielectric":
+        structures = [td.Structure(
+            geometry=td.Box(center=(0.4, 0, 0), size=(1.2, 0.5, 0.4)),
+            medium=td.Medium(permittivity=4.0))]
+    return td.Simulation(
+        center=(0, 0, 0),
+        size=(nx * dl, ny * dl, nz * dl),
+        run_time=6e-15,
+        sources=[td.PointDipole(
+            center=(0, 0, 0),
+            source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
+            polarization="Ez")],
+        structures=structures,
+        monitors=[
+            td.FieldMonitor(center=(0, 0, 0), size=(td.inf, td.inf, 0),
+                            freqs=[FREQ0], name="field"),
+            td.FluxMonitor(center=(0, 0, 0), size=(1.0, 1.0, 1.0),
+                           freqs=[FREQ0], name="flux"),
+        ],
+        boundary_spec=boundary,
+        grid_spec=td.GridSpec.uniform(dl=dl),
+        shutoff=0.0,
+    )
+
+
+def _run(sim, ndev=None, kernel=None, k=None):
+    env = {}
+    if kernel is not None:
+        env["TIDY3D_TPU_KERNEL"] = kernel
+    if k is not None:
+        env["TIDY3D_TPU_KSTEP"] = str(k)
+    old = {key: os.environ.get(key) for key in env}
+    os.environ.update(env)
+    try:
+        plan = lower(sim)
+        sp = None
+        if ndev is not None:
+            mesh, _ = make_mesh(ndev, decomp=(ndev, 1, 1))
+            sp = ShardingPlan(mesh, plan.shape)
+        runner = FDTDRunner(plan, sharding_plan=sp)
+        if kernel == "kstep_interpret":
+            assert runner.kstep is not None, "kstep kernel not selected"
+            if ndev is not None:
+                assert runner.kstep.shard is not None
+                assert runner.kstep.k == 2
+            else:
+                assert runner.kstep.shard is None
+        return runner.run()
+    finally:
+        for key, v in old.items():
+            if v is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = v
+
+
+@pytest.mark.parametrize("case", ["pml", "dielectric", "periodic"])
+def test_sharded_kstep_matches_single_device(case):
+    sim = _build_sim(case)
+    # single-device k-step with the same k the sharded path picks (k=2)
+    # -> identical DFT quadrature; only halo-exchange float reassociation
+    # separates the two runs
+    ref = _run(sim, kernel="kstep_interpret", k=2)
+    got = _run(sim, ndev=4, kernel="kstep_interpret")
+    assert set(got) == set(ref)
+    for idx in ref:
+        # per-monitor scale: symmetry-zero components (e.g. Hz of a
+        # z-dipole) have no intrinsic scale of their own
+        scale = max(np.max(np.abs(r)) for r in ref[idx].values()) + 1e-30
+        for comp, r in ref[idx].items():
+            g = got[idx][comp]
+            assert g.shape == r.shape, \
+                f"monitor {idx} comp {comp}: {g.shape} vs {r.shape}"
+            err = np.max(np.abs(g - r)) / scale
+            assert err < TOL, f"monitor {idx} comp {comp}: rel err {err:.2e}"
+
+
+def test_sharded_kstep_gate_rejects_bad_decomp():
+    """y/z decompositions fall back to the GSPMD XLA path."""
+    sim = _build_sim("pml")
+    plan = lower(sim)
+    mesh, _ = make_mesh(4, decomp=(1, 4, 1))
+    os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"
+    try:
+        runner = FDTDRunner(plan, sharding_plan=ShardingPlan(
+            mesh, plan.shape))
+        assert runner.kstep is None
+    finally:
+        os.environ.pop("TIDY3D_TPU_KERNEL", None)

@@ -126,6 +126,24 @@ class FDTDRunner:
                                           "pallas2_interpret",
                                           "fused_interpret",
                                           "kstep_interpret")
+        # sharded runs can ride the k-step kernel under shard_map when the
+        # decomposition is x-only (PARITY known-gap closure): the per-shard
+        # program is SPMD-uniform with ring halo exchange. Other layouts
+        # (or TIDY3D_TPU_SHARDED_KSTEP=0) fall back to the GSPMD XLA path.
+        self._shard_kstep_try = False
+        if self.sharding is not None and not self.plan.is_complex \
+                and kern in ("auto", "kstep", "kstep_interpret") \
+                and _os.environ.get("TIDY3D_TPU_SHARDED_KSTEP", "1") != "0":
+            decomp = self.sharding.decomp
+            if decomp[0] > 1 and decomp[1] == 1 and decomp[2] == 1:
+                if self._pallas_interpret:
+                    self._shard_kstep_try = True
+                else:
+                    try:
+                        self._shard_kstep_try = \
+                            jax.devices()[0].platform == "tpu"
+                    except Exception:
+                        self._shard_kstep_try = False
         if kern == "xla" or self.plan.is_complex or self.sharding is not None:
             self._want_pallas = False
         elif kern == "auto":
@@ -139,12 +157,30 @@ class FDTDRunner:
         # transposed to (x, z-slab, y) layout; the x slabs 8-aligned so the
         # fused kernel's slab-fixup pass can block them); the XLA path
         # prefers 128-aligned z slabs (lane tiling of region concats)
-        self._tile_quanta_default = "8,8,8" if self._want_pallas else "1,8,128"
+        self._tile_quanta_default = "8,8,8" \
+            if (self._want_pallas or self._shard_kstep_try) else "1,8,128"
 
     def _init_kernel_mode(self):
         self.pallas = None
         self.fused = None
         self.kstep = None
+        if getattr(self, "_shard_kstep_try", False):
+            from .kernels.pallas_kstep import PallasKStepper
+
+            ndev = self.sharding.decomp[0]
+            nx = self.shape[0]
+            for k in (2, 4):
+                if nx % ndev == 0 and self._monitors_allow_k(k) \
+                        and PallasKStepper.supported_sharded(self, k, ndev):
+                    try:
+                        self.kstep = PallasKStepper(
+                            self, k, interpret=self._pallas_interpret,
+                            shard=dict(ndev=ndev, nx_loc=nx // ndev))
+                        self._mon_x_full = True
+                        break
+                    except ValueError:
+                        self.kstep = None
+            return
         if not self._want_pallas:
             return
         from .kernels.pallas_fused import PallasFusedStepper
@@ -159,8 +195,10 @@ class FDTDRunner:
         kenv = _os.environ.get("TIDY3D_TPU_KSTEP", "auto")
         if kenv != "0" and self._kernel_env in ("auto", "kstep",
                                                 "kstep_interpret"):
-            k_pref = int(kenv) if kenv != "auto" else (
-                4 if self.dtype == jnp.bfloat16 else 2)
+            # k=4 wins at f32 too since the field-packing/piece redesign
+            # (22.6 vs 15.4 Gcell*steps/s on the 384^3+CPML bench): HBM
+            # traffic halves and the kernel is bandwidth-bound
+            k_pref = int(kenv) if kenv != "auto" else 4
             tried = []
             for k in (k_pref, 4, 2):
                 if k < 2 or k in tried:
@@ -480,6 +518,30 @@ class FDTDRunner:
                 z = self.sharding.constrain(z)
             return z
 
+        if getattr(self, "kstep", None) is not None:
+            state = {"psi": {}, "Q": [], "mon": []}
+            # k-step kernel: fields are component-packed (nx, 3, ny, nz)
+            # arrays (one per family — cuts the kernel's piece-DMA streams
+            # 3x); psi slabs hw-padded along the blocked axes; a second
+            # (ping-pong) buffer set receives each group's outputs via
+            # pallas input_output_aliases so the time loop runs fully
+            # in-place (XLA otherwise copies every field array per group
+            # to thread the while-loop carry)
+            pdt = self.kstep.psi_dtype
+            pk_shape = self.kstep.field_shape()
+            state["E"] = zeros(pk_shape)
+            state["H"] = zeros(pk_shape)
+            for key, shp in self.kstep.psi_shapes().items():
+                state["psi"][key] = jnp.zeros(shp, pdt)
+            for mi, mp in enumerate(self.plan.monitors):
+                state["mon"].append(self._init_monitor_acc(mi, mp))
+            state["alt"] = {
+                "E": zeros(pk_shape),
+                "H": zeros(pk_shape),
+                "psi": {key: jnp.zeros(shp, pdt)
+                        for key, shp in self.kstep.psi_shapes().items()},
+            }
+            return state
         state = {
             "E": {c: zeros(shape) for c in E_COMPS},
             "H": {c: zeros(shape) for c in H_COMPS},
@@ -487,24 +549,6 @@ class FDTDRunner:
             "Q": [],
             "mon": [],
         }
-        if getattr(self, "kstep", None) is not None:
-            # k-step kernel: psi slabs hw-padded along the blocked axes;
-            # a second (ping-pong) buffer set receives each group's
-            # outputs via pallas input_output_aliases so the time loop
-            # runs fully in-place (XLA otherwise copies every field
-            # array per group to thread the while-loop carry)
-            pdt = self.kstep.psi_dtype
-            for key, shp in self.kstep.psi_shapes().items():
-                state["psi"][key] = jnp.zeros(shp, pdt)
-            for mi, mp in enumerate(self.plan.monitors):
-                state["mon"].append(self._init_monitor_acc(mi, mp))
-            state["alt"] = {
-                "E": {c: zeros(shape) for c in E_COMPS},
-                "H": {c: zeros(shape) for c in H_COMPS},
-                "psi": {key: jnp.zeros(shp, pdt)
-                        for key, shp in self.kstep.psi_shapes().items()},
-            }
-            return state
         use_fixup = self.fused is not None and self.fused.fixup_ok
         for comp in E_COMPS + H_COMPS:
             fam = "dual" if comp[0] == "E" else "primal"
@@ -542,12 +586,21 @@ class FDTDRunner:
             state["mon"].append(self._init_monitor_acc(mi, mp))
         return state
 
+    def _mon_slices(self, mp, comp):
+        """Monitor slices for accumulation. Sharded-kstep accumulates
+        the monitor's FULL x range per shard (uniform local shapes under
+        SPMD); the global x slice is applied at run() postprocess."""
+        sl = mp.slices[comp]
+        if getattr(self, "_mon_x_full", False):
+            return (slice(0, self.kstep.shape[0]),) + tuple(sl[1:])
+        return sl
+
     def _init_monitor_acc(self, mi, mp):
         acc = {}
         if mp.kind == "field" and str(mi) in self.consts["dft"]:
             nf = len(mp.freqs)
             for comp in mp.comps:
-                sl = mp.slices[comp]
+                sl = self._mon_slices(mp, comp)
                 s = tuple(s_.stop - s_.start for s_ in sl) + (nf,)
                 acc[comp] = (jnp.zeros(s, jnp.float32),
                              jnp.zeros(s, jnp.float32))
@@ -556,7 +609,7 @@ class FDTDRunner:
                 (mp.t_stop - mp.t_start + mp.t_interval - 1)
                 // mp.t_interval, 1)
             for comp in mp.comps:
-                sl = mp.slices[comp]
+                sl = self._mon_slices(mp, comp)
                 s = (n_samples,) + tuple(s_.stop - s_.start for s_ in sl)
                 acc[comp] = jnp.zeros(s, jnp.float32)
         return acc
@@ -890,7 +943,7 @@ class FDTDRunner:
                 for comp in mp.comps:
                     is_e_comp = comp in E_COMPS
                     ints = newE[0] if is_e_comp else newH[0]
-                    vals = ints[comp][mp.slices[comp]][..., None]
+                    vals = ints[comp][self._mon_slices(mp, comp)][..., None]
                     cos_t, sin_t = ph[comp[0]]
                     acc_re, acc_im = acc[comp]
                     new_re = acc_re + vals * cos_t
@@ -914,7 +967,7 @@ class FDTDRunner:
                 new_acc = {}
                 for comp in mp.comps:
                     ints = newE[0] if comp in E_COMPS else newH[0]
-                    vals = ints[comp][mp.slices[comp]]
+                    vals = ints[comp][self._mon_slices(mp, comp)]
                     cur = acc[comp]
                     idx = jnp.where(in_window, sample_idx, 0)
                     updated = lax.dynamic_update_index_in_dim(
@@ -1109,7 +1162,18 @@ class FDTDRunner:
         view = {"E": state["E"], "H": state["H"], "psi": state["psi"]}
         newE, newH, new_psi = self.kstep.step_group(
             t0, view, consts, alt=state.get("alt"))
-        new_mon = self._accumulate_monitors(t0 + k - 1, [newE], [newH],
+        # monitors slice lazy per-component views of the packed arrays
+        # (XLA materializes only the monitor regions); shard mode strips
+        # the halo blocks so views are in local-core rows
+        if self.kstep.shard is not None:
+            bxk, nxl = self.kstep.bx, self.kstep.shape[0]
+            newE_c = newE[bxk:bxk + nxl]
+            newH_c = newH[bxk:bxk + nxl]
+        else:
+            newE_c, newH_c = newE, newH
+        newE_d = {c: newE_c[:, ci] for ci, c in enumerate(E_COMPS)}
+        newH_d = {c: newH_c[:, ci] for ci, c in enumerate(H_COMPS)}
+        new_mon = self._accumulate_monitors(t0 + k - 1, [newE_d], [newH_d],
                                             state, consts)
         out = {"E": newE, "H": newH, "psi": new_psi, "Q": state["Q"],
                "mon": new_mon}
@@ -1375,7 +1439,8 @@ class FDTDRunner:
 
         for key in ("E", "H", "E1", "H1"):
             if key in out:
-                out[key] = {c: _cast(v) for c, v in out[key].items()}
+                out[key] = _cast(out[key]) if not isinstance(out[key], dict) \
+                    else {c: _cast(v) for c, v in out[key].items()}
         for key in ("psi", "psi1"):
             if key in out:
                 out[key] = {c: _cast(v) for c, v in out[key].items()}
@@ -1398,6 +1463,9 @@ class FDTDRunner:
         return chunk_size
 
     def _max_field(self, state):
+        if not isinstance(state["E"], dict):
+            # kstep path: component-packed array
+            return jnp.max(jnp.abs(state["E"])).astype(jnp.float32)
         max_e = jnp.zeros((), jnp.float32)
         for comp in E_COMPS:
             max_e = jnp.maximum(max_e, jnp.max(jnp.abs(state["E"][comp]))
@@ -1451,6 +1519,91 @@ class FDTDRunner:
             return mon_out, stats
 
         return jax.jit(run_all)
+
+    def _make_run_fn_sharded(self, chunk_size: int, num_chunks: int):
+        """Sharded k-step run: the whole chunk loop lives inside one
+        shard_map over the x mesh axis — fields/psi stay shard-local,
+        halos ride lax.ppermute per group (inside step_group), monitor
+        DFTs accumulate per shard with zero communication, and the
+        shutoff test uses lax.pmax. This is the fast-kernel answer to
+        SURVEY §2.2 P1 (the round-1 GSPMD path dropped to the XLA
+        kernels; PARITY 'known gaps')."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.sharding.mesh
+        shutoff = float(self.plan.simulation.shutoff or 0.0)
+        skeys = set(self.kstep.sharded_keys)
+
+        def run_all(crepl, csh):
+            kc = dict(crepl["kstep"])
+            for key, v in csh.items():
+                kc[key] = v[0]
+            consts = dict(crepl)
+            consts["kstep"] = kc
+            state = self.init_state()
+
+            def cond(carry):
+                ci, st, max_ever, cur = carry
+                not_done = ci < num_chunks
+                decayed = jnp.logical_and(
+                    jnp.logical_and(shutoff > 0, ci >= SHUTOFF_MIN_CHUNKS),
+                    cur < shutoff * max_ever)
+                return jnp.logical_and(not_done, jnp.logical_not(decayed))
+
+            def body(carry):
+                ci, st, max_ever, cur = carry
+                start = ci * chunk_size
+                st = self._run_chunk(start, chunk_size, st, consts)
+                cur = lax.pmax(self._max_field(st), "gx")
+                max_ever = jnp.maximum(max_ever, cur)
+                return (ci + 1, st, max_ever, cur)
+
+            carry = (jnp.zeros((), jnp.int32), state,
+                     jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+            ci, state, max_ever, cur = lax.while_loop(cond, body, carry)
+            stats = jnp.stack([ci.astype(jnp.float32), max_ever, cur])
+            mon_out = []
+            for acc in state["mon"]:
+                packed = {}
+                for comp, arr in acc.items():
+                    packed[comp] = jnp.stack([arr[0], arr[1]]) \
+                        if isinstance(arr, tuple) else arr
+                mon_out.append(packed)
+            return mon_out, stats
+
+        # per-monitor out specs: accumulators carry the local x range on
+        # dim 1 (after the re/im or time-sample stack)
+        mon_specs = []
+        for mi, mp in enumerate(self.plan.monitors):
+            if mp.kind == "field" and str(mi) in self.consts["dft"]:
+                mon_specs.append({c: P(None, "gx") for c in mp.comps})
+            elif mp.kind == "field_time":
+                mon_specs.append({c: P(None, "gx") for c in mp.comps})
+            else:
+                mon_specs.append({})
+
+        def spec_tree(tree, spec):
+            return jax.tree_util.tree_map(lambda _: spec, tree)
+
+        crepl0, csh0 = self.split_consts_sharded(self.consts)
+        fn = shard_map(
+            run_all, mesh=mesh,
+            in_specs=(spec_tree(crepl0, P()), spec_tree(csh0, P("gx"))),
+            out_specs=(mon_specs, P()),
+            check_rep=False)
+        return jax.jit(fn)
+
+    def split_consts_sharded(self, consts):
+        """(replicated, per-shard-stacked) views of the consts pytree for
+        the sharded k-step path; prunes XLA-path-only keys (the kernel
+        consumes its own kc copies)."""
+        skeys = set(self.kstep.sharded_keys)
+        kc = {k: v for k, v in consts["kstep"].items() if k not in skeys}
+        csh = {k: consts["kstep"][k] for k in skeys}
+        crepl = {"kstep": kc, "dft": consts["dft"],
+                 "waveforms": consts["waveforms"]}
+        return crepl, csh
 
     def make_differentiable_run(self, num_steps: int = None, checkpoint_chunks:
                                 int = None):
@@ -1621,18 +1774,35 @@ class FDTDRunner:
         self._pad_time_tables(num_chunks * chunk_size)
         # cache the jitted program: re-running the same plan (benchmarks,
         # repeated notebook runs) must not re-trace/re-compile
+        sharded_kstep = self.kstep is not None \
+            and self.kstep.shard is not None
         cache_key = (chunk_size, num_chunks)
         if getattr(self, "_run_fn_key", None) != cache_key:
-            self._run_fn = self._make_run_fn(chunk_size, num_chunks)
+            self._run_fn = self._make_run_fn_sharded(
+                chunk_size, num_chunks) if sharded_kstep \
+                else self._make_run_fn(chunk_size, num_chunks)
             self._run_fn_key = cache_key
         run_fn = self._run_fn
 
         start_time = _time.time()
-        if self.sharding is not None:
+        if sharded_kstep:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.sharding.mesh
+            crepl, csh = self.split_consts_sharded(self.consts)
+            crepl = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    np.asarray(a), NamedSharding(mesh, P())), crepl)
+            csh = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    np.asarray(a), NamedSharding(mesh, P("gx"))), csh)
+            mon_out, stats = run_fn(crepl, csh)
+        elif self.sharding is not None:
             consts = self.sharding.put_consts(self.consts)
+            mon_out, stats = run_fn(consts)
         else:
             consts = jax.device_put(self.consts)
-        mon_out, stats = run_fn(consts)
+            mon_out, stats = run_fn(consts)
         stats_np = np.asarray(jax.device_get(stats))
         self.wall_time = _time.time() - start_time
         self.compile_time = 0.0
@@ -1658,6 +1828,10 @@ class FDTDRunner:
             mon = {}
             for comp, arr in acc.items():
                 vals = np.asarray(jax.device_get(arr))
+                if getattr(self, "_mon_x_full", False):
+                    # sharded accumulators hold the full x range; apply
+                    # the monitor's global x slice here
+                    vals = vals[:, mp.slices[comp][0]]
                 if mp.kind == "field":
                     mon[comp] = vals[0] + 1j * vals[1]
                 else:

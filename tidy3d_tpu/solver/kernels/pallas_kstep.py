@@ -91,16 +91,35 @@ def _f32(x):
 
 
 class PallasKStepper:
-    """One pallas_call advancing the full state by k leapfrog steps."""
+    """One pallas_call advancing the full state by k leapfrog steps.
 
-    def __init__(self, runner, k: int, interpret: bool = False):
+    With ``shard`` set (a dict with keys ``ndev``/``nx_loc``), the stepper
+    compiles the SPMD-uniform per-shard program for an x-axis domain
+    decomposition under ``shard_map``: each shard holds a padded local
+    row space [bx halo | nx_loc core | bx halo]; k-wide field/psi halos
+    are ring-exchanged (lax.ppermute) once per group; CPML x-strips run
+    on every shard with per-shard b/c tables (zeroed off the global
+    edges) so the program is identical across shards. This is the
+    reference's server-side spatial decomposition (SURVEY §2.2 P1) on
+    the fast kernel path instead of the XLA/GSPMD fallback.
+    """
+
+    def __init__(self, runner, k: int, interpret: bool = False,
+                 shard: Optional[dict] = None):
         self.runner = runner
         self.plan = runner.plan
-        self.shape = runner.shape
+        self.shard = shard
+        if shard is not None:
+            self.gshape = runner.shape
+            nx_loc = shard["nx_loc"]
+            self.shape = (nx_loc, runner.shape[1], runner.shape[2])
+        else:
+            self.gshape = runner.shape
+            self.shape = runner.shape
         self.dtype = runner.dtype
         self.interpret = interpret
         self.k = k
-        cfg = self._pick_config_static(runner, k)
+        cfg = self._pick_config_static(runner, k, shard=shard)
         if cfg is None:
             raise ValueError("no feasible (bx, by) for this grid")
         self.bx, self.by, self.hwx, self.hwy = cfg
@@ -164,14 +183,81 @@ class PallasKStepper:
                 return False
         return cls._pick_config_static(runner, k) is not None
 
+    @classmethod
+    def supported_sharded(cls, runner, k: int, ndev: int) -> bool:
+        """Gate for the shard_map x-decomposed kernel path."""
+        plan = runner.plan
+        if plan.is_complex or plan.nonlinear is not None or plan.modulation:
+            return False
+        if runner.pole_scalars:
+            return False
+        nx, ny, nz = runner.shape
+        if nz % 8 or nx % ndev:
+            return False
+        nx_loc = nx // ndev
+        shard = dict(ndev=ndev, nx_loc=nx_loc)
+        cfg = cls._pick_config_static(runner, k, shard=shard)
+        if cfg is None:
+            return False
+        bx, by, hwx, hwy = cfg
+        if nx_loc % bx:
+            return False
+        # the split-region program must be clean on the local grid:
+        # strips + interior must fit (uniform across shards), and the
+        # whole PML cone must live inside the edge shard
+        w_lo_x = max(runner.pml_meta[("dual", 0)][0],
+                     runner.pml_meta[("primal", 0)][0])
+        w_hi_x = max(runner.pml_meta[("dual", 0)][1],
+                     runner.pml_meta[("primal", 0)][1])
+        kx_lo = ((w_lo_x + hwx - 1) // bx) + 1 if w_lo_x else 0
+        kx_hi = (nx_loc // bx) - (max(
+            (((nx_loc - w_hi_x - hwx - bx) // bx) + 1), 0)) if w_hi_x else 0
+        ni_loc = nx_loc // bx
+        if ni_loc - kx_lo - kx_hi <= 0:
+            return False
+        wy = max(runner.pml_meta[("dual", 1)][0],
+                 runner.pml_meta[("primal", 1)][0],
+                 runner.pml_meta[("dual", 1)][1],
+                 runner.pml_meta[("primal", 1)][1])
+        if wy and ny // by - 2 <= 0:
+            return False
+        # source/profile/waveform caps as in supported()
+        prof_bytes = 0
+        for sp in plan.sources:
+            xs, ys, zs = sp.slices
+            xe = (xs.stop if xs.stop is not None else nx) - (xs.start or 0)
+            ye = (ys.stop if ys.stop is not None else ny) - (ys.start or 0)
+            ze = (zs.stop if zs.stop is not None else nz) - (zs.start or 0)
+            if xe > 8 and ye > 8 and ze > 8:
+                return False
+            prof_bytes += nx * max(ye, ze, 8) * nz * 4
+        if prof_bytes > PROFILE_BYTES_CAP:
+            return False
+        wf = np.asarray(plan.waveforms)
+        if wf.nbytes > WAVEFORM_BYTES_CAP or np.iscomplexobj(wf):
+            return False
+        n_var = 0
+        for ckey in ("coeffs_E", "coeffs_H"):
+            for _, (a, b) in runner.consts[ckey].items():
+                n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
+        if n_var > 6:
+            return False
+        for fam in ("dual", "primal"):
+            w_lo, w_hi = runner.pml_meta[(fam, 2)]
+            if 2 * (w_lo + w_hi) > 128:
+                return False
+        return True
+
     @staticmethod
-    def _pick_config_static(runner, k: int):
+    def _pick_config_static(runner, k: int, shard: Optional[dict] = None):
         import os
         force = os.environ.get("TIDY3D_TPU_KSTEP_CFG")
         if force:
             bx, by, hwx, hwy = (int(v) for v in force.split(","))
             return (bx, by, hwx, hwy)
         nx, ny, nz = runner.shape
+        if shard is not None:
+            nx = shard["nx_loc"]
         esize = 2 if runner.dtype == jnp.bfloat16 else 4
         wy = max(runner.pml_meta[("dual", 1)] + runner.pml_meta[("primal", 1)])
         n_var = 0
@@ -181,9 +267,10 @@ class PallasKStepper:
         n_psi_x = sum(
             1 for fam in ("dual", "primal")
             for w in runner.pml_meta[(fam, 0)] if w) * 2  # 2 comps per fam
-        # preference measured on v5e (bench 360^3+PML): bx=16 beats 8,
-        # by=64 ~ 48 > 96 > 128 > 32 (smaller windows pipeline better
-        # under VMEM pressure; tiny by pays program overhead)
+        # preference measured on v5e (bench 360^3+PML): bx=16 beats 8 and
+        # 32 (32,32 and 16,64 both exceed VMEM at k=4). At k=2 by=64 wins
+        # (15.4 vs 12.6); at k=4 the larger windows tip Mosaic's pipeline
+        # over VMEM pressure and by=48 wins (22.6 vs 21.2 at by=32).
         best = None
         w_lo_x = max(runner.pml_meta[("dual", 0)][0],
                      runner.pml_meta[("primal", 0)][0])
@@ -211,18 +298,35 @@ class PallasKStepper:
                     (((nx - w_hi_x - hwx - bx) // bx) + 1) * bx, 0)
                 if s_clamp_lo >= s_min_hi:
                     continue
-            for by in (64, 48, 96, 128, 192, 256, 32, 16):
+            if shard is not None:
+                # shard mode requires a clean split-region program on the
+                # local grid: x strips + non-empty interior
+                kx_lo = (((w_lo_x + hwx - 1) // bx) + 1) if w_lo_x else 0
+                kx_hi = (nx // bx - max(
+                    ((nx - w_hi_x - hwx - bx) // bx) + 1, 0)) \
+                    if w_hi_x else 0
+                if nx // bx - kx_lo - kx_hi <= 0:
+                    continue
+            by_order = (48, 64, 32, 96, 128, 192, 256, 16) if k >= 4 \
+                else (64, 48, 96, 128, 192, 256, 32, 16)
+            for by in by_order:
                 if ny % by or by % hwy or ny % hwy:
                     continue
                 if wy and by < wy + hwy:
                     continue
                 if by < wy_sum:
                     continue
+                if shard is not None and wy and ny // by < 3:
+                    # psiy strip rows + interior must all exist
+                    continue
                 Wx, Wy = bx + 2 * hwx, by + 2 * hwy
                 win = Wx * Wy * nz
                 vmem = 6 * win * esize * 2           # field windows, 2-buf
                 vmem += 6 * bx * by * nz * esize * 2  # outputs, 2-buf
-                vmem += 10 * win * 4                  # f32 live temporaries
+                # f32 live temporaries: 16 windows measured (10 under-
+                # predicted by ~40 MB at k=4: (16,64) compiled to 139.9M
+                # against the 128M budget)
+                vmem += 16 * win * 4
                 vmem += n_psi_x * win * esize         # psi_x scratch
                 vmem += n_var * win * 4               # coeff scratch
                 if vmem <= VMEM_BUDGET:
@@ -244,16 +348,42 @@ class PallasKStepper:
         Wx = self.Wx
         f32 = np.float32
         kc: dict = {}
+        # keys whose leading dim is the shard axis (per-shard stacked);
+        # the sharded driver ships them with P("gx") in_specs
+        self.sharded_keys: set = set()
+        shard = self.shard
+        ndev = shard["ndev"] if shard is not None else 1
         # manual (non-BlockSpec) DMAs require the lane extent to be a
         # multiple of 128 when another dim is sliced; slab/coeff arrays
         # carry zero-padded lanes (no-op when nz is already aligned)
         self.nz_p = -(-nz // 128) * 128
+
+        def _xpad_mode():
+            return "wrap" if plan.boundaries[0][0] not in ("pec", "pmc") \
+                else "edge"
+
+        def _xslice_stack(arr_glob_ext, pad):
+            """Per-shard slices of a globally x-extended array.
+
+            ``arr_glob_ext`` has x extent nx_glob + 2*pad (pad = bx + hwx
+            in shard mode) so that local padded row p of shard s reads
+            row x0(s) + p of the extended array; stacked on a leading
+            shard dim."""
+            nx_loc = shard["nx_loc"]
+            span = nx_loc + 2 * pad
+            return np.stack([arr_glob_ext[s * nx_loc:s * nx_loc + span]
+                             for s in range(ndev)])
 
         def ext_vec(vec3d, axis):
             v = np.asarray(vec3d).reshape(-1)
             mode = "wrap" if plan.boundaries[axis][0] not in ("pec", "pmc") \
                 else "edge"
             pad = hwx if axis == 0 else hwy
+            if axis == 0 and shard is not None:
+                pad = bx + hwx
+                ve = np.pad(v, (pad, pad), mode=mode).astype(f32)
+                st = _xslice_stack(ve, pad)
+                return st.reshape(ndev, -1, 1, 1)
             ve = np.pad(v, (pad, pad), mode=mode)
             shape = [1, 1, 1]
             shape[axis] = len(ve)
@@ -267,6 +397,14 @@ class PallasKStepper:
         kc["inv_h_y"] = ext_vec(runner.consts["inv_primal"][1], 1)
         kc["inv_h_z"] = np.asarray(runner.consts["inv_primal"][2], f32) \
             * np.ones((1, 1, 1), f32)
+        if shard is not None:
+            self.sharded_keys.update({"inv_e_x", "inv_h_x"})
+            # per-shard global-row offset of padded local row 0 minus
+            # bx: gx_glob = gx_local + xoff (masks, thin-x sources)
+            kc["xoff"] = np.array(
+                [[[s * shard["nx_loc"] - bx]] for s in range(ndev)],
+                np.int32)
+            self.sharded_keys.add("xoff")
 
         # x-axis psi: ONE 4D-packed state array for all four components
         # and both sides. Row space = [0, xpad_lo) lo region then
@@ -296,22 +434,23 @@ class PallasKStepper:
                                0)
                 xpad_hi = (nx - bx - s_min_hi) + Wx
             rows = xpad_lo + xpad_hi
-            b = np.zeros((rows, 4, 1, 1), f32)
-            c = np.zeros((rows, 4, 1, 1), f32)
-            for ci, (comp, fam, sgn) in enumerate(PX_COMPS):
-                wl, wh = runner.pml_meta[(fam, 0)]
-                pml_c = runner.consts["pml"].get(f"{fam}0")
-                if wl:
-                    b[hwx:hwx + wl, ci] = pml_c["b_lo"].reshape(-1, 1, 1)
-                    c[hwx:hwx + wl, ci] = pml_c["c_lo"].reshape(-1, 1, 1)
-                if wh:
-                    lo_row = xpad_lo + (nx - wh) - (s_min_hi - hwx)
-                    b[lo_row:lo_row + wh, ci] = \
-                        pml_c["b_hi"].reshape(-1, 1, 1)
-                    c[lo_row:lo_row + wh, ci] = \
-                        pml_c["c_hi"].reshape(-1, 1, 1)
-            kc["bx_pk"] = b
-            kc["cx_pk"] = c
+            if shard is None:
+                b = np.zeros((rows, 4, 1, 1), f32)
+                c = np.zeros((rows, 4, 1, 1), f32)
+                for ci, (comp, fam, sgn) in enumerate(PX_COMPS):
+                    wl, wh = runner.pml_meta[(fam, 0)]
+                    pml_c = runner.consts["pml"].get(f"{fam}0")
+                    if wl:
+                        b[hwx:hwx + wl, ci] = pml_c["b_lo"].reshape(-1, 1, 1)
+                        c[hwx:hwx + wl, ci] = pml_c["c_lo"].reshape(-1, 1, 1)
+                    if wh:
+                        lo_row = xpad_lo + (nx - wh) - (s_min_hi - hwx)
+                        b[lo_row:lo_row + wh, ci] = \
+                            pml_c["b_hi"].reshape(-1, 1, 1)
+                        c[lo_row:lo_row + wh, ci] = \
+                            pml_c["c_hi"].reshape(-1, 1, 1)
+                kc["bx_pk"] = b
+                kc["cx_pk"] = c
             self.psix_pack = dict(
                 comps=PX_COMPS, xpad_lo=xpad_lo, xpad_hi=xpad_hi,
                 s_clamp_lo=s_clamp_lo, s_min_hi=s_min_hi,
@@ -409,10 +548,14 @@ class PallasKStepper:
             else "edge"
 
         def pad_xy(arr):
-            arr = np.pad(np.asarray(arr, f32), ((hwx, hwx), (0, 0), (0, 0)),
+            xpad = (bx + hwx) if shard is not None else hwx
+            arr = np.pad(np.asarray(arr, f32), ((xpad, xpad), (0, 0), (0, 0)),
                          mode=x_mode)
             arr = np.pad(arr, ((0, 0), (hwy, hwy), (0, 0)), mode=y_mode)
-            return np.pad(arr, ((0, 0), (0, 0), (0, self.nz_p - nz)))
+            arr = np.pad(arr, ((0, 0), (0, 0), (0, self.nz_p - nz)))
+            if shard is not None:
+                return _xslice_stack(arr, xpad)
+            return arr
 
         self.var_coeffs: List[str] = []
         self.static_coeffs: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
@@ -426,16 +569,22 @@ class PallasKStepper:
                 if a_s is None:
                     kc[f"cf_a_{c}"] = pad_xy(a_h)
                     self.var_coeffs.append(f"cf_a_{c}")
+                    if shard is not None:
+                        self.sharded_keys.add(f"cf_a_{c}")
                 if b_s is None:
                     kc[f"cf_b_{c}"] = pad_xy(b_h)
                     self.var_coeffs.append(f"cf_b_{c}")
+                    if shard is not None:
+                        self.sharded_keys.add(f"cf_b_{c}")
 
-        # source profiles in window-aligned layouts
+        # source profiles in window-aligned layouts (built in GLOBAL x
+        # coordinates; shard mode slices per shard afterwards)
+        nxg = self.gshape[0]
         self.src_meta = []
         for si, sp in enumerate(plan.sources):
             prof = np.asarray(runner.consts["src_profiles"][si], f32)
             box = tuple((s.stop if s.stop is not None else n) - (s.start or 0)
-                        for s, n in zip(sp.slices, self.shape))
+                        for s, n in zip(sp.slices, self.gshape))
             prof = np.broadcast_to(prof, box)
             xs, ys, zs = sp.slices
             x0, y0, z0 = (xs.start or 0), (ys.start or 0), (zs.start or 0)
@@ -465,21 +614,26 @@ class PallasKStepper:
                 self.src_meta.append(dict(kind="thin_x", x0=x0, xe=xe,
                                           comp=sp.comp, wf=sp.waveform_key))
             elif ye <= 8:
-                padded = np.zeros((nx + 2 * hwx, ye, nz), f32)
-                padded[x0 + hwx:x0 + hwx + xe, :, z0:z0 + ze] = prof
-                padded = wrap_pads(padded, [(0, nx, hwx, x_mode == "wrap")])
+                xpad = (bx + hwx) if shard is not None else hwx
+                padded = np.zeros((nxg + 2 * xpad, ye, nz), f32)
+                padded[x0 + xpad:x0 + xpad + xe, :, z0:z0 + ze] = prof
+                padded = wrap_pads(padded, [(0, nxg, xpad,
+                                             x_mode == "wrap")])
+                if shard is not None:
+                    padded = _xslice_stack(padded, xpad)
+                    self.sharded_keys.add(f"src_{si}")
                 self.src_meta.append(dict(kind="wide_x", y0=y0, ye=ye,
                                           comp=sp.comp, wf=sp.waveform_key))
             else:
                 # thin in z (e.g. z-normal plane waves): Mosaic cannot
                 # load a dynamic lane window, so pre-tile the per-program
                 # (Wx, ze, Wy) windows host-side into a grid-indexed array
-                padded = np.zeros((nx + 2 * hwx, ze, ny + 2 * hwy), f32)
+                padded = np.zeros((nxg + 2 * hwx, ze, ny + 2 * hwy), f32)
                 padded[x0 + hwx:x0 + hwx + xe, :, y0 + hwy:y0 + hwy + ye] = \
                     np.transpose(prof, (0, 2, 1))
-                padded = wrap_pads(padded, [(0, nx, hwx, x_mode == "wrap"),
+                padded = wrap_pads(padded, [(0, nxg, hwx, x_mode == "wrap"),
                                             (2, ny, hwy, y_mode == "wrap")])
-                ni, nj = nx // bx, ny // by
+                ni, nj = nxg // bx, ny // by
                 Wy = self.Wy
                 tiled = np.zeros((ni, nj, Wx, ze, Wy), f32)
                 for ti in range(ni):
@@ -487,6 +641,12 @@ class PallasKStepper:
                         tiled[ti, tj] = padded[ti * bx:ti * bx + Wx, :,
                                                tj * by:tj * by + Wy]
                 padded = tiled
+                if shard is not None:
+                    ni_loc = self.shape[0] // bx
+                    padded = np.stack(
+                        [tiled[s * ni_loc:(s + 1) * ni_loc]
+                         for s in range(ndev)])
+                    self.sharded_keys.add(f"src_{si}")
                 self.src_meta.append(dict(kind="thin_z", z0=z0, ze=ze,
                                           comp=sp.comp, wf=sp.waveform_key))
             kc[f"src_{si}"] = padded
@@ -511,14 +671,34 @@ class PallasKStepper:
                     r0 = hwx + (nx - wh) - x_base
                     b[r0:r0 + wh, ci] = pml_c["b_hi"].reshape(-1, 1, 1)
                     c[r0:r0 + wh, ci] = pml_c["c_hi"].reshape(-1, 1, 1)
-            kc[f"bxs_{side}"] = b
-            kc[f"cxs_{side}"] = c
+            if shard is not None:
+                # strips run on EVERY shard (SPMD-uniform program);
+                # off-edge shards get zero tables -> psi stays 0 and
+                # contributes nothing
+                edge = 0 if side == "lo" else ndev - 1
+                zb = np.zeros_like(b)
+                kc[f"bxs_{side}"] = np.stack(
+                    [b if s == edge else zb for s in range(ndev)])
+                kc[f"cxs_{side}"] = np.stack(
+                    [c if s == edge else zb for s in range(ndev)])
+                self.sharded_keys.update({f"bxs_{side}", f"cxs_{side}"})
+            else:
+                kc[f"bxs_{side}"] = b
+                kc[f"cxs_{side}"] = c
 
         runner.consts["kstep"] = kc
 
     # ------------------------------------------------------------------ #
     # psi state layout (created by runner.init_state)
     # ------------------------------------------------------------------ #
+
+    def field_shape(self) -> Tuple[int, ...]:
+        """Shape of one component-packed field state array (per shard in
+        shard mode: padded local rows)."""
+        nx, ny, nz = self.shape
+        if self.shard is not None:
+            nx += 2 * self.bx
+        return (nx, 3, ny, nz)
 
     def psi_shapes(self) -> Dict[str, Tuple[int, ...]]:
         """Shapes for every psi state array.
@@ -534,6 +714,15 @@ class PallasKStepper:
         nx, ny, nz = self.shape
         hwx, hwy = self.hwx, self.hwy
         shapes = {}
+        if self.shard is not None:
+            nx_pad = nx + 2 * self.bx
+            for side, kx in self._psix_strip_blocks().items():
+                shapes[f"psix_{side}"] = (kx * self.bx, 4, ny, nz)
+            for side, pk in self.psiy_pack.items():
+                shapes[f"psiy_{side}"] = (nx_pad, 4, pk["w"], nz)
+            if self.psiz_Ltot:
+                shapes["psizp"] = (nx_pad, ny, self.psiz_Ltot)
+            return shapes
         if len(self._regions()) > 1:
             for side, kx in self._psix_strip_blocks().items():
                 shapes[f"psix_{side}"] = (kx * self.bx, 4, ny, nz)
@@ -593,7 +782,8 @@ class PallasKStepper:
         nx, ny, _ = self.shape
         ni, nj = nx // self.bx, ny // self.by
         import os as _os
-        force_single = _os.environ.get("TIDY3D_TPU_KSTEP_SPLIT", "1") == "0"
+        force_single = _os.environ.get("TIDY3D_TPU_KSTEP_SPLIT", "1") == "0" \
+            and self.shard is None
         kx_lo = kx_hi = 0
         if self.psix_pack is not None:
             px = self.psix_pack
@@ -638,6 +828,41 @@ class PallasKStepper:
         self._regions_cache = regions
         return regions
 
+    def _exchange_halos(self, view: dict) -> dict:
+        """Ring-exchange k-wide x halos of the dynamic state over the
+        "gx" shard_map axis: fields (both packed families) plus the
+        x-spanning psi arrays (psiy sides, packed z) — SURVEY §7 hard
+        part 2: the halo must include the CPML auxiliary fields. Only
+        the k rows adjacent to the core are ever read by the l/h piece
+        maps, so the rest of the bx-wide halo block stays stale.
+        For non-periodic global x the wrapped edge data is garbage but
+        harmless: the global-wall masks zero every derivative that
+        crosses the boundary."""
+        k, bx = self.k, self.bx
+        nx_loc = self.shape[0]
+        ndev = self.shard["ndev"]
+        fwd_perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+        bwd_perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+        def ex(arr):
+            hi_edge = lax.slice_in_dim(arr, bx + nx_loc - k, bx + nx_loc,
+                                       axis=0)
+            lo_edge = lax.slice_in_dim(arr, bx, bx + k, axis=0)
+            from_left = lax.ppermute(hi_edge, "gx", fwd_perm)
+            from_right = lax.ppermute(lo_edge, "gx", bwd_perm)
+            arr = lax.dynamic_update_slice_in_dim(arr, from_left.astype(
+                arr.dtype), bx - k, axis=0)
+            return lax.dynamic_update_slice_in_dim(
+                arr, from_right.astype(arr.dtype), bx + nx_loc, axis=0)
+
+        out = {"E": ex(view["E"]), "H": ex(view["H"])}
+        new_psi = dict(view["psi"])
+        for key, arr in view["psi"].items():
+            if key.startswith("psiy") or key == "psizp":
+                new_psi[key] = ex(arr)
+        out["psi"] = new_psi
+        return out
+
     def step_group(self, t0, view: dict, consts: dict, alt=None):
         """Advance (E, H, psi) by k steps starting at global step t0.
 
@@ -650,6 +875,12 @@ class PallasKStepper:
         donation targets (each call overwrites only its region's blocks).
         """
         regions = self._regions()
+        if self.shard is not None:
+            # refresh this buffer set's halo rows from the neighbours'
+            # fresh core edges (the kernel writes core blocks only; each
+            # group exchanges its own input buffers, so the ping-pong
+            # partner is refreshed when its turn comes)
+            view = dict(view, **self._exchange_halos(view))
         # host-side per-group scalars are shared by every region call
         t0_arr = jnp.reshape(jnp.asarray(t0, jnp.int32), (1, 1))
         wf_all = _f32(jnp.asarray(consts["waveforms"]))
@@ -694,9 +925,21 @@ class PallasKStepper:
             arrays.append(arr)
             specs.append(spec)
 
+        # x-block offset for the padded shard-local row space (one bx
+        # halo block each side; halos ring-exchanged per group)
+        xpb = 1 if self.shard is not None else 0
+
         def xmap(xk):
             # region offset i0 is in bx-block units; l/h pieces index in
             # hwx units, m pieces in bx units
+            if self.shard is not None:
+                # padded local rows: never wraps/clamps — the halo pads
+                # cover the full dependency cone
+                if xk == "m":
+                    return lambda b: b + i0 + xpb
+                if xk == "l":
+                    return lambda b: (b + i0 + xpb) * rbx - 1
+                return lambda b: (b + i0 + xpb) * rbx + rbx
             if xk == "m":
                 return lambda b: b + i0
             if xk == "l":
@@ -723,11 +966,25 @@ class PallasKStepper:
                 lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), ym(b_j), 0),
                 memory_space=pltpu.VMEM)
 
-        for c in E_COMPS + H_COMPS:
-            F = view["E"][c] if c in E_COMPS else view["H"][c]
+        # fields ride as TWO component-packed arrays (nx, 3, ny, nz) — one
+        # per family — through the same l/m/h piece machinery. Packing all
+        # three components on a non-tiled dim cuts the per-program field
+        # piece streams from 54 to 18 (strip programs were DMA-issue
+        # bound: ~195us/program vs 39us interior before piece plumbing).
+        def piece_spec4(xk, yk):
+            bsx = hwx if xk in "lh" else bx
+            bsy = hwy if yk in "lh" else by
+            xm, ym = xmap(xk), ymap(yk)
+            return pl.BlockSpec(
+                (bsx, 3, bsy, nz),
+                lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), 0, ym(b_j), 0),
+                memory_space=pltpu.VMEM)
+
+        for famk in ("E", "H"):
+            arr = view[famk]
             for xk in "lmh":
                 for yk in "lmh":
-                    add(f"{c}_{xk}{yk}", F, piece_spec(xk, yk))
+                    add(f"{famk}pk_{xk}{yk}", arr, piece_spec4(xk, yk))
 
         # the lane-packed z-psi array rides the same piece machinery
         use_psiz = self.psiz_Ltot and not _skip_psi and "psiz" not in _sk
@@ -739,6 +996,11 @@ class PallasKStepper:
                         piece_spec(xk, yk, depth=self.psiz_Ltot))
 
         add("t0", t0_arr, pl.BlockSpec(memory_space=pltpu.SMEM))
+        if self.shard is not None:
+            # per-shard global-row offset (shard_map squeezes the
+            # leading shard dim before step_group is called)
+            add("xoff", consts["kstep"]["xoff"],
+                pl.BlockSpec(memory_space=pltpu.SMEM))
 
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         # Mosaic cannot index VMEM at a dynamic lane offset; the k-length
@@ -831,12 +1093,15 @@ class PallasKStepper:
                     lambda b_i, b_j, xm=xm: (xm(b_i), 0, 0, 0),
                     memory_space=pltpu.VMEM))
 
-        out_shapes = [jax.ShapeDtypeStruct((nx, ny, nz), dtype)
-                      for _ in range(6)]
+        nx_arr = nx + 2 * bx * xpb  # padded local rows in shard mode
+        out_shapes = [jax.ShapeDtypeStruct((nx_arr, 3, ny, nz), dtype)
+                      for _ in range(2)]
         out_specs = [pl.BlockSpec(
-            (bx, by, nz), lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
-            memory_space=pltpu.VMEM) for _ in range(6)]
-        out_names = [f"out_{c}" for c in E_COMPS + H_COMPS]
+            (bx, 3, by, nz),
+            lambda b_i, b_j: (b_i + i0 + xpb, 0, b_j + j0, 0),
+            memory_space=pltpu.VMEM) for _ in range(2)]
+        out_names = ["out_E", "out_H"]
+        N_FIELD_OUT = 2
         out_psi_keys = []
         for key in pack_keys:
             arr = view["psi"][key]
@@ -858,7 +1123,7 @@ class PallasKStepper:
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(
                 (bx, 4, arr.shape[2], nz),
-                lambda b_i, b_j: (b_i + i0, 0, 0, 0),
+                lambda b_i, b_j: (b_i + i0 + xpb, 0, 0, 0),
                 memory_space=pltpu.VMEM))
             out_names.append(f"o_psiyp_{sd}")
             out_psi_keys.append(f"psiy_{sd}")
@@ -867,7 +1132,7 @@ class PallasKStepper:
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(
                 (bx, by, self.psiz_Ltot),
-                lambda b_i, b_j: (b_i + i0, b_j + j0, 0),
+                lambda b_i, b_j: (b_i + i0 + xpb, b_j + j0, 0),
                 memory_space=pltpu.VMEM))
             out_names.append("opsizp")
             out_psi_keys.append("psizp")
@@ -875,12 +1140,11 @@ class PallasKStepper:
         io_aliases = {}
         if alt is not None:
             anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
-            for oi, c in enumerate(E_COMPS + H_COMPS):
-                src_arr = alt["E"][c] if c in E_COMPS else alt["H"][c]
+            for oi, famk in enumerate(("E", "H")):
                 io_aliases[len(arrays)] = oi
-                add(f"alias_{c}", src_arr, anyspec)
+                add(f"alias_{famk}", alt[famk], anyspec)
             for i, key in enumerate(out_psi_keys):
-                io_aliases[len(arrays)] = 6 + i
+                io_aliases[len(arrays)] = N_FIELD_OUT + i
                 add(f"alias_{key}", alt["psi"][key], anyspec)
 
         scratch_shapes = []
@@ -924,11 +1188,10 @@ class PallasKStepper:
             interpret=self.interpret,
         )(*arrays)
 
-        newE = {c: results[ci] for ci, c in enumerate(E_COMPS)}
-        newH = {c: results[3 + ci] for ci, c in enumerate(H_COMPS)}
+        newE, newH = results[0], results[1]
         new_psi = dict(view["psi"])
         for oi, key in enumerate(out_psi_keys):
-            new_psi[key] = results[6 + oi]
+            new_psi[key] = results[2 + oi]
         return newE, newH, new_psi
 
     # ------------------------------------------------------------------ #
@@ -948,11 +1211,18 @@ class PallasKStepper:
 
         b_i = pl.program_id(0) + region["i0"]
         b_j = pl.program_id(1) + region["j0"]
-        s = b_i * bx
+        # shard mode: rows live in the padded local space (one bx halo
+        # block each side); gx is lifted to GLOBAL rows via the per-shard
+        # xoff scalar so masks and thin-x sources stay SPMD-uniform
+        xpb = 1 if self.shard is not None else 0
+        s = (b_i + xpb) * bx
         sy = b_j * by
         t0 = r["t0"][0, 0]
+        nxg = self.gshape[0]
 
         gx = s - hwx + lax.broadcasted_iota(jnp.int32, (Wx, 1, 1), 0)
+        if self.shard is not None:
+            gx = gx + r["xoff"][0, 0]
         gy = sy - hwy + lax.broadcasted_iota(jnp.int32, (1, Wy, 1), 1)
         iota_z = lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
 
@@ -1019,7 +1289,7 @@ class PallasKStepper:
             dma.start()
             read_waits.append((dma, None))
 
-        # ---- field windows ---- #
+        # ---- field windows (component-packed, dim1 = comp) ---- #
         def ext(c):
             rows = []
             for xk in "lmh":
@@ -1027,8 +1297,17 @@ class PallasKStepper:
                 rows.append(jnp.concatenate(cols, axis=1))
             return _f32(jnp.concatenate(rows, axis=0))
 
-        fE = {c: ext(c) for c in E_COMPS}
-        fH = {c: ext(c) for c in H_COMPS}
+        def ext4(name):
+            rows = []
+            for xk in "lmh":
+                cols = [r[f"{name}_{xk}{yk}"][:] for yk in "lmh"]
+                rows.append(jnp.concatenate(cols, axis=2))
+            return _f32(jnp.concatenate(rows, axis=0))
+
+        Ewin = ext4("Epk")
+        Hwin = ext4("Hpk")
+        fE = {c: Ewin[:, ci] for ci, c in enumerate(E_COMPS)}
+        fH = {c: Hwin[:, ci] for ci, c in enumerate(H_COMPS)}
         use_psiz_body = (self.psiz_Ltot and "psi" not in _skip
                          and "psiz" not in _skip)
         packed_fams = [fam for fam in ("dual", "primal")
@@ -1138,7 +1417,7 @@ class PallasKStepper:
             key = (axis, lo)
             if key not in _mask_cache:
                 if axis == 0:
-                    g, lim = gx, nx - 1
+                    g, lim = gx, nxg - 1
                 elif axis == 1:
                     g, lim = gy, ny - 1
                 else:
@@ -1409,13 +1688,13 @@ class PallasKStepper:
             newH = apply_psiz("primal", newH, dz_map)
             fH = inject("H", newH, jstep)
 
-        # ---- write back ---- #
-        for c in E_COMPS:
-            r[f"out_{c}"][:] = fE[c][hwx:hwx + bx,
-                                     hwy:hwy + by, :].astype(dtype)
-        for c in H_COMPS:
-            r[f"out_{c}"][:] = fH[c][hwx:hwx + bx,
-                                     hwy:hwy + by, :].astype(dtype)
+        # ---- write back (re-packed on dim1) ---- #
+        r["out_E"][:] = jnp.stack(
+            [fE[c][hwx:hwx + bx, hwy:hwy + by, :] for c in E_COMPS],
+            axis=1).astype(dtype)
+        r["out_H"][:] = jnp.stack(
+            [fH[c][hwx:hwx + bx, hwy:hwy + by, :] for c in H_COMPS],
+            axis=1).astype(dtype)
         if use_psiz_body:
             oref = r["opsizp"]
             oref[:] = jnp.concatenate(
