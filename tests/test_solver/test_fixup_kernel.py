@@ -18,6 +18,10 @@ STRUCT = td.Structure(
 def _run(sim, mode, monkeypatch, steps=100):
     monkeypatch.delenv("TIDY3D_TPU_TILE_QUANTA", raising=False)
     monkeypatch.setenv("TIDY3D_TPU_KERNEL", mode)
+    # these tests assert path equivalence down to noise level (the pulse
+    # tail), which alignment padding legitimately perturbs by reorganizing
+    # slab arithmetic; the padded path is physics-tested in test_kstep
+    monkeypatch.setenv("TIDY3D_TPU_PAD_ALIGN", "0")
     plan = lower(sim)
     plan.num_steps = min(plan.num_steps, steps)
     plan.tmesh = plan.tmesh[:plan.num_steps]

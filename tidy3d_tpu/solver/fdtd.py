@@ -107,8 +107,48 @@ class FDTDRunner:
                 "nonlinear media with Bloch (complex-field) boundaries are "
                 "not supported")
         self._kernel_intent()
+        self.pad_widths = (0, 0, 0)
         self._build_constants()
         self._init_kernel_mode()
+        # rescue pass: if the best kernel tier didn't engage (odd/PEC grid
+        # sizes failing the alignment gates), pad the domain with frozen
+        # cells and retry so such runs still ride the fast Pallas kernels
+        # instead of dropping to slower paths (kstep > fused > two-phase >
+        # XLA, 22 vs 5 vs 4 vs 2 Gcell*steps/s on the CPML bench). Padding
+        # is accepted only when it strictly improves the tier — an
+        # already-optimal plan is never perturbed (e.g. widening a hi-side
+        # PML slab can collapse the sharded kernel's region split).
+        def _tier():
+            if self.kstep is not None:
+                return 3
+            if self.fused is not None:
+                return 2
+            if self.pallas is not None:
+                return 1
+            return 0
+
+        tier0 = _tier()
+        if tier0 < 3 and (self._want_pallas or self._shard_kstep_try):
+            from .lowering import pad_plan_for_kernels
+
+            ndev_x = self.sharding.decomp[0] if self._shard_kstep_try else 1
+            padded, pw = pad_plan_for_kernels(plan, ndev_x=ndev_x)
+            if any(pw):
+                unpadded_plan = plan
+                self.plan = plan = padded
+                self.shape = plan.shape
+                self.gshape = tuple(n + 2 * G for n in plan.shape)
+                self._build_constants()
+                self._init_kernel_mode()
+                if _tier() <= tier0:
+                    # padding didn't improve the tier; revert
+                    self.plan = plan = unpadded_plan
+                    self.shape = plan.shape
+                    self.gshape = tuple(n + 2 * G for n in plan.shape)
+                    self._build_constants()
+                    self._init_kernel_mode()
+                else:
+                    self.pad_widths = pw
         self._build_dft_tables()
 
     def _kernel_intent(self):

@@ -1041,3 +1041,155 @@ def _field_monitor_plan(grid, monitor, comps, kind) -> MonitorPlan:
         else None
     return MonitorPlan(monitor=monitor, kind=kind, comps=tuple(comps),
                        slices=slices, coords=coords, freqs=freqs)
+
+
+# --------------------------------------------------------------------------- #
+# kernel-alignment padding
+# --------------------------------------------------------------------------- #
+
+
+def pad_plan_for_kernels(plan: SimulationPlan, ndev_x: int = 1
+                         ) -> Tuple[SimulationPlan, Tuple[int, int, int]]:
+    """Pad the lowered domain with frozen cells so the Pallas kernels'
+    alignment gates pass (PARITY known-gap closure: PEC/odd-size grids fell
+    to the ~6x-slower XLA path whenever ``nz % 8`` or the x/y block-divide
+    checks failed).
+
+    Padding happens at the HIGH end of each PEC-terminated axis only
+    (PML/absorber axes terminate in PEC too). The pad cells carry
+    ``ca = cb = da = db = 0`` so E and H are frozen at zero there — exactly
+    the zero-extension the stepping core already assumes beyond the high
+    wall — and the Yee staggering guarantees no true-cell update ever reads
+    a pad value that differs from that implicit zero (E reads H backward,
+    H reads E forward along each derivative axis). CPML hi-slab coefficient
+    vectors are zero-padded and ``n_hi`` is grown so the slab stays anchored
+    at the (new) array edge while covering the true PML cone; pad rows are
+    self-neutralizing (psi' = 0*psi + 0*d).
+
+    Periodic/Bloch/PMC axes are never padded (wrap reads must hit the true
+    opposite edge / the mirror image is not a zero-extension).
+
+    Returns (possibly new) plan and the pad widths applied.
+    """
+    import dataclasses
+    import os
+
+    if os.environ.get("TIDY3D_TPU_PAD_ALIGN", "1") == "0":
+        return plan, (0, 0, 0)
+
+    nx, ny, nz = plan.shape
+
+    # y blocks must admit a divisor by >= (rounded PML width + hw, and the
+    # two-sided width sum); wide (Stable)PML needs larger blocks
+    wy = wy_sum_parts = 0
+    w_sides = [0, 0]
+    for cf in (plan.pml_dual[1], plan.pml_primal[1]):
+        for side, w in enumerate((cf.n_lo, cf.n_hi)):
+            if w:
+                wq = -(-(w + 1) // 8) * 8
+                wy = max(wy, wq)
+                w_sides[side] = max(w_sides[side], wq)
+    wy_sum_parts = w_sides[0] + w_sides[1]
+
+    def pad_y(n):
+        """Minimal pad so some valid by divides ny."""
+        for pad in range(0, 97):
+            m = n + pad
+            for by in (16, 32, 48, 64, 96, 128, 192, 256):
+                if m % by:
+                    continue
+                if wy and by < wy + 8:
+                    continue
+                if by < wy_sum_parts:
+                    continue
+                return pad
+        return None
+
+    def pad_to(mult):
+        return lambda n: (-n) % mult
+
+    rules = (pad_to(16 * max(ndev_x, 1)), pad_y, pad_to(8))
+
+    pads = []
+    for axis in range(3):
+        n = plan.shape[axis]
+        pad = rules[axis](n)
+        if pad == 0 or n == 1:
+            pads.append(0)
+            continue
+        if pad is None or plan.boundaries[axis][1] != BK_PEC:
+            # misaligned but not paddable: keep the plan unchanged (the
+            # runner will fall back to the XLA path as before)
+            pads.append(None)
+            continue
+        pads.append(pad)
+    if any(p is None for p in pads) or not any(pads):
+        return plan, (0, 0, 0)
+    px, py, pz = pads
+
+    def pad3(arr, fill=0.0):
+        arr = np.asarray(arr)
+        if arr.ndim == 0:
+            return arr
+        return np.pad(arr, ((0, px), (0, py), (0, pz)),
+                      constant_values=fill)
+
+    def pad1(vec, axis, fill):
+        vec = np.asarray(vec)
+        p = pads[axis]
+        if p == 0:
+            return vec
+        if fill == "edge":
+            return np.pad(vec, (0, p), mode="edge")
+        return np.pad(vec, (0, p), constant_values=fill)
+
+    coeffs_E = {c: (pad3(a), pad3(b)) for c, (a, b) in plan.coeffs_E.items()}
+    coeffs_H = {c: (pad3(a), pad3(b)) for c, (a, b) in plan.coeffs_H.items()}
+    inv_primal = tuple(pad1(plan.inv_primal[ax], ax, "edge") for ax in range(3))
+    inv_dual = tuple(pad1(plan.inv_dual[ax], ax, "edge") for ax in range(3))
+
+    def pad_pml(cf, axis):
+        p = pads[axis]
+        if p == 0:
+            return cf
+        return cpml_mod.PmlCoeffs1D(
+            inv_kappa=pad1(cf.inv_kappa, axis, 1.0),
+            b=pad1(cf.b, axis, 0.0),
+            c=pad1(cf.c, axis, 0.0),
+            n_lo=cf.n_lo,
+            n_hi=cf.n_hi + p if cf.n_hi else 0,
+        )
+
+    pml_dual = tuple(pad_pml(plan.pml_dual[ax], ax) for ax in range(3))
+    pml_primal = tuple(pad_pml(plan.pml_primal[ax], ax) for ax in range(3))
+
+    poles = [dataclasses.replace(pp, c_maps=tuple(pad3(m) for m in pp.c_maps))
+             for pp in plan.poles]
+    disp_ee = None
+    if plan.disp_ee is not None:
+        disp_ee = {c: pad3(v) for c, v in plan.disp_ee.items()}
+    nonlinear = plan.nonlinear
+    if nonlinear is not None:
+        nonlinear = {k: ({c: pad3(m) for c, m in v.items()}
+                         if isinstance(v, dict) else v)
+                     for k, v in nonlinear.items()}
+    modulation = plan.modulation
+    if modulation is not None:
+        modulation = [
+            {k: ({c: tuple(pad3(m) for m in maps) for c, maps in v.items()}
+                 if k in ("eps_maps", "sigma_maps") else v)
+             for k, v in entry.items()}
+            for entry in modulation
+        ]
+    eps_yee = None
+    if plan.eps_yee is not None:
+        eps_yee = {c: pad3(v, fill=1.0) for c, v in plan.eps_yee.items()}
+
+    new_plan = dataclasses.replace(
+        plan, shape=(nx + px, ny + py, nz + pz),
+        coeffs_E=coeffs_E, coeffs_H=coeffs_H,
+        inv_primal=inv_primal, inv_dual=inv_dual,
+        pml_dual=pml_dual, pml_primal=pml_primal,
+        poles=poles, disp_ee=disp_ee, nonlinear=nonlinear,
+        modulation=modulation, eps_yee=eps_yee)
+    return new_plan, (px, py, pz)
