@@ -98,7 +98,10 @@ def compute_modes(
     (fields, n_complex): fields = dict of 6 arrays (Ex..Hz), each
     (Nx, Ny, num_modes) complex; n_complex = (num_modes,) complex array.
     """
-    eps_xx, eps_yy, eps_zz = [np.asarray(e, dtype=complex) for e in eps_cross]
+    # explicit copies: the bend transform and PEC clamp below modify these
+    # in place, and np.asarray would alias caller arrays that are already
+    # complex (a second solve on the same inputs would double-apply them)
+    eps_xx, eps_yy, eps_zz = [np.array(e, dtype=complex) for e in eps_cross]
     x_b, y_b = [np.asarray(c, dtype=float) for c in coords]
     nx, ny = eps_xx.shape
     if (nx != len(x_b) - 1) or (ny != len(y_b) - 1):
@@ -247,10 +250,37 @@ def compute_modes(
 
     # request extra eigenpairs so spurious ones can be filtered out
     num_request = min(num_modes + 4, 2 * N - 2)
+    vals = vecs = None
     if 2 * N <= DENSE_SIZE_CUTOFF:
         vals, vecs = np.linalg.eig(M.toarray())
     else:
-        vals, vecs = spl.eigs(M, k=num_request, sigma=sigma, which="LM")
+        from .tpu_solver import use_filter_path
+
+        if use_filter_path(2 * N, has_offaxis=False):
+            # the device filter iterates on an UNSTRETCHED (sigma=0,
+            # PEC-backed) real proxy whose top spectrum is exactly the
+            # guided modes; stretched matrices would introduce spurious
+            # top eigenvalues (complex CPML spectrum / metric mismatch)
+            ones_x = np.ones(nx, dtype=complex)
+            ones_y = np.ones(ny, dtype=complex)
+            Dxf_p, Dxb_p = (Dxf_1d, Dxb_1d) if uniform_x else \
+                _derivative_mats(x_b, ones_x, ones_x)
+            Dyf_p, Dyb_p = (Dyf_1d, Dyb_1d) if uniform_y else \
+                _derivative_mats(y_b, ones_y, ones_y)
+            out = _eigs_filter_device(
+                Dxf_p, Dxb_p, Dyf_p, Dyb_p,
+                eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
+                mask_x, mask_y, mask_z, k0, num_modes, n_max, M,
+                sigma=sigma,
+                true_is_real=_is_real_problem(
+                    npml_x, npml_y, eps_xx, eps_yy, eps_zz))
+            if out is not None:
+                vals, vecs = out
+        if vals is None:
+            vals, vecs = _eigs_arpack_robust(
+                M, N, num_modes, sigma, k0, n_max,
+                real_problem=_is_real_problem(
+                    npml_x, npml_y, eps_xx, eps_yy, eps_zz))
 
     beta = np.sqrt(vals.astype(complex))
     # choose forward-propagating branch: Re(beta) >= 0 (decaying for lossy)
@@ -258,16 +288,8 @@ def compute_modes(
     beta[flip] = -beta[flip]
     n_eff_all = beta / k0
 
-    # sort: guided modes below n_target, descending real part; drop spurious
-    order = np.argsort(-np.real(n_eff_all))
-    keep = []
-    for idx in order:
-        ne = n_eff_all[idx]
-        if np.real(ne) > n_max * (1 + 1e-6):
-            continue  # spurious above light line of max index
-        if np.real(ne) <= 0:
-            continue
-        keep.append(idx)
+    real_problem = _is_real_problem(npml_x, npml_y, eps_xx, eps_yy, eps_zz)
+    keep, order = _keep_physical(n_eff_all, n_max, real_problem)
     if len(keep) < num_modes:
         # pad with the largest remaining
         extras = [i for i in order if i not in keep]
@@ -350,6 +372,117 @@ def _compute_modes_angled(eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
         fields["Hy"] = -fields["Hy"]
         fields["Ez"] = -fields["Ez"]
     return fields, n_complex
+
+
+def _is_real_problem(npml_x, npml_y, eps_xx, eps_yy, eps_zz) -> bool:
+    """Lossless, PML-free sections have a REAL operator whose physical
+    modes are real; the non-normal discretization still carries spurious
+    complex conjugate pairs that must be filtered out."""
+    return (npml_x == 0 and npml_y == 0
+            and all(np.allclose(np.imag(e), 0.0)
+                    for e in (eps_xx, eps_yy, eps_zz)))
+
+
+def _keep_physical(n_eff_all, n_max, real_problem):
+    """Indices of physically-admissible modes, descending Re(n_eff).
+
+    Rules: below the light line of the densest medium, forward-decaying,
+    not a spurious complex pair (exactly real for real operators; for
+    lossy/PML problems modes with |Im| comparable to |Re| are PML junk,
+    not guided modes)."""
+    order = np.argsort(-np.real(n_eff_all))
+    keep = []
+    for idx in order:
+        ne = n_eff_all[idx]
+        if np.real(ne) > n_max * (1 + 1e-6) or np.real(ne) <= 0:
+            continue
+        im_ratio = abs(np.imag(ne)) / max(abs(np.real(ne)), 1e-12)
+        if real_problem and im_ratio > 1e-4:
+            continue
+        if im_ratio > 0.3:
+            continue
+        keep.append(idx)
+    return keep, list(order)
+
+
+def _eigs_arpack_robust(M, N, num_modes, sigma, k0, n_max, real_problem):
+    """Shift-invert ARPACK with shift-walking retries.
+
+    The initial shift sits at the top of the physical window
+    ((n_target k0)^2, usually the material light line), where spurious
+    complex pairs of the non-normal operator can be NEARER than the guided
+    cluster and crowd the request. Retry with a larger request and a shift
+    walked down toward the guided cluster until enough physical pairs
+    converge. Deterministic v0 keeps which-pairs-converge reproducible.
+    """
+    sigma_try = sigma
+    vals = vecs = None
+    for attempt in range(4):
+        k_req = min(num_modes + 4 + 6 * attempt, 2 * N - 2)
+        v0 = np.random.default_rng(7 + attempt).standard_normal(2 * N)
+        vals, vecs = spl.eigs(M, k=k_req, sigma=sigma_try, which="LM", v0=v0)
+        beta = np.sqrt(vals.astype(complex))
+        beta[np.real(beta) < 0] *= -1
+        keep, _ = _keep_physical(beta / k0, n_max, real_problem)
+        if len(keep) >= num_modes:
+            return vals, vecs
+        sigma_try = sigma_try * 0.8
+        log.info("mode solver: only %d/%d physical pairs at shift %.3g; "
+                 "retrying at %.3g" % (len(keep), num_modes, sigma, sigma_try))
+    return vals, vecs
+
+
+def _eigs_filter_device(Dxf_1d, Dxb_1d, Dyf_1d, Dyb_1d,
+                        eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
+                        mask_x, mask_y, mask_z, k0, num_modes, n_max, M,
+                        sigma=None, true_is_real=True):
+    """Device (TPU) eigensolve of the diagonal-path beta^2 problem via the
+    matrix-free Chebyshev filter (tpu_solver.py). Returns (vals, vecs) or
+    None on non-convergence (caller falls back to ARPACK).
+
+    PEC handling differs from the sparse path: instead of the ``eps=-1e8``
+    penalty diagonal (which inflates the spectral radius by 1e8 and defeats
+    polynomial filtering), E DOFs at PEC points are pinned to zero through
+    the masks. The final Rayleigh-Ritz runs against the sparse penalty
+    operator ``M``; pinned vectors are exactly in its nullspace at those
+    DOFs, so the two representations agree on the kept modes.
+    """
+    from .tpu_solver import (assemble_real_proxy, chebyshev_eigs,
+                             make_apply_real)
+
+    nx, ny = eps_xx.shape
+    pec_x = np.real(eps_xx) <= -1e7
+    pec_y = np.real(eps_yy) <= -1e7
+    pec_z = np.real(eps_zz) <= -1e7
+    mask_x_f = mask_x * (~pec_x)
+    mask_y_f = mask_y * (~pec_y)
+    inv_eps_z = np.where(pec_z, 0.0, mask_z / np.real(eps_zz))
+    eps_x_f = np.where(pec_x, 1.0, np.real(eps_xx))
+    eps_y_f = np.where(pec_y, 1.0, np.real(eps_yy))
+
+    apply_real = make_apply_real(
+        np.asarray(Dxf_1d.toarray()), np.asarray(Dxb_1d.toarray()),
+        np.asarray(Dyf_1d.toarray()), np.asarray(Dyb_1d.toarray()),
+        eps_x_f, eps_y_f, inv_eps_z,
+        np.asarray(mu_xx), np.asarray(mu_yy), 1.0 / np.asarray(mu_zz),
+        mask_x_f, mask_y_f, k0)
+    lam_hi = (n_max * k0) ** 2
+    # radiation-continuum edge: the cladding light line, estimated from the
+    # densest non-PEC material on the plane's outer frame (where radiation
+    # modes live). Guided modes sit strictly above it.
+    frame = np.zeros((nx, ny), dtype=bool)
+    frame[0, :] = frame[-1, :] = frame[:, 0] = frame[:, -1] = True
+    eps_frame = [np.real(e)[frame & ~p]
+                 for e, p in ((eps_xx, pec_x), (eps_yy, pec_y))]
+    eps_clad = max((float(v.max()) for v in eps_frame if v.size), default=1.0)
+    lam_edge = eps_clad * k0**2
+    m_proxy = assemble_real_proxy(
+        Dxf_1d.toarray(), Dxb_1d.toarray(), Dyf_1d.toarray(),
+        Dyb_1d.toarray(), eps_x_f, eps_y_f, inv_eps_z,
+        mu_xx, mu_yy, 1.0 / np.asarray(mu_zz), mask_x_f, mask_y_f, k0)
+    return chebyshev_eigs(apply_real, (nx, ny), num_modes, lam_hi, m_host=M,
+                          lam_edge=lam_edge, m_proxy=m_proxy, sigma=sigma,
+                          true_is_real=true_is_real)
 
 
 def _shear_tensor(angle_theta: float, angle_phi: float) -> np.ndarray:
