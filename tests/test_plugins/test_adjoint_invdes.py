@@ -54,6 +54,39 @@ def test_gradient_matches_finite_difference(coupling_sim):
     assert abs(fd - g[idx]) / abs(fd) < 0.02
 
 
+def test_adjoint_method_matches_fd(coupling_sim):
+    """FD-validates the production gradient method ('adjoint': two forward
+    solves on the fast kernel path, CustomMedium per-cell VJPs, the
+    monitor pipeline's power-normalized mode amp as objective) — per-pixel
+    AND along a uniform density direction. NOTE the autodiff
+    (TopologyObjective) route optimizes a DIFFERENT surrogate amp
+    (raw-accumulator overlap, which carries radiation-leakage
+    contamination from its raw-Yee quadrature), so the two methods'
+    gradients are each FD-consistent but are not comparable pixel-wise;
+    its own FD test is test_gradient_matches_finite_difference."""
+    region = TopologyDesignRegion(center=(-0.1, 0, 0), size=(1.2, 1.8, td.inf),
+                                  eps_bounds=(1.0, 6.0))
+    des = InverseDesign(simulation=coupling_sim, design_region=region,
+                        output_monitor_name="out", method="adjoint")
+    rho = 0.5 * np.ones(region.params_shape(coupling_sim))
+    v0, g = des._density_value_and_grad_adjoint(rho)
+    assert v0 > 0
+
+    def val(r):
+        return des._density_value_and_grad_adjoint(r)[0]
+
+    h = 5e-3
+    idx = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+    rp, rm = rho.copy(), rho.copy()
+    rp[idx] += h
+    rm[idx] -= h
+    fd = (val(rp) - val(rm)) / (2 * h)
+    assert abs(g[idx] / fd - 1.0) < 0.1, (g[idx], fd)
+    # uniform directional derivative
+    fd_u = (val(rho + h / 2) - val(rho - h / 2)) / h
+    assert abs(float(np.sum(g)) / fd_u - 1.0) < 0.2, (np.sum(g), fd_u)
+
+
 def test_invdes_improves_objective(coupling_sim):
     region = TopologyDesignRegion(center=(-0.1, 0, 0), size=(1.2, 1.8, td.inf),
                                   eps_bounds=(1.0, 6.0))

@@ -134,3 +134,88 @@ def test_diffraction_efficiency_gradient():
     h = 0.02
     g_fd = (J_of_d(make(4.0 + h)) - J_of_d(make(4.0 - h))) / (2 * h)
     assert abs(g_adj / g_fd - 1.0) < 0.05, (g_adj, g_fd)
+
+
+def test_flux_objective_gradient():
+    """Flux(-like) plane objective: mixed E/H Poynting sum on a plane
+    FieldMonitor. Exercises the magnetic (H-VJP) adjoint-current branch;
+    this is the supported route for flux objectives (FluxData itself
+    raises, matching reference monitor_data.py:1937)."""
+
+    def make(eps=4.0):
+        sim = make_sim(eps=eps)
+        mon = td.FieldMonitor(center=(0.65, 0, 0), size=(0, 0.6, 0.6),
+                              freqs=[FREQ0], colocate=False, name="plane")
+        return sim.copy(update=dict(monitors=(mon,)))
+
+    def obj(fields):
+        ey, ez = fields["plane"]["Ey"], fields["plane"]["Ez"]
+        hy, hz = fields["plane"]["Hy"], fields["plane"]["Hz"]
+        n = min(ey.shape[1], hz.shape[1]), min(ey.shape[2], hz.shape[2])
+        s = (ey[:, :n[0], :n[1]] * jnp.conj(hz[:, :n[0], :n[1]])
+             - ez[:, :n[0], :n[1]] * jnp.conj(hy[:, :n[0], :n[1]]))
+        return jnp.sum(jnp.real(s))
+
+    def J_of_f(sim):
+        data = web_run(sim, verbose=False)
+        f = _monitor_fields(data, ["plane"])
+        f = {k: {c: jnp.asarray(v) for c, v in d.items()}
+             for k, d in f.items()}
+        return float(obj(f))
+
+    _, grads, _ = run_structure_gradients(
+        make(), obj, {0: [("medium", "permittivity")]},
+        monitor_names=["plane"])
+    g_adj = grads[0][("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_f(make(4.0 + h)) - J_of_f(make(4.0 - h))) / (2 * h)
+    assert abs(g_adj / g_fd - 1.0) < 0.05, (g_adj, g_fd)
+
+
+def test_flux_monitor_adjoint_guard():
+    """FluxData raises on a nonzero VJP and skips when all-zero (parity
+    with reference monitor_data.py:1937)."""
+    from tidy3d_tpu.components.data.data_array import FluxDataArray
+    from tidy3d_tpu.components.data.monitor_data import FluxData
+
+    mon = td.FluxMonitor(center=(0, 0, 0), size=(0, 1, 1),
+                         freqs=[FREQ0], name="flux")
+    zero = FluxData(monitor=mon, flux=FluxDataArray(
+        np.zeros(1), coords=dict(f=np.array([FREQ0]))))
+    assert zero.make_adjoint_sources(["flux"], fwidth=FREQ0 / 10) == []
+    nz = FluxData(monitor=mon, flux=FluxDataArray(
+        np.ones(1), coords=dict(f=np.array([FREQ0]))))
+    with pytest.raises(NotImplementedError):
+        nz.make_adjoint_sources(["flux"], fwidth=FREQ0 / 10)
+
+
+def test_broadband_multifreq_gradient():
+    """Two-frequency objective through ONE adjoint solve: the runner
+    remixes per-frequency adjoint sources for spectral pulse coupling
+    (beyond reference sim_data.py:1132-1281, which only handles the
+    single-pattern case) and runs the adjoint unnormalized. FD-validated
+    against the summed two-frequency objective."""
+    f1, f2 = 0.94 * FREQ0, 1.06 * FREQ0
+
+    def make(eps=4.0):
+        sim = make_sim(eps=eps)
+        mon = td.FieldMonitor(center=(0.65, 0, 0), size=(0, 0, 0),
+                              freqs=[f1, f2], colocate=False, name="point")
+        return sim.copy(update=dict(monitors=(mon,)))
+
+    def obj(fields):
+        ez = fields["point"]["Ez"]
+        return jnp.sum(jnp.abs(ez) ** 2)
+
+    def J_of_m(sim):
+        data = web_run(sim, verbose=False)
+        f = _monitor_fields(data, ["point"])
+        return float(np.sum(np.abs(f["point"]["Ez"]) ** 2))
+
+    _, grads, _ = run_structure_gradients(
+        make(), obj, {0: [("medium", "permittivity")]},
+        monitor_names=["point"])
+    g_adj = grads[0][("medium", "permittivity")]
+    h = 0.02
+    g_fd = (J_of_m(make(4.0 + h)) - J_of_m(make(4.0 - h))) / (2 * h)
+    assert abs(g_adj / g_fd - 1.0) < 0.05, (g_adj, g_fd)

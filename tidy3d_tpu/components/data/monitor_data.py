@@ -472,16 +472,34 @@ class ModeData(MonitorData):
     n_group_raw: Optional[GroupIndexDataArray] = pydantic.Field(None)
     dispersion_raw: Optional[ModeDispersionDataArray] = pydantic.Field(None)
 
-    def make_adjoint_sources(self, dataset_names, fwidth: float):
-        """Adjoint ModeSources from amplitude VJPs: one flipped-direction
-        mode source per nonzero amps entry, with amplitude
-        (k0/(4 eta0)) |v| and phase arg(v) (reference: monitor_data.py
-        make_adjoint_sources_amps:1767)."""
+    def make_adjoint_sources(self, dataset_names, fwidth: float, grid=None,
+                             simulation=None):
+        """Adjoint sources from mode-amplitude VJPs.
+
+        With ``simulation`` context (the production path through
+        ``SimulationData.make_adjoint_sim``): exact plane currents. The
+        measured amp is the overlap a = sum_s W_s u_s of the plane's Yee
+        field samples u with mode-profile weights W (0.25 [conj(Em) x Hf +
+        conj(Hm) x Ef] . n quadrature), so dJ/du_s = g_a conj(W_s) and the
+        adjoint current density at each sample is
+        sgn conj(g_a) W_s / (2 i omega mu0 V_s) — the SAME delta
+        realization as the FD-validated FieldData branch (electric for
+        E-samples, magnetic (sign-flipped) for H-samples). The modes are
+        re-solved on the plane from the simulation cross-section.
+
+        Without context: legacy flipped-direction ModeSource approximation
+        with amplitude (k0/(4 eta0)) |v| (reference behavior model:
+        monitor_data.py make_adjoint_sources_amps:1767) — order-of-
+        magnitude only; gradient work should use the simulation-aware
+        path.
+        """
+        if "amps" not in dataset_names:
+            return []
+        if simulation is not None:
+            return self._adjoint_plane_currents(fwidth, simulation)
         from ..source import GaussianPulse, ModeSource
         from ...constants import C_0, ETA_0
 
-        if "amps" not in dataset_names:
-            return []
         sources = []
         amps = self.amps
         freqs = np.atleast_1d(np.asarray(amps.coords["f"], dtype=float))
@@ -505,6 +523,178 @@ class ModeData(MonitorData):
                             freq0=float(freq0), fwidth=fwidth,
                             amplitude=float(abs(src_amp)),
                             phase=float(np.angle(src_amp)))))
+        return sources
+
+    def _adjoint_plane_currents(self, fwidth: float, simulation):
+        """Exact adjoint plane currents for amps VJPs (see
+        make_adjoint_sources)."""
+        from ..source import CustomCurrentSource, GaussianPulse
+        from ...constants import MU_0
+
+        monitor = self.monitor
+        amps = self.amps
+        g_all = np.asarray(amps.values)
+        if np.all(g_all == 0):
+            return []
+        freqs = np.atleast_1d(np.asarray(amps.coords["f"], dtype=float))
+        dirs = [str(d) for d in np.atleast_1d(amps.coords["direction"])]
+        m_idx = [int(m) for m in np.atleast_1d(amps.coords["mode_index"])]
+
+        from ...plugins.mode.mode_solver import ModeSolver
+        from ...solver.lowering_utils import yee_coords
+        from .data_array import ScalarFieldDataArray
+
+        solver = ModeSolver(
+            simulation=simulation, plane=monitor.geometry,
+            mode_spec=monitor.mode_spec, freqs=[float(f) for f in freqs],
+            colocate=False)
+        mode_data = solver.data_raw
+
+        grid = simulation.grid
+        axis = tuple(monitor.size).index(0.0)
+        b_ax, c_ax = (axis + 1) % 3, (axis + 2) % 3
+        b_dim, c_dim = "xyz"[b_ax], "xyz"[c_ax]
+        # sample comp -> (mode partner field, base sign); see the on-device
+        # amp overlap (1/4 int [conj(Em) x Hf + conj(Hm) x Ef] . n)
+        table = {
+            f"H{'xyz'[c_ax]}": (f"E{'xyz'[b_ax]}", +1.0),
+            f"H{'xyz'[b_ax]}": (f"E{'xyz'[c_ax]}", -1.0),
+            f"E{'xyz'[b_ax]}": (f"H{'xyz'[c_ax]}", +1.0),
+            f"E{'xyz'[c_ax]}": (f"H{'xyz'[b_ax]}", -1.0),
+        }
+
+        def quad_w(coords, lo, hi):
+            coords = np.asarray(coords, dtype=float)
+            if len(coords) == 1:
+                return np.ones(1)
+            mids = 0.5 * (coords[1:] + coords[:-1])
+            edges = np.clip(np.concatenate([[lo], mids, [hi]]), lo, hi)
+            return np.maximum(np.diff(edges), 0.0)
+
+        (i0, i1), (j0, j1), (k0i, k1) = grid.discretize_inds(
+            monitor.geometry)
+        inds = [(i0, i1), (j0, j1), (k0i, k1)]
+
+        sources = []
+        for fi, freq0 in enumerate(freqs):
+            omega0 = 2 * np.pi * float(freq0)
+            scale = 1.0 / (2j * omega0 * MU_0)
+            comps = {}
+            span_coords = {}
+            for comp, (partner, s_base) in table.items():
+                gc = yee_coords(grid, comp)
+                cs = {}
+                layer_w = None
+                for ax, d in enumerate("xyz"):
+                    pts = np.asarray(gc[d], dtype=float)
+                    if ax == axis:
+                        # the amp measurement interpolates the monitor
+                        # fields to the plane position along the normal
+                        # (_mode_overlaps:396-401), splitting each
+                        # sample's functional weight across the two
+                        # bracketing Yee layers — the adjoint current is
+                        # the TRANSPOSE of that interpolation, so it must
+                        # be distributed with the same weights (a single
+                        # full-weight layer doubles the gradient when the
+                        # plane sits between layers; caught by FD)
+                        pos = float(monitor.center[ax])
+                        if len(pts) == 1 or pos <= pts[0]:
+                            cs[d] = pts[:1]
+                            layer_w = np.ones(1)
+                        elif pos >= pts[-1]:
+                            cs[d] = pts[-1:]
+                            layer_w = np.ones(1)
+                        else:
+                            ii = int(np.searchsorted(pts, pos)) - 1
+                            frac = (pos - pts[ii]) / (pts[ii + 1] - pts[ii])
+                            cs[d] = pts[ii:ii + 2]
+                            layer_w = np.array([1.0 - frac, frac])
+                    else:
+                        lo_i, hi_i = inds[ax]
+                        cs[d] = pts[lo_i:hi_i]
+                if any(len(c) == 0 for c in cs.values()):
+                    continue
+                # per-sample Yee volume (normal thickness x in-plane cell)
+                vols = np.ones(tuple(len(cs[d]) for d in "xyz"))
+                for ax, d in enumerate("xyz"):
+                    gfull = np.asarray(yee_coords(grid, comp)[d],
+                                       dtype=float)
+                    if len(gfull) < 2:
+                        dl_at = np.ones(len(cs[d]))
+                    else:
+                        dl_all = np.gradient(gfull)
+                        idx = np.clip(np.searchsorted(gfull, cs[d]), 0,
+                                      len(gfull) - 1)
+                        dl_at = dl_all[idx]
+                    shape = [1, 1, 1]
+                    shape[ax] = len(cs[d])
+                    vols = vols * dl_at.reshape(shape)
+                wb = quad_w(cs[b_dim], monitor.bounds[0][b_ax],
+                            monitor.bounds[1][b_ax])
+                wc = quad_w(cs[c_dim], monitor.bounds[0][c_ax],
+                            monitor.bounds[1][c_ax])
+                w_area = np.ones([len(cs[d]) for d in "xyz"])
+                sb = [1, 1, 1]
+                sb[b_ax] = len(wb)
+                sc = [1, 1, 1]
+                sc[c_ax] = len(wc)
+                w_area = w_area * wb.reshape(sb) * wc.reshape(sc)
+                sn = [1, 1, 1]
+                sn[axis] = len(layer_w)
+                w_area = w_area * layer_w.reshape(sn)
+
+                dens = np.zeros(w_area.shape, dtype=complex)
+                for di, direction in enumerate(dirs):
+                    for mi, mode_index in enumerate(m_idx):
+                        g_a = complex(g_all[di, fi, mi])
+                        if g_a == 0.0:
+                            continue
+                        s = s_base
+                        if comp[0] == "E" and direction == "-":
+                            s = -s
+                        arr = getattr(mode_data, partner)
+                        sel = arr.isel(mode_index=mode_index, f=fi)
+                        # interp in-plane only; the mode profile lives on
+                        # one normal layer and is broadcast across the
+                        # (weighted) current layers
+                        plane_kw = {d: cs[d] for d in (b_dim, c_dim)}
+                        nc = np.asarray(sel.coords["xyz"[axis]])
+                        plane_kw["xyz"[axis]] = nc[:1]
+                        interp = sel.interp(
+                            **plane_kw, kwargs=dict(fill_value=0.0))
+                        vals_m = np.asarray(interp.values)
+                        reps = [1, 1, 1]
+                        reps[axis] = len(cs["xyz"[axis]])
+                        vals_m = np.tile(vals_m, reps)
+                        w_s = 0.25 * s * np.conj(vals_m) * w_area
+                        sgn = -1.0 if comp[0] == "H" else 1.0
+                        dens = dens + sgn * np.conj(g_a) * w_s * scale / vols
+                if not np.any(dens):
+                    continue
+                comps[comp] = ScalarFieldDataArray(
+                    dens[..., None],
+                    coords={**{d: cs[d] for d in "xyz"},
+                            "f": np.array([float(freq0)])})
+                span_coords[comp] = cs
+            if not comps:
+                continue
+            lo = [np.inf] * 3
+            hi = [-np.inf] * 3
+            pad = [0.0] * 3
+            for cs in span_coords.values():
+                for ax, d in enumerate("xyz"):
+                    c = np.asarray(cs[d], dtype=float)
+                    lo[ax] = min(lo[ax], c.min())
+                    hi[ax] = max(hi[ax], c.max())
+                    if len(c) > 1:
+                        pad[ax] = max(pad[ax],
+                                      0.45 * float(np.min(np.diff(c))))
+            center = tuple(0.5 * (a + b) for a, b in zip(lo, hi))
+            size = tuple((b - a) + 2 * p for a, b, p in zip(lo, hi, pad))
+            sources.append(CustomCurrentSource(
+                center=center, size=size,
+                source_time=GaussianPulse(freq0=float(freq0), fwidth=fwidth),
+                current_dataset=comps))
         return sources
 
     @property
@@ -663,6 +853,21 @@ class FluxData(MonitorData):
 
     monitor: FluxMonitor = pydantic.Field(...)  # type: ignore[assignment]
     flux: FluxDataArray = pydantic.Field(..., title="Flux")
+
+    def make_adjoint_sources(self, dataset_names, fwidth: float, grid=None):
+        """Flux-monitor outputs cannot drive the adjoint problem (reference
+        behavior: monitor_data.py:1937): the scalar flux discards the field
+        phase information the adjoint source needs. Matching the reference,
+        zero-VJP extraneous flux monitors are silently skipped; a genuine
+        flux objective must go through a FieldMonitor and ``.flux`` on the
+        resulting FieldData (whose E/H VJPs are supported)."""
+        if np.all(self.flux.values == 0.0):
+            return []
+        raise NotImplementedError(
+            "Cannot formulate an adjoint source for 'FluxMonitor' output: "
+            "the scalar flux lacks the field information the adjoint "
+            "source requires. Use a 'FieldMonitor' over the same plane and "
+            "compute '.flux' on the resulting 'FieldData' instead.")
 
     def normalize(self, source_spectrum_fn) -> "FluxData":
         spectrum = source_spectrum_fn(np.asarray(self.flux.coords["f"]))

@@ -110,9 +110,14 @@ class SimulationData(AbstractSimulationData):
             try:
                 try:
                     adjoint_sources += maker(names, fwidth,
-                                             grid=self.simulation.grid)
+                                             grid=self.simulation.grid,
+                                             simulation=self.simulation)
                 except TypeError:
-                    adjoint_sources += maker(names, fwidth)
+                    try:
+                        adjoint_sources += maker(names, fwidth,
+                                                 grid=self.simulation.grid)
+                    except TypeError:
+                        adjoint_sources += maker(names, fwidth)
             except NotImplementedError:
                 continue
         return self.simulation.copy(update=dict(

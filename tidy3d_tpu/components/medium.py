@@ -336,8 +336,13 @@ class Medium(AbstractMedium):
             if any(len(c) == 0 for c in cs):
                 continue
             X, Y, Z = np.meshgrid(*cs, indexing="ij")
+            # singleton axes integrate over that axis's actual cell size
+            # (ZERO_DIM_CELL_SIZE=1.0 on flattened 2D axes — the solver's
+            # per-unit-length convention), NOT dl_loc (a 3-axis mean that
+            # underweights 2D sims by ~2.7x; caught by FD on a 2D sim)
             ws = [quad_weights(c, c[0] - 1e-12, c[-1] + 1e-12)
-                  if len(c) > 1 else np.array([info.dl_loc]) for c in cs]
+                  if len(c) > 1 else np.array([info.avg_dls[a]])
+                  for a, c in enumerate(cs)]
             w3 = (ws[0][:, None, None] * ws[1][None, :, None]
                   * ws[2][None, None, :])
             e_prod = info.e_prod(comp, X, Y, Z) * w3
@@ -808,6 +813,111 @@ class CustomMedium(AbstractMedium):
         if self.conductivity is not None:
             update["conductivity"] = self.conductivity.sel_inside(bounds)
         return self.copy(update=update)
+
+    def compute_derivatives(self, paths, derivative_info, geometry) -> dict:
+        """Per-data-point adjoint gradients of the spatial permittivity /
+        conductivity arrays (reference behavior: CustomMedium
+        ``_derivative_field_cmp``, medium.py:2043): the per-cell sensitivity
+        map Re[pref E_fwd E_adj] dV, evaluated at each E component's Yee
+        samples inside the geometry, scattered back onto the data grid with
+        the SAME interpolation stencil the rasterizer uses forward
+        (nearest / trilinear, lowering.py:543-553) — the exact transpose of
+        the data -> Yee-coefficient map, so gradients are exact to the
+        discretization (FD-validated in test_topology_adjoint.py).
+
+        This is the production inverse-design path: both solves run forward
+        on the Pallas kernels (no AD tracing), unlike
+        ``plugins/adjoint/topology.py``'s ``jax.grad`` route which drops to
+        the XLA kernels.
+        """
+        from .autograd.derivative_utils import quad_weights
+
+        info = derivative_info
+        data = self.permittivity
+        dcoords = [np.asarray(data.coords[d], dtype=float) for d in "xyz"]
+        dshape = tuple(len(c) for c in dcoords)
+        want_eps = "permittivity" in paths
+        want_sigma = "conductivity" in paths
+        grad_eps = np.zeros(dshape)
+        grad_sigma = np.zeros(dshape) if want_sigma else None
+        omega = 2 * np.pi * info.frequency
+        linear = self.interp_method == "linear"
+
+        for comp in ("Ex", "Ey", "Ez"):
+            coords = info.sample_coords(comp)
+            cs = [np.asarray(coords[d], dtype=float) for d in "xyz"]
+            if any(len(c) == 0 for c in cs):
+                continue
+            X, Y, Z = np.meshgrid(*cs, indexing="ij")
+            # singleton-axis weight = that axis's cell size (see the same
+            # convention in Medium.compute_derivatives above)
+            ws = [quad_weights(c, c[0] - 1e-12, c[-1] + 1e-12)
+                  if len(c) > 1 else np.array([info.avg_dls[a]])
+                  for a, c in enumerate(cs)]
+            w3 = (ws[0][:, None, None] * ws[1][None, :, None]
+                  * ws[2][None, None, :])
+            inside = np.broadcast_to(
+                np.asarray(geometry.inside(X, Y, Z), bool), X.shape)
+            e_prod = np.where(inside, info.e_prod(comp, X, Y, Z) * w3, 0.0)
+
+            # per-axis interpolation stencils of sample -> data points
+            stencils = []  # per axis: list of (index_array, weight_array)
+            for ax in range(3):
+                dc = dcoords[ax]
+                sc = cs[ax]
+                if len(dc) == 1:
+                    stencils.append([(np.zeros(len(sc), int),
+                                      np.ones(len(sc)))])
+                    continue
+                if linear:
+                    i = np.clip(np.searchsorted(dc, sc) - 1, 0, len(dc) - 2)
+                    f = np.clip((sc - dc[i]) / (dc[i + 1] - dc[i]), 0.0, 1.0)
+                    stencils.append([(i, 1.0 - f), (i + 1, f)])
+                else:
+                    # nearest: replicate DataArray.interp's comparison
+                    # BIT-EXACTLY (searchsorted + strict '<' favoring the
+                    # upper point on ties). Midpoint-based assignment
+                    # breaks ties the other way, and ties are the NORM
+                    # here: design data sits at cell centers, so every
+                    # staggered Yee sample is exactly equidistant between
+                    # two data points — a mismatched tie-break scatters
+                    # whole components one cell off (FD showed 2x errors)
+                    idx = np.clip(np.searchsorted(dc, sc), 0, len(dc) - 1)
+                    idx_lo = np.clip(idx - 1, 0, len(dc) - 1)
+                    use_lo = np.abs(dc[idx_lo] - sc) < np.abs(dc[idx] - sc)
+                    i = np.where(use_lo, idx_lo, idx)
+                    stencils.append([(i, np.ones(len(sc)))])
+
+            def scatter(vals, out):
+                for ix, wx in stencils[0]:
+                    for iy, wy in stencils[1]:
+                        for iz, wz in stencils[2]:
+                            w = (wx[:, None, None] * wy[None, :, None]
+                                 * wz[None, None, :])
+                            np.add.at(
+                                out,
+                                (ix[:, None, None],
+                                 iy[None, :, None],
+                                 iz[None, None, :]),
+                                vals * w)
+
+            if want_eps:
+                scatter(info.real_grad(e_prod), grad_eps)
+            if want_sigma:
+                scatter(info.real_grad(e_prod * (1j / (omega * EPSILON_0))),
+                        grad_sigma)
+
+        out = {}
+        for path in paths:
+            if path == "permittivity":
+                out[path] = grad_eps
+            elif path == "conductivity":
+                out[path] = grad_sigma
+            else:
+                raise NotImplementedError(
+                    f"CustomMedium derivative for path {path!r} not "
+                    "supported")
+        return out
 
 
 class CustomPoleResidue(PoleResidue):

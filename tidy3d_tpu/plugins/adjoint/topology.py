@@ -72,7 +72,13 @@ class ModeAmpWeights:
     """Host-precomputed weights turning DFT accumulators into mode amps.
 
     amp(direction, f) = sum over comps/pixels of w * DFT_field, evaluated in
-    real arithmetic inside jit."""
+    real arithmetic inside jit.
+
+    Caveat: this raw-Yee quadrature of the overlap carries radiation
+    leakage (measured ~1% amplitude crosstalk on a launched mode) relative
+    to the monitor pipeline's colocated amps — adequate as an optimization
+    surrogate, but gradients of the REAL pipeline amp should use
+    ``InverseDesign(method="adjoint")`` (two fast-kernel forward solves)."""
 
     def __init__(self, simulation: Simulation, plan, monitor_idx: int,
                  direction: str = "+", mode_index: int = 0,

@@ -33,6 +33,20 @@ class InverseDesign(Tidy3dBaseModel):
     mode_index: int = pydantic.Field(0, title="Objective mode index")
     task_name: str = pydantic.Field("invdes", title="Task name")
     verbose: bool = pydantic.Field(False)
+    method: str = pydantic.Field(
+        "adjoint", title="Gradient method",
+        description="'adjoint': two forward solves on the fast kernel path "
+        "(CustomMedium per-cell VJPs through run_structure_gradients — the "
+        "production route, both solves ride the Pallas kernels); "
+        "'autodiff': exact reverse-mode jax.grad through the checkpointed "
+        "time loop (XLA kernel path; research/verification route).")
+
+    @pydantic.field_validator("method")
+    @classmethod
+    def _check_method(cls, val):
+        if val not in ("adjoint", "autodiff"):
+            raise ValueError("method must be 'adjoint' or 'autodiff'")
+        return val
 
     @cached_property
     def _topology(self):
@@ -51,18 +65,56 @@ class InverseDesign(Tidy3dBaseModel):
         sizes = self.simulation.grid.sizes
         return float(np.min([np.min(np.asarray(s)) for s in sizes.to_list[:2]]))
 
+    def _density_value_and_grad_adjoint(self, density):
+        """(value, dJ/d density) via TWO forward solves on the fast kernel
+        path: the design realized as a CustomMedium structure, mode-amp
+        objective differentiated through the adjoint-simulation protocol
+        (web.autograd.run_structure_gradients), per-cell gradients from
+        CustomMedium.compute_derivatives. Both solves are ordinary forward
+        runs — no AD tracing, so the Pallas kernels stay engaged (the
+        reference's two-cloud-solve architecture, autograd/autograd.py:86,
+        mapped to in-process execution)."""
+        import jax.numpy as jnp
+
+        from ...web.autograd import run_structure_gradients
+
+        structure = self.design_region.to_structure(
+            np.asarray(density), self.simulation)
+        sim2 = self.simulation.copy(update=dict(
+            structures=tuple(self.simulation.structures) + (structure,)))
+        si = len(sim2.structures) - 1
+        name = self.output_monitor_name
+        dir_idx = list("+-").index(self.direction)
+        mode_idx = self.mode_index
+
+        def obj(fields):
+            amps = fields[name]["amps"]  # (direction, f, mode_index)
+            sel = amps[dir_idx, :, mode_idx]
+            return jnp.sum(jnp.abs(sel) ** 2)
+
+        value, grads, _ = run_structure_gradients(
+            sim2, obj, {si: [("medium", "permittivity")]},
+            monitor_names=[name])
+        eps_min, eps_max = self.design_region.eps_bounds
+        g_eps = grads[si][("medium", "permittivity")]
+        return float(value), (eps_max - eps_min) * np.asarray(g_eps)
+
     def objective_fn(self, params) -> Tuple[float, np.ndarray]:
         """(value, gradient wrt raw params): maximize |amp|^2 - penalties."""
         import jax
         import jax.numpy as jnp
 
-        topo = self._topology
         region = self.design_region
 
         density, vjp_fn = jax.vjp(
             lambda p: region.transform(p, dl=self._dl), jnp.asarray(params))
-        value, grad_density = topo.value_and_grad(np.asarray(density))
-        (grad_params,) = vjp_fn(jnp.asarray(grad_density))
+        if self.method == "adjoint":
+            value, grad_density = self._density_value_and_grad_adjoint(
+                np.asarray(density))
+        else:
+            value, grad_density = self._topology.value_and_grad(
+                np.asarray(density))
+        (grad_params,) = vjp_fn(jnp.asarray(grad_density, jnp.float32))
         penalty_val = 0.0
         if region.penalty_weight > 0:
             pen_val, pen_grad = jax.value_and_grad(

@@ -108,6 +108,140 @@ def _vjp_data(sim_data: SimulationData, vjps: Dict) -> SimulationData:
     return sim_data.copy(update=dict(data=tuple(new_data)))
 
 
+def _fit_broadband_sources(sources, freqs, tmesh, dt, fwidth,
+                           complex_fields=False):
+    """Spectral-coupling correction for a multi-frequency adjoint solve.
+
+    ``make_adjoint_sim`` synthesizes one source per (pattern, frequency)
+    with a GaussianPulse at that frequency; injected together, pulse k
+    also delivers current at frequency j through its spectral tail
+    S_k(f_j). Because the solve is LTI, exactness is restored by remixing:
+    per spatial pattern, solve ``S c = a`` where S[j,k] is the unit-pulse
+    coupling matrix and a the VJP amplitudes — the adjoint run is then
+    UNNORMALIZED (the caller sets normalize_index=None) and its field at
+    each f_j is the response to exactly a_j, as in the single-frequency
+    path. Reference behavior model: sim_data.py:1132-1281 implements only
+    the single-pattern broadband case and raises for several patterns;
+    the remix handles several patterns (each pattern's system is
+    independent and superposes).
+
+    Mode-source patterns vary (slowly) with the pulse center frequency —
+    the same approximation the reference's broadband path makes.
+    """
+    import json
+
+    from ..components.source import CustomCurrentSource, GaussianPulse
+
+    freqs = [float(f) for f in freqs]
+    nf = len(freqs)
+    f_idx = {f: j for j, f in enumerate(freqs)}
+
+    # unit-pulse coupling matrix S[j, k] = spectrum of pulse at f_k, at f_j
+    pulses = [GaussianPulse(freq0=f, fwidth=fwidth) for f in freqs]
+    S = np.stack([p.spectrum(tmesh, np.asarray(freqs), dt,
+                             complex_fields=complex_fields)
+                  for p in pulses], axis=1)
+    # the multi-frequency adjoint runs UNNORMALIZED (normalize_index=None,
+    # set by the caller): the target delivered current spectrum at each
+    # objective frequency is the VJP amplitude itself
+    s_norm = np.ones(nf, dtype=complex)
+
+    groups: Dict[str, dict] = {}
+    for src in sources:
+        st = src.source_time
+        if not isinstance(st, GaussianPulse):
+            raise SetupError(
+                "multi-frequency adjoint only supports GaussianPulse "
+                f"adjoint sources (got {type(st).__name__})")
+        j = f_idx.get(float(st.freq0))
+        if j is None:
+            raise SetupError(
+                f"adjoint source frequency {st.freq0} is not an objective "
+                "frequency")
+        if isinstance(src, CustomCurrentSource):
+            kind = "dataset"
+            key_fields = {k: v for k, v in src.dict().items()
+                          if k not in ("source_time", "current_dataset")}
+            amp = src.current_dataset
+        else:
+            kind = "scalar"
+            key_fields = {k: v for k, v in src.dict().items()
+                          if k != "source_time"}
+            amp = st.amplitude * np.exp(1j * st.phase)
+        key = type(src).__name__ + json.dumps(key_fields, default=str,
+                                              sort_keys=True)
+        g = groups.setdefault(key, {"kind": kind, "template": src,
+                                    "amps": {}})
+        if j in g["amps"]:
+            raise SetupError(
+                "duplicate adjoint source pattern at one frequency; "
+                "cannot fit broadband sources")
+        g["amps"][j] = amp
+
+    out = []
+    for g in groups.values():
+        if g["kind"] == "scalar":
+            a = np.zeros(nf, dtype=complex)
+            for j, amp in g["amps"].items():
+                a[j] = amp
+            c, *_ = np.linalg.lstsq(S, s_norm * a, rcond=None)
+            resid = np.linalg.norm(S @ c - s_norm * a) / \
+                max(np.linalg.norm(s_norm * a), 1e-300)
+            if resid > 1e-6:
+                raise SetupError(
+                    f"broadband adjoint-source fit residual {resid:.2e} "
+                    "too large (spectrally degenerate objective "
+                    "frequencies); run one adjoint per frequency")
+            cmax = np.abs(c).max()
+            for k, ck in enumerate(c):
+                if abs(ck) < 1e-12 * cmax:
+                    continue
+                out.append(g["template"].copy(update=dict(
+                    source_time=GaussianPulse(
+                        freq0=freqs[k], fwidth=fwidth,
+                        amplitude=float(abs(ck)),
+                        phase=float(np.angle(ck))))))
+        else:
+            # dataset pattern: the same scalar solve applies component-wise
+            # (W mixes whole spatial datasets across frequencies)
+            # W[k, j]: weight of target-j pattern in the pulse-k source
+            W = np.linalg.lstsq(S, np.diag(s_norm), rcond=None)[0]
+            resid = np.linalg.norm(S @ W - np.diag(s_norm)) / \
+                np.linalg.norm(np.diag(s_norm))
+            if resid > 1e-6:
+                raise SetupError(
+                    f"broadband adjoint-source fit residual {resid:.2e} "
+                    "too large (spectrally degenerate objective "
+                    "frequencies); run one adjoint per frequency")
+            # reference arrays per component (coords template)
+            ref_arr = {}
+            for amp in g["amps"].values():
+                for cname, arr in amp.items():
+                    ref_arr.setdefault(cname, arr)
+            for k in range(nf):
+                new_ds = {}
+                for cname, ref in ref_arr.items():
+                    acc = np.zeros_like(np.asarray(ref.values),
+                                        dtype=complex)
+                    for j, amp in g["amps"].items():
+                        if cname in amp and abs(W[k, j]) > 0:
+                            acc = acc + W[k, j] * np.asarray(
+                                amp[cname].values)
+                    if not np.any(acc):
+                        continue
+                    coords = {d: np.asarray(ref.coords[d]) for d in "xyz"}
+                    coords["f"] = np.array([freqs[k]])
+                    new_ds[cname] = type(ref)(acc, coords=coords)
+                if not new_ds:
+                    continue
+                out.append(g["template"].copy(update=dict(
+                    source_time=GaussianPulse(freq0=freqs[k],
+                                              fwidth=fwidth),
+                    current_dataset=new_ds)))
+    out.sort(key=lambda s: f_idx[float(s.source_time.freq0)])
+    return out
+
+
 def setup_fwd(simulation: Simulation, traced: Dict[int, Sequence[PathLike]],
               freqs: Sequence[float]) -> Simulation:
     """Forward simulation with per-traced-structure gradient monitors."""
@@ -180,14 +314,9 @@ def run_structure_gradients(
                         simulation.monitors[[m.name for m in
                                              simulation.monitors].index(name)]
                         .freqs)})
-    if len(freqs) != 1:
-        raise SetupError(
-            "shape-gradient objectives currently support exactly one "
-            f"frequency across objective monitors (got {len(freqs)}); "
-            "run one adjoint per frequency")
-    freq0 = freqs[0]
+    multi_freq = len(freqs) > 1
 
-    sim_fwd = setup_fwd(simulation, traced, [freq0])
+    sim_fwd = setup_fwd(simulation, traced, freqs)
     data_fwd = run_fn(sim_fwd, task_name="adjoint_fwd", verbose=False)
 
     fields = _monitor_fields(data_fwd, monitor_names)
@@ -205,8 +334,18 @@ def run_structure_gradients(
     # adjoint sim keeps only the gradient monitors
     grad_monitors = [m for m in sim_fwd.monitors
                      if m.name.startswith("adjoint_fld_")]
-    sim_adj = sim_adj.copy(update=dict(monitors=tuple(grad_monitors),
-                                       normalize_index=0))
+    if multi_freq:
+        # remix per-frequency sources for spectral pulse coupling and run
+        # the adjoint unnormalized (delivered current == VJP amplitude)
+        corrected = _fit_broadband_sources(
+            list(sim_adj.sources), freqs, simulation.tmesh, simulation.dt,
+            fwidth, complex_fields=simulation.complex_fields)
+        sim_adj = sim_adj.copy(update=dict(
+            sources=tuple(corrected), monitors=tuple(grad_monitors),
+            normalize_index=None))
+    else:
+        sim_adj = sim_adj.copy(update=dict(monitors=tuple(grad_monitors),
+                                           normalize_index=0))
     data_adj = run_fn(sim_adj, task_name="adjoint_bwd", verbose=False)
 
     dt = simulation.dt
@@ -221,18 +360,23 @@ def run_structure_gradients(
         md_fwd = data_fwd[f"adjoint_fld_{si}"]
         md_adj = data_adj[f"adjoint_fld_{si}"]
         md_eps = data_fwd[f"adjoint_eps_{si}"]
-        eps_in = structure.medium.eps_model(freq0)
-        if structure.background_permittivity is not None:
-            eps_out = complex(structure.background_permittivity)
-        else:
-            eps_out = simulation.medium.eps_model(freq0)
-        info = DerivativeInfo(
-            E_fwd=_field_tuple(md_fwd, freq=freq0),
-            E_adj=_field_tuple(md_adj, freq=freq0),
-            eps_data=_eps_tuple(md_eps, freq0),
-            eps_in=eps_in, eps_out=eps_out,
-            frequency=freq0, bounds=structure.geometry.bounds, dt=dt,
-            dl_loc=dl_loc, avg_dls=avg_dls)
-        grads[si] = structure.compute_derivatives(
-            [tuple(p) for p in paths], info)
+        acc: Dict[PathLike, np.ndarray] = {}
+        for freq0 in freqs:
+            eps_in = structure.medium.eps_model(freq0)
+            if structure.background_permittivity is not None:
+                eps_out = complex(structure.background_permittivity)
+            else:
+                eps_out = simulation.medium.eps_model(freq0)
+            info = DerivativeInfo(
+                E_fwd=_field_tuple(md_fwd, freq=freq0),
+                E_adj=_field_tuple(md_adj, freq=freq0),
+                eps_data=_eps_tuple(md_eps, freq0),
+                eps_in=eps_in, eps_out=eps_out,
+                frequency=freq0, bounds=structure.geometry.bounds, dt=dt,
+                dl_loc=dl_loc, avg_dls=avg_dls)
+            g_f = structure.compute_derivatives(
+                [tuple(p) for p in paths], info)
+            for p, gv in g_f.items():
+                acc[p] = gv if p not in acc else acc[p] + gv
+        grads[si] = acc
     return value, grads, data_fwd
