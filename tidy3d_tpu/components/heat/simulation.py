@@ -49,6 +49,84 @@ def _axis_view(vec: np.ndarray, axis: int) -> np.ndarray:
     return vec.reshape(shape)
 
 
+def _to_unstructured(T: np.ndarray, cs):
+    """Structured monitor temperature -> tri/tet unstructured dataset.
+
+    The FVM solution lives on the structured grid; ``unstructured=True``
+    monitors return it on a conforming simplicial mesh of the same nodes
+    (2 triangles/quad on planes, 6 Kuhn tetrahedra/hex in 3D) so that
+    downstream consumers of the reference's unstructured heat schema
+    (plane_slice/interp/sel_inside, ``perturbed_mediums_copy``) work
+    unchanged.
+    """
+    from ..data.unstructured import (
+        CellDataArray,
+        IndexedDataArray,
+        PointDataArray,
+        TetrahedralGridDataset,
+        TriangularGridDataset,
+    )
+
+    dims = [len(c) for c in cs]
+    flat_axes = [a for a in range(3) if dims[a] == 1]
+    vals = IndexedDataArray(
+        np.asarray(T, float).ravel(),
+        coords=dict(index=np.arange(T.size)))
+    if flat_axes:
+        # plane (or line/point degenerate: still a plane dataset)
+        ax_n = flat_axes[0]
+        uv_axes = [a for a in range(3) if a != ax_n]
+        nu, nv = dims[uv_axes[0]], dims[uv_axes[1]]
+        U, V = np.meshgrid(cs[uv_axes[0]], cs[uv_axes[1]], indexing="ij")
+        pts = np.column_stack([U.ravel(), V.ravel()])
+        tris = []
+        for i in range(max(nu - 1, 0)):
+            for j in range(max(nv - 1, 0)):
+                p00 = i * nv + j
+                p01 = p00 + 1
+                p10 = p00 + nv
+                p11 = p10 + 1
+                tris += [(p00, p10, p11), (p00, p11, p01)]
+        tris = np.asarray(tris, int).reshape(-1, 3)
+        return TriangularGridDataset(
+            normal_axis=ax_n, normal_pos=float(cs[ax_n][0]),
+            points=PointDataArray(pts, coords=dict(
+                index=np.arange(len(pts)), axis=np.arange(2))),
+            values=vals,
+            cells=CellDataArray(tris, coords=dict(
+                cell_index=np.arange(len(tris)),
+                vertex_index=np.arange(3))))
+    nx, ny, nz = dims
+    X, Y, Z = np.meshgrid(*cs, indexing="ij")
+    pts = np.column_stack([X.ravel(), Y.ravel(), Z.ravel()])
+
+    def pid(i, j, k):
+        return (i * ny + j) * nz + k
+
+    # Kuhn triangulation: 6 tets per hex, all sharing the main diagonal
+    # c0-c7 -> consistent across neighboring hexes
+    corner_paths = [
+        (0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+        (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7),
+    ]
+    offs = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+            (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)]
+    tets = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            for k in range(nz - 1):
+                cid = [pid(i + di, j + dj, k + dk) for di, dj, dk in offs]
+                for path in corner_paths:
+                    tets.append(tuple(cid[c] for c in path))
+    tets = np.asarray(tets, int).reshape(-1, 4)
+    return TetrahedralGridDataset(
+        points=PointDataArray(pts, coords=dict(
+            index=np.arange(len(pts)), axis=np.arange(3))),
+        values=vals,
+        cells=CellDataArray(tets, coords=dict(
+            cell_index=np.arange(len(tets)), vertex_index=np.arange(4))))
+
+
 class HeatSimulation(Box):
     """Steady-state heat conduction simulation."""
 
@@ -329,8 +407,12 @@ class HeatSimulation(Box):
         data = []
         for monitor in self.monitors:
             (i0, i1), (j0, j1), (k0, k1) = grid.discretize_inds(monitor)
-            arr = SpatialDataArray(
-                T3[i0:i1, j0:j1, k0:k1],
-                coords=dict(x=xs[i0:i1], y=ys[j0:j1], z=zs[k0:k1]))
-            data.append(TemperatureData(monitor=monitor, temperature=arr))
+            Tm = T3[i0:i1, j0:j1, k0:k1]
+            cs = (xs[i0:i1], ys[j0:j1], zs[k0:k1])
+            if getattr(monitor, "unstructured", False):
+                temp = _to_unstructured(Tm, cs)
+            else:
+                temp = SpatialDataArray(
+                    Tm, coords=dict(x=cs[0], y=cs[1], z=cs[2]))
+            data.append(TemperatureData(monitor=monitor, temperature=temp))
         return HeatSimulationData(simulation=self, data=tuple(data))
