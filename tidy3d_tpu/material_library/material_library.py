@@ -109,13 +109,20 @@ _add("aSi", "Pierce1972",
          3.109, [(14.23, 8.81e14, 1.79e14)],
          "D. T. Pierce and W. E. Spicer, PRB 5, 3017 (1972) (single-Lorentz)"))
 
+_Si3N4_Luke = _sellmeier(
+    [(3.0249, 0.1353406**2), (40314.0, 1239.842**2)],
+    "K. Luke et al., Opt. Lett. 40, 4823 (2015)")
+_Si3N4_Philipp = _sellmeier(
+    [(2.8939, 0.13967**2)],
+    "H. R. Philipp, J. Electrochem. Soc. 120, 295 (1973)")
+# the '...Sellmeier' keys are reference-name aliases: tidy3d exposes
+# Sellmeier forms under those names alongside its pole-residue fits; ours
+# ARE the Sellmeier forms, so both keys carry the same variant
 _add("Si3N4", "Luke2015",
-     Luke2015=_sellmeier(
-         [(3.0249, 0.1353406**2), (40314.0, 1239.842**2)],
-         "K. Luke et al., Opt. Lett. 40, 4823 (2015)"),
-     Philipp1973=_sellmeier(
-         [(2.8939, 0.13967**2)],
-         "H. R. Philipp, J. Electrochem. Soc. 120, 295 (1973)"))
+     Luke2015=_Si3N4_Luke,
+     Luke2015Sellmeier=_Si3N4_Luke,
+     Philipp1973=_Si3N4_Philipp,
+     Philipp1973Sellmeier=_Si3N4_Philipp)
 
 _add("SiN", "Luke2015", Luke2015=_M["Si3N4"].variants["Luke2015"])
 
@@ -181,7 +188,22 @@ _add("BK7", "SCHOTT",
          "SCHOTT N-BK7 datasheet Sellmeier"))
 
 _add("FusedSilica", "Malitson1965",
-     Malitson1965=_M["SiO2"].variants["Malitson1965"])
+     Malitson1965=_M["SiO2"].variants["Malitson1965"],
+     # reference-name alias (tidy3d's 'ZemaxSellmeier' carries the same
+     # Malitson Sellmeier coefficients via the Zemax glass catalog)
+     ZemaxSellmeier=_M["SiO2"].variants["Malitson1965"])
+
+_add("SF10", "SCHOTT",
+     SCHOTT=_sellmeier(
+         [(1.62153902, 0.0122241457), (0.256287842, 0.0595736775),
+          (1.64447552, 147.468793)],
+         "SCHOTT N-SF10 datasheet Sellmeier"))
+
+_add("SF11", "SCHOTT",
+     SCHOTT=_sellmeier(
+         [(1.73759695, 0.013188707), (0.313747346, 0.0623068142),
+          (1.89878101, 155.23629)],
+         "SCHOTT N-SF11 datasheet Sellmeier"))
 
 _add("PMMA", "Sultanova2009",
      Sultanova2009=_sellmeier(
