@@ -1,12 +1,13 @@
 """Benchmark: FDTD throughput (Gcell*steps/s) on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per case: {"metric", "value", "unit", "vs_baseline"}.
 Baseline north star (BASELINE.md): 20 Gcell*steps/s/chip.
 
-``python bench.py --suite`` additionally reports the realistic BASELINE
-configs (#3 broadband running-DFT monitors, #4 dispersive medium) as
-extra JSON lines, so monitor-DFT and ADE cost are visible (VERDICT r1
-weak-point 5: the vacuum headline flatters the solver).
+The default run reports the vacuum+CPML headline (fdtd_throughput) AND
+the realistic BASELINE configs (#3 fdtd_broadband_dft: 11-freq running-
+DFT field+flux monitors; #4 fdtd_dispersive: 1-pole Lorentz half-domain)
+so monitor-DFT and ADE cost are always visible in the recorded artifact
+(VERDICT r2 item 2). ``--headline`` restores the vacuum-only run.
 """
 
 import json
@@ -140,8 +141,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--suite" in sys.argv:
-        main()
+    # the realistic suite (broadband running-DFT + dispersive ADE) runs by
+    # DEFAULT so the recorded bench artifact reflects realistic physics,
+    # not just the vacuum+CPML headline (VERDICT r2 item 2). --headline
+    # restores the vacuum-only run.
+    main()
+    if "--headline" not in sys.argv:
         suite()
-    else:
-        main()

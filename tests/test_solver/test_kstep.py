@@ -33,6 +33,13 @@ def _build(case, monitors=()):
         structures = [td.Structure(
             geometry=td.Box(center=(0.2, 0, 0), size=(0.6, 0.5, 0.4)),
             medium=td.Medium(permittivity=4.0))]
+    if case == "dispersive":
+        # 1-pole Lorentz half-domain: the ADE pole currents advance
+        # inside the k-step kernel (packed Q channels, mask-mode B)
+        structures = [td.Structure(
+            geometry=td.Box(center=(0, 0, 0.4), size=(1.6, 1.6, 0.8)),
+            medium=td.Lorentz(eps_inf=2.0,
+                              coeffs=[(8.0, FREQ0 * 1.8, FREQ0 / 10)]))]
     if case == "periodic":
         bspec = td.BoundarySpec(
             x=td.Boundary.periodic(),
@@ -89,7 +96,8 @@ def _tile_quanta(monkeypatch):
     monkeypatch.setenv("TIDY3D_TPU_TILE_QUANTA", "8,8,8")
 
 
-@pytest.mark.parametrize("case", ["vacuum", "dielectric", "periodic"])
+@pytest.mark.parametrize("case", ["vacuum", "dielectric", "periodic",
+                                  "dispersive"])
 def test_kstep_matches_xla(case):
     sim = _build(case)
     ref = _run_fields(sim, "xla")
@@ -101,10 +109,62 @@ def test_kstep_matches_xla(case):
         assert err < TOL, f"{c}: rel err {err:.2e}"
 
 
-def test_kstep_k4_matches_xla():
-    sim = _build("vacuum")
+@pytest.mark.parametrize("case", ["vacuum", "dispersive"])
+def test_kstep_k4_matches_xla(case):
+    sim = _build(case)
     ref = _run_fields(sim, "xla")
     got = _run_fields(sim, "kstep_interpret", k="4")
+    scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
+    for c in ref:
+        err = np.max(np.abs(ref[c] - got[c])) / scale
+        assert err < TOL, f"{c}: rel err {err:.2e}"
+
+
+def test_kstep_dispersive_full_residue_maps():
+    """Per-cell (non-two-valued) residue maps take the 'full' B packing:
+    6 re/im channels per pole instead of 3 indicator channels. The
+    lowering currently emits two-valued maps for every medium, so the
+    full path is exercised by grading the lowered maps directly (the
+    layout a CustomPoleResidue lowering would produce)."""
+    import jax
+
+    from tidy3d_tpu.solver.fdtd import FDTDRunner
+    from tidy3d_tpu.solver.kernels.pallas_kstep import PallasKStepper
+    from tidy3d_tpu.solver.lowering import lower
+
+    sim = _build("dispersive")
+    plan = lower(sim)
+    # grade each residue map along x inside its support
+    nx = plan.shape[0]
+    ramp = (1.0 + 0.5 * np.arange(nx) / nx).reshape(-1, 1, 1)
+    for pp in plan.poles:
+        pp.c_maps = tuple(m * ramp for m in pp.c_maps)
+
+    def run(kernel, k="2"):
+        os.environ["TIDY3D_TPU_KERNEL"] = kernel
+        os.environ["TIDY3D_TPU_KSTEP"] = k if kernel.startswith("kstep") \
+            else "0"
+        try:
+            runner = FDTDRunner(plan)
+            if kernel.startswith("kstep"):
+                assert runner.kstep is not None
+                assert runner.kstep.pole_metas[0]["mode"] == "full"
+            runner._pad_time_tables(40)
+            consts = jax.device_put(runner.consts)
+            state = jax.jit(runner.init_state)()
+            state = jax.jit(
+                lambda st: runner._run_chunk(0, 40, st, consts))(state)
+            if isinstance(state["E"], dict):
+                return {c: np.asarray(state["E"][c])
+                        for c in ("Ex", "Ey", "Ez")}
+            E = np.asarray(state["E"])
+            return {c: E[:, i] for i, c in enumerate(("Ex", "Ey", "Ez"))}
+        finally:
+            os.environ.pop("TIDY3D_TPU_KERNEL", None)
+            os.environ.pop("TIDY3D_TPU_KSTEP", None)
+
+    ref = run("xla")
+    got = run("kstep_interpret")
     scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
     for c in ref:
         err = np.max(np.abs(ref[c] - got[c])) / scale

@@ -50,6 +50,12 @@ def _build_sim(case="pml"):
         structures = [td.Structure(
             geometry=td.Box(center=(0.4, 0, 0), size=(1.2, 0.5, 0.4)),
             medium=td.Medium(permittivity=4.0))]
+    if case == "dispersive":
+        # ADE pole currents: Q state is part of the ring halo exchange
+        structures = [td.Structure(
+            geometry=td.Box(center=(0.4, 0, 0), size=(3.0, 2.0, 0.6)),
+            medium=td.Lorentz(eps_inf=2.0,
+                              coeffs=[(8.0, FREQ0 * 1.8, FREQ0 / 10)]))]
     return td.Simulation(
         center=(0, 0, 0),
         size=(nx * dl, ny * dl, nz * dl),
@@ -90,7 +96,8 @@ def _run(sim, ndev=None, kernel=None, k=None):
             assert runner.kstep is not None, "kstep kernel not selected"
             if ndev is not None:
                 assert runner.kstep.shard is not None
-                assert runner.kstep.k == 2
+                if k is not None:
+                    assert runner.kstep.k == k
             else:
                 assert runner.kstep.shard is None
         return runner.run()
@@ -102,14 +109,16 @@ def _run(sim, ndev=None, kernel=None, k=None):
                 os.environ[key] = v
 
 
-@pytest.mark.parametrize("case", ["pml", "dielectric", "periodic"])
-def test_sharded_kstep_matches_single_device(case):
+@pytest.mark.parametrize("case,k", [("pml", 2), ("pml", 4),
+                                    ("dielectric", 4), ("periodic", 4),
+                                    ("dispersive", 4)])
+def test_sharded_kstep_matches_single_device(case, k):
     sim = _build_sim(case)
-    # single-device k-step with the same k the sharded path picks (k=2)
-    # -> identical DFT quadrature; only halo-exchange float reassociation
+    # single-device k-step with the same k as the sharded run ->
+    # identical DFT quadrature; only halo-exchange float reassociation
     # separates the two runs
-    ref = _run(sim, kernel="kstep_interpret", k=2)
-    got = _run(sim, ndev=4, kernel="kstep_interpret")
+    ref = _run(sim, kernel="kstep_interpret", k=k)
+    got = _run(sim, ndev=4, kernel="kstep_interpret", k=k)
     assert set(got) == set(ref)
     for idx in ref:
         # per-monitor scale: symmetry-zero components (e.g. Hz of a

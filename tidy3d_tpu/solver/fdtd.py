@@ -201,6 +201,8 @@ class FDTDRunner:
             if (self._want_pallas or self._shard_kstep_try) else "1,8,128"
 
     def _init_kernel_mode(self):
+        import os as _os
+
         self.pallas = None
         self.fused = None
         self.kstep = None
@@ -209,7 +211,21 @@ class FDTDRunner:
 
             ndev = self.sharding.decomp[0]
             nx = self.shape[0]
-            for k in (2, 4):
+            # k=4 preferred (same reasoning as single-chip: HBM traffic
+            # halves vs k=2 on the bandwidth-bound update); k=2 fallback
+            # when the k=4 halo cone fails the block-divide gates.
+            kenv_sh = _os.environ.get("TIDY3D_TPU_KSTEP", "auto")
+            if kenv_sh in ("auto", ""):
+                k_order = (4, 2)
+            elif kenv_sh == "0":
+                k_order = ()
+            else:
+                k_order = (int(kenv_sh), 4, 2)
+            tried_sh = []
+            for k in k_order:
+                if k < 2 or k in tried_sh:
+                    continue
+                tried_sh.append(k)
                 if nx % ndev == 0 and self._monitors_allow_k(k) \
                         and PallasKStepper.supported_sharded(self, k, ndev):
                     try:
@@ -581,6 +597,11 @@ class FDTDRunner:
                 "psi": {key: jnp.zeros(shp, pdt)
                         for key, shp in self.kstep.psi_shapes().items()},
             }
+            q_shape = self.kstep.q_shape()
+            if q_shape is not None:
+                # packed ADE pole currents advance inside the kernel
+                state["Qpk"] = zeros(q_shape)
+                state["alt"]["Qpk"] = zeros(q_shape)
             return state
         state = {
             "E": {c: zeros(shape) for c in E_COMPS},
@@ -1199,9 +1220,13 @@ class FDTDRunner:
         returned state swaps the sets."""
         k = self.kstep.k
         t0 = gi * k
-        view = {"E": state["E"], "H": state["H"], "psi": state["psi"]}
-        newE, newH, new_psi = self.kstep.step_group(
-            t0, view, consts, alt=state.get("alt"))
+        view = {"E": state["E"], "H": state["H"], "psi": state["psi"],
+                "Q": state.get("Qpk")}
+        alt = state.get("alt")
+        if alt is not None:
+            alt = dict(alt, Q=alt.get("Qpk"))
+        newE, newH, newQ, new_psi = self.kstep.step_group(
+            t0, view, consts, alt=alt)
         # monitors slice lazy per-component views of the packed arrays
         # (XLA materializes only the monitor regions); shard mode strips
         # the halo blocks so views are in local-core rows
@@ -1217,9 +1242,13 @@ class FDTDRunner:
                                             state, consts)
         out = {"E": newE, "H": newH, "psi": new_psi, "Q": state["Q"],
                "mon": new_mon}
+        if "Qpk" in state:
+            out["Qpk"] = newQ
         if "alt" in state:
             out["alt"] = {"E": state["E"], "H": state["H"],
                           "psi": state["psi"]}
+            if "Qpk" in state:
+                out["alt"]["Qpk"] = state["Qpk"]
         return self._cast_state(out)
 
     def _run_chunk(self, start, chunk_size, st, consts):
@@ -1477,7 +1506,7 @@ class FDTDRunner:
             return x.astype(self.dtype) \
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x
 
-        for key in ("E", "H", "E1", "H1"):
+        for key in ("E", "H", "E1", "H1", "Qpk"):
             if key in out:
                 out[key] = _cast(out[key]) if not isinstance(out[key], dict) \
                     else {c: _cast(v) for c, v in out[key].items()}

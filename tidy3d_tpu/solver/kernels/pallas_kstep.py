@@ -56,9 +56,22 @@ builds Nyquist-strided DFT tables whose sampled steps land on group ends
 (reference behavior: tidy3d samples its running DFT at the Nyquist
 stride, tidy3d/components/simulation.py:4414).
 
+* **Dispersive ADE poles in-kernel.** Pole-residue auxiliary currents
+  Q ride the same l/m/h piece machinery as the fields (one packed
+  (nx, 6P, ny, zq) state array, channels [qr_x..z, qi_x..z] per pole)
+  and advance every substep inside the kernel — the semi-implicit
+  recursion is local, so halo Q cells recompute redundantly under the
+  exact E dependency cone and only cores write back. Residue maps ship
+  as packed channels: 3 mask channels per pole (f32 0/1 indicator +
+  static complex B0 per comp) when the lowered map is two-valued (any
+  non-Custom medium), 6 full re/im channels otherwise. The whole pole
+  machinery is restricted to the z-support of the union of residue
+  maps (a half-domain dispersive slab pays only its own HBM traffic);
+  the E-coupling splices in via one z-segment concat per component.
+
 Unsupported (the runner falls back to the 1-step kernels / XLA path):
-dispersive ADE poles, nonlinear media, time modulation, Bloch (complex)
-boundaries, sharded runs, volume sources thick in both x and y,
+more than 4 dispersive pole slots, nonlinear media, time modulation,
+Bloch (complex) boundaries, volume sources thick in both x and y,
 grids not 8-aligned in z, > 64 packed z-psi lanes per family, and
 time-monitors whose sampling steps cannot align to group ends.
 
@@ -133,11 +146,56 @@ class PallasKStepper:
         # runs. (float16 storage crashes Mosaic on v5e; not offered.)
         self.psi_dtype = jnp.bfloat16 if _psi_env == "bfloat16" \
             else self.dtype
+        self.pole_metas, (self.q_z0, self.q_zn) = self._pole_layout(runner)
         self._build_kconsts()
 
     # ------------------------------------------------------------------ #
     # feasibility / configuration
     # ------------------------------------------------------------------ #
+
+    @classmethod
+    def _pole_layout(cls, runner):
+        """Static packing info for the in-kernel ADE pole machinery.
+
+        Returns ``(metas, (z0, zn))``: one meta per pole slot with the
+        semi-implicit scalars (A, Gc), the packing mode ('mask' = the
+        lowered residue map is two-valued {0, B0} per component, the
+        common case for non-Custom media — ships a single 0/1 indicator
+        channel per comp with static complex B0; 'full' = per-cell
+        complex residues, ships 6 re/im channels), and the channel
+        offset into the packed B array. (z0, zn) is the z-support of
+        the union of all residue maps: all Q state, B channels, and
+        the E-coupling are restricted to this slab (semantics spec:
+        pallas_fused.py pole_term / fdtd._update_poles)."""
+        if not runner.pole_scalars:
+            return [], (0, 0)
+        nz = runner.shape[2]
+        z_lo, z_hi = nz, 0
+        metas = []
+        coff = 0
+        for (A, Gc), B_maps in zip(runner.pole_scalars,
+                                   runner.consts["pole_B"]):
+            mode = "mask"
+            B0 = []
+            for (br, bi) in B_maps:
+                sup = np.logical_or(br != 0, bi != 0)
+                if sup.any():
+                    vr = np.unique(br[sup])
+                    vi = np.unique(bi[sup])
+                    if len(vr) > 1 or len(vi) > 1:
+                        mode = "full"
+                    B0.append((float(vr[0]), float(vi[0])))
+                    zs = np.nonzero(sup.any(axis=(0, 1)))[0]
+                    z_lo = min(z_lo, int(zs[0]))
+                    z_hi = max(z_hi, int(zs[-1]) + 1)
+                else:
+                    B0.append((0.0, 0.0))
+            metas.append(dict(A=complex(A), Gc=complex(Gc), mode=mode,
+                              coff=coff, B0=B0))
+            coff += 3 if mode == "mask" else 6
+        if z_hi <= z_lo:
+            return [], (0, 0)  # all maps zero: poles are inert
+        return metas, (z_lo, z_hi - z_lo)
 
     @classmethod
     def supported(cls, runner, k: int) -> bool:
@@ -146,7 +204,7 @@ class PallasKStepper:
             return False
         if plan.nonlinear is not None or plan.modulation:
             return False
-        if runner.pole_scalars:
+        if len(runner.pole_scalars) > 4:
             return False
         nx, ny, nz = runner.shape
         if nz % 8:
@@ -189,7 +247,7 @@ class PallasKStepper:
         plan = runner.plan
         if plan.is_complex or plan.nonlinear is not None or plan.modulation:
             return False
-        if runner.pole_scalars:
+        if len(runner.pole_scalars) > 4:
             return False
         nx, ny, nz = runner.shape
         if nz % 8 or nx % ndev:
@@ -259,6 +317,9 @@ class PallasKStepper:
         if shard is not None:
             nx = shard["nx_loc"]
         esize = 2 if runner.dtype == jnp.bfloat16 else 4
+        pole_metas, (_, q_zn) = PallasKStepper._pole_layout(runner)
+        n_qch = 6 * len(pole_metas)
+        n_bch = sum(3 if m["mode"] == "mask" else 6 for m in pole_metas)
         wy = max(runner.pml_meta[("dual", 1)] + runner.pml_meta[("primal", 1)])
         n_var = 0
         for ckey in ("coeffs_E", "coeffs_H"):
@@ -329,6 +390,19 @@ class PallasKStepper:
                 vmem += 16 * win * 4
                 vmem += n_psi_x * win * esize         # psi_x scratch
                 vmem += n_var * win * 4               # coeff scratch
+                if n_qch:
+                    # measured on v5e (384^3 half-domain Lorentz): the
+                    # (16,32) config under-predicted by ~35M and compiled
+                    # to 136.4M against the 128M cap — the assembled Q/B
+                    # window values and the per-substep esum/oldE slabs
+                    # are live on top of the double-buffered piece inputs
+                    winq = Wx * Wy * q_zn
+                    vmem += n_qch * winq * esize * 2      # Q piece in, 2-buf
+                    vmem += n_qch * winq * 4              # assembled Q values
+                    vmem += n_qch * bx * by * q_zn * esize * 2  # Q outputs
+                    vmem += n_bch * winq * 4 * 2          # B piece in, 2-buf
+                    vmem += n_bch * winq * 4              # assembled B values
+                    vmem += 15 * winq * 4                 # oldE/esum/pt temps
                 if vmem <= VMEM_BUDGET:
                     best = (bx, by, hwx, hwy)
                     break
@@ -577,6 +651,40 @@ class PallasKStepper:
                     if shard is not None:
                         self.sharded_keys.add(f"cf_b_{c}")
 
+        # packed ADE pole residue channels, z-restricted to the support
+        # slab (see _pole_layout): mask-mode poles ship one 0/1 indicator
+        # channel per comp (+ static complex B0), full-mode poles ship
+        # re/im channel pairs [br_x..z, bi_x..z]. Rides the same l/m/h
+        # piece machinery as the fields (read-only).
+        self.n_qch = 6 * len(self.pole_metas)
+        self.n_bch = sum(3 if m["mode"] == "mask" else 6
+                         for m in self.pole_metas)
+        if self.pole_metas:
+            z0q, zqn = self.q_z0, self.q_zn
+            nx_g = self.gshape[0]
+            Bg = np.zeros((nx_g, self.n_bch, ny, zqn), f32)
+            for meta, B_maps in zip(self.pole_metas,
+                                    runner.consts["pole_B"]):
+                for ci, (br, bi) in enumerate(B_maps):
+                    if meta["mode"] == "mask":
+                        Bg[:, meta["coff"] + ci] = np.logical_or(
+                            br != 0, bi != 0)[:, :, z0q:z0q + zqn]
+                    else:
+                        Bg[:, meta["coff"] + ci] = \
+                            np.asarray(br, f32)[:, :, z0q:z0q + zqn]
+                        Bg[:, meta["coff"] + 3 + ci] = \
+                            np.asarray(bi, f32)[:, :, z0q:z0q + zqn]
+            if shard is not None:
+                Be = np.pad(Bg, ((bx, bx), (0, 0), (0, 0), (0, 0)),
+                            mode=x_mode)
+                kc["poleB_pk"] = np.stack(
+                    [Be[sd * shard["nx_loc"]:
+                        sd * shard["nx_loc"] + shard["nx_loc"] + 2 * bx]
+                     for sd in range(ndev)])
+                self.sharded_keys.add("poleB_pk")
+            else:
+                kc["poleB_pk"] = Bg
+
         # source profiles in window-aligned layouts (built in GLOBAL x
         # coordinates; shard mode slices per shard afterwards)
         nxg = self.gshape[0]
@@ -699,6 +807,18 @@ class PallasKStepper:
         if self.shard is not None:
             nx += 2 * self.bx
         return (nx, 3, ny, nz)
+
+    def q_shape(self) -> Optional[Tuple[int, ...]]:
+        """Shape of the packed ADE pole-current state array (None when
+        the plan has no active poles): channels = 6 per pole
+        [qr_x, qr_y, qr_z, qi_x, qi_y, qi_z], z-restricted to the
+        residue-map support slab."""
+        if not self.pole_metas:
+            return None
+        nx, ny, _ = self.shape
+        if self.shard is not None:
+            nx += 2 * self.bx
+        return (nx, self.n_qch, ny, self.q_zn)
 
     def psi_shapes(self) -> Dict[str, Tuple[int, ...]]:
         """Shapes for every psi state array.
@@ -856,6 +976,8 @@ class PallasKStepper:
                 arr, from_right.astype(arr.dtype), bx + nx_loc, axis=0)
 
         out = {"E": ex(view["E"]), "H": ex(view["H"])}
+        if view.get("Q") is not None:
+            out["Q"] = ex(view["Q"])
         new_psi = dict(view["psi"])
         for key, arr in view["psi"].items():
             if key.startswith("psiy") or key == "psizp":
@@ -888,13 +1010,14 @@ class PallasKStepper:
             wf_all, jnp.asarray(t0, jnp.int32), self.k, axis=1)
         cur_alias = alt
         newE = newH = None
+        newQ = view.get("Q")
         new_psi = dict(view["psi"])
         for region in regions:
-            newE, newH, psi_out = self._region_call(
+            newE, newH, newQ, psi_out = self._region_call(
                 (t0_arr, wf_win), view, consts, cur_alias, region)
             new_psi.update(psi_out)
-            cur_alias = {"E": newE, "H": newH, "psi": new_psi}
-        return newE, newH, new_psi
+            cur_alias = {"E": newE, "H": newH, "Q": newQ, "psi": new_psi}
+        return newE, newH, newQ, new_psi
 
     def _region_call(self, t0_pack, view: dict, consts: dict, alt, region):
         t0_arr, wf_win = t0_pack
@@ -971,12 +1094,12 @@ class PallasKStepper:
         # three components on a non-tiled dim cuts the per-program field
         # piece streams from 54 to 18 (strip programs were DMA-issue
         # bound: ~195us/program vs 39us interior before piece plumbing).
-        def piece_spec4(xk, yk):
+        def piece_spec4(xk, yk, C=3, depth=nz):
             bsx = hwx if xk in "lh" else bx
             bsy = hwy if yk in "lh" else by
             xm, ym = xmap(xk), ymap(yk)
             return pl.BlockSpec(
-                (bsx, 3, bsy, nz),
+                (bsx, C, bsy, depth),
                 lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), 0, ym(b_j), 0),
                 memory_space=pltpu.VMEM)
 
@@ -985,6 +1108,17 @@ class PallasKStepper:
             for xk in "lmh":
                 for yk in "lmh":
                     add(f"{famk}pk_{xk}{yk}", arr, piece_spec4(xk, yk))
+
+        # packed ADE pole state + residue channels through the same
+        # piece machinery (z-restricted to the support slab)
+        have_q = bool(self.pole_metas) and "poles" not in _sk
+        if have_q:
+            for xk in "lmh":
+                for yk in "lmh":
+                    add(f"Qpk_{xk}{yk}", view["Q"],
+                        piece_spec4(xk, yk, C=self.n_qch, depth=self.q_zn))
+                    add(f"Bpk_{xk}{yk}", kc["poleB_pk"],
+                        piece_spec4(xk, yk, C=self.n_bch, depth=self.q_zn))
 
         # the lane-packed z-psi array rides the same piece machinery
         use_psiz = self.psiz_Ltot and not _skip_psi and "psiz" not in _sk
@@ -1102,6 +1236,15 @@ class PallasKStepper:
             memory_space=pltpu.VMEM) for _ in range(2)]
         out_names = ["out_E", "out_H"]
         N_FIELD_OUT = 2
+        if have_q:
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (nx_arr, self.n_qch, ny, self.q_zn), dtype))
+            out_specs.append(pl.BlockSpec(
+                (bx, self.n_qch, by, self.q_zn),
+                lambda b_i, b_j: (b_i + i0 + xpb, 0, b_j + j0, 0),
+                memory_space=pltpu.VMEM))
+            out_names.append("out_Q")
+            N_FIELD_OUT = 3
         out_psi_keys = []
         for key in pack_keys:
             arr = view["psi"][key]
@@ -1143,6 +1286,9 @@ class PallasKStepper:
             for oi, famk in enumerate(("E", "H")):
                 io_aliases[len(arrays)] = oi
                 add(f"alias_{famk}", alt[famk], anyspec)
+            if have_q:
+                io_aliases[len(arrays)] = 2
+                add("alias_Q", alt["Q"], anyspec)
             for i, key in enumerate(out_psi_keys):
                 io_aliases[len(arrays)] = N_FIELD_OUT + i
                 add(f"alias_{key}", alt["psi"][key], anyspec)
@@ -1189,10 +1335,11 @@ class PallasKStepper:
         )(*arrays)
 
         newE, newH = results[0], results[1]
+        newQ = results[2] if have_q else view.get("Q")
         new_psi = dict(view["psi"])
         for oi, key in enumerate(out_psi_keys):
-            new_psi[key] = results[2 + oi]
-        return newE, newH, new_psi
+            new_psi[key] = results[N_FIELD_OUT + oi]
+        return newE, newH, newQ, new_psi
 
     # ------------------------------------------------------------------ #
     # kernel body
@@ -1308,6 +1455,20 @@ class PallasKStepper:
         Hwin = ext4("Hpk")
         fE = {c: Ewin[:, ci] for ci, c in enumerate(E_COMPS)}
         fH = {c: Hwin[:, ci] for ci, c in enumerate(H_COMPS)}
+
+        # ADE pole state/coefficient windows (z-restricted): qs holds the
+        # live per-channel Q values across substeps, exactly like fields
+        have_q = bool(self.pole_metas) and "poles" not in _skip
+        z0q, zqn = self.q_z0, self.q_zn
+        qs = {}
+        bch = {}
+        if have_q:
+            Qwin = ext4("Qpk")
+            Bwin = ext4("Bpk")
+            for ch in range(self.n_qch):
+                qs[ch] = Qwin[:, ch]
+            for ch in range(self.n_bch):
+                bch[ch] = Bwin[:, ch]
         use_psiz_body = (self.psiz_Ltot and "psi" not in _skip
                          and "psiz" not in _skip)
         packed_fams = [fam for fam in ("dual", "primal")
@@ -1647,6 +1808,8 @@ class PallasKStepper:
 
         # ---- k substeps ---- #
         for jstep in range(k):
+            if have_q:
+                oldE_z = {c: fE[c][:, :, z0q:z0q + zqn] for c in E_COMPS}
             newE = {}
             dz_map = {}
             for ci, comp in enumerate(E_COMPS):
@@ -1655,6 +1818,24 @@ class PallasKStepper:
                 d2 = bwd(fH[H_COMPS[jx]], kx) * inv_e[kx]
                 out = base_term(coeff(comp, "a"), fE[comp]) \
                     + coeff(comp, "b") * (d1 - d2)
+                if have_q:
+                    # pole coupling -cb * Re(Gc Q), spliced into the
+                    # support slab (semantics: pallas_fused pole_term)
+                    pt = None
+                    for pi, meta in enumerate(self.pole_metas):
+                        Gc = meta["Gc"]
+                        t = Gc.real * qs[6 * pi + ci] if Gc.real else None
+                        if Gc.imag:
+                            ti = Gc.imag * qs[6 * pi + 3 + ci]
+                            t = -ti if t is None else t - ti
+                        if t is not None:
+                            pt = t if pt is None else pt + t
+                    if pt is not None:
+                        cbv = coeff(comp, "b")
+                        cb_sl = cbv[:, :, z0q:z0q + zqn] \
+                            if jnp.ndim(cbv) else cbv
+                        out = seg_merge(
+                            out, [(z0q, zqn, -(cb_sl * pt))], 2)
                 yitems = []
                 out = apply_psi(comp, "dual", coeff(comp, "b"), out,
                                 {jx: d1, kx: d2}, yitems)
@@ -1667,6 +1848,33 @@ class PallasKStepper:
             newE = apply_psiz("dual", newE, dz_map)
             newE = {c: wall(c, v) for c, v in newE.items()}
             fE = inject("E", newE, jstep)
+
+            # semi-implicit pole recursion on the injected fields
+            # (ordering matches fdtd._update_poles: Q' = A Q + B (E'+E))
+            if have_q:
+                for pi, meta in enumerate(self.pole_metas):
+                    A = meta["A"]
+                    for ci, comp in enumerate(E_COMPS):
+                        esum = fE[comp][:, :, z0q:z0q + zqn] \
+                            + oldE_z[comp]
+                        qr, qi = qs[6 * pi + ci], qs[6 * pi + 3 + ci]
+                        nqr = A.real * qr
+                        nqi = A.real * qi
+                        if A.imag:
+                            nqr = nqr - A.imag * qi
+                            nqi = nqi + A.imag * qr
+                        if meta["mode"] == "mask":
+                            B0r, B0i = meta["B0"][ci]
+                            mes = bch[meta["coff"] + ci] * esum
+                            if B0r:
+                                nqr = nqr + B0r * mes
+                            if B0i:
+                                nqi = nqi + B0i * mes
+                        else:
+                            nqr = nqr + bch[meta["coff"] + ci] * esum
+                            nqi = nqi + bch[meta["coff"] + 3 + ci] * esum
+                        qs[6 * pi + ci] = nqr
+                        qs[6 * pi + 3 + ci] = nqi
 
             newH = {}
             dz_map = {}
@@ -1695,6 +1903,10 @@ class PallasKStepper:
         r["out_H"][:] = jnp.stack(
             [fH[c][hwx:hwx + bx, hwy:hwy + by, :] for c in H_COMPS],
             axis=1).astype(dtype)
+        if have_q:
+            r["out_Q"][:] = jnp.stack(
+                [qs[ch][hwx:hwx + bx, hwy:hwy + by, :]
+                 for ch in range(self.n_qch)], axis=1).astype(dtype)
         if use_psiz_body:
             oref = r["opsizp"]
             oref[:] = jnp.concatenate(
