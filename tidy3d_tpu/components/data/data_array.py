@@ -492,6 +492,12 @@ class DataArray:
                     coords[key] = np.array([
                         v.decode() if isinstance(v, bytes) else str(v) for v in val.tolist()
                     ])
+            # dims with default integer-range coords carry no coord dataset in
+            # reference-written files (xarray omits coordless dims,
+            # reference data_array.py:260-269); synthesize the range
+            for i, dim in enumerate(dims):
+                if dim not in coords and i < values.ndim:
+                    coords[dim] = np.arange(values.shape[i])
             return cls(values, coords=coords, dims=dims)
 
         if isinstance(fname, str):
@@ -722,6 +728,14 @@ class CellDataArray(DataArray):
 
 
 @register_data_array
+class TriangleMeshDataArray(DataArray):
+    """Surface-mesh triangles as in the STL format (reference
+    data_array.py:999: dims (face_index, vertex_index, axis))."""
+
+    _dims = ("face_index", "vertex_index", "axis")
+
+
+@register_data_array
 class IndexedDataArray(DataArray):
     """Values at indexed points of an unstructured grid."""
 
@@ -731,6 +745,14 @@ class IndexedDataArray(DataArray):
 @register_data_array
 class EMEScalarFieldDataArray(DataArray):
     _dims = ("x", "y", "z", "f", "sweep_index", "eme_port_index", "mode_index")
+
+
+@register_data_array
+class EMEScalarModeFieldDataArray(DataArray):
+    """Per-cell EME expansion mode fields (reference data_array.py:1037)."""
+
+    _dims = ("x", "y", "z", "f", "sweep_index", "eme_cell_index",
+             "mode_index")
 
 
 @register_data_array

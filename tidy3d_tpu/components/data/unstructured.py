@@ -18,25 +18,17 @@ import pydantic
 from ...exceptions import DataError, ValidationError
 from ..base import Tidy3dBaseModel, cached_property
 from ..types import Axis
-from .data_array import DataArray, SpatialDataArray
-
-
-class PointDataArray(DataArray):
-    """Point coordinates: dims (index, axis)."""
-
-    _dims = ("index", "axis")
-
-
-class CellDataArray(DataArray):
-    """Cell connectivity: dims (cell_index, vertex_index)."""
-
-    _dims = ("cell_index", "vertex_index")
-
-
-class IndexedDataArray(DataArray):
-    """Values at indexed points: dims (index,)."""
-
-    _dims = ("index",)
+# the registered DataArray zoo provides the point/cell/value array types
+# (shared with reference-file HDF5 decoding, which resolves the type-name
+# tags through DATA_ARRAY_MAP — duplicating the classes here would make
+# decoded arrays fail the pydantic instance checks)
+from .data_array import (  # noqa: F401  (re-exported)
+    CellDataArray,
+    DataArray,
+    IndexedDataArray,
+    PointDataArray,
+    SpatialDataArray,
+)
 
 
 class UnstructuredGridDataset(Tidy3dBaseModel):

@@ -9,12 +9,13 @@ implements native STL parsing (binary + ascii) and a vectorized ray-casting
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 import pydantic
 
 from ...exceptions import FileError, ValidationError
+from ...log import log
 from ..base import Tidy3dBaseModel, cached_property
 from ..types import ArrayFloat2D, ArrayFloat3D, Bound
 from . import base
@@ -26,18 +27,53 @@ _RAYCAST_CHUNK = 4096
 class TriangleMesh(base.Geometry):
     """Surface mesh geometry defined by triangles (N, 3, 3)."""
 
-    triangles: ArrayFloat3D = pydantic.Field(
-        ..., title="Triangles",
+    triangles: Optional[ArrayFloat3D] = pydantic.Field(
+        None, title="Triangles",
         description="(N, 3, 3) array: N triangles x 3 vertices x (x, y, z).",
     )
+    mesh_dataset: Optional[Any] = pydantic.Field(
+        None, title="Surface mesh data (reference-compat)",
+        description="Reference serialization layout (mesh.py:36): a "
+        "TriangleMeshDataset dict whose 'surface_mesh' is a "
+        "TriangleMeshDataArray with dims (face_index, vertex_index, axis). "
+        "Converted to 'triangles' on load; a data-less placeholder loads "
+        "as an empty mesh with a warning (reference mesh.py:50-57).",
+    )
+
+    @pydantic.model_validator(mode="before")
+    @classmethod
+    def _from_mesh_dataset(cls, values):
+        if not isinstance(values, dict):
+            return values
+        md = values.get("mesh_dataset")
+        if values.get("triangles") is None and md is not None:
+            sm = md.get("surface_mesh") if isinstance(md, dict) \
+                else getattr(md, "surface_mesh", None)
+            if isinstance(sm, str):
+                log.warning("Loading 'mesh_dataset' without data.")
+                values = dict(values, mesh_dataset=None)
+            elif sm is not None:
+                vals = np.asarray(getattr(sm, "values", sm), dtype=float)
+                values = dict(values, triangles=vals, mesh_dataset=None)
+        return values
 
     @pydantic.field_validator("triangles")
     @classmethod
     def _check_triangles(cls, val):
+        if val is None:
+            return val
         arr = np.asarray(val, dtype=float)
         if arr.ndim != 3 or arr.shape[1:] != (3, 3):
             raise ValidationError("triangles must be an (N, 3, 3) array")
         return arr
+
+    def _require_triangles(self) -> np.ndarray:
+        if self.triangles is None:
+            raise ValidationError(
+                "This TriangleMesh was loaded without mesh data "
+                "(reference files store mesh data only in '.hdf5'); "
+                "geometry operations are unavailable.")
+        return np.asarray(self.triangles)
 
     # ------------------------------------------------------------------ #
     # constructors
@@ -64,6 +100,10 @@ class TriangleMesh(base.Geometry):
 
     @cached_property
     def bounds(self) -> Bound:
+        if self.triangles is None:
+            # reference mesh.py:324: a data-less mesh is unbounded
+            big = 1e30
+            return (-big, -big, -big), (big, big, big)
         arr = np.asarray(self.triangles)
         mins = arr.reshape(-1, 3).min(axis=0)
         maxs = arr.reshape(-1, 3).max(axis=0)
@@ -76,6 +116,8 @@ class TriangleMesh(base.Geometry):
         shape = x.shape
         pts = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=-1)
         out = np.zeros(len(pts), dtype=bool)
+        if self.triangles is None:
+            return out.reshape(shape)
         tris = np.asarray(self.triangles)
         v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
         for start in range(0, len(pts), _RAYCAST_CHUNK):
@@ -86,14 +128,73 @@ class TriangleMesh(base.Geometry):
     def volume(self, bounds: Bound = None) -> float:
         if bounds is not None:
             return super().volume(bounds)
-        tris = np.asarray(self.triangles)
+        tris = self._require_triangles()
         v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
         return float(abs(np.sum(np.einsum("ij,ij->i", v0, np.cross(v1, v2))) / 6.0))
 
     def surface_area(self, bounds: Bound = None) -> float:
-        tris = np.asarray(self.triangles)
+        tris = self._require_triangles()
         cross = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
         return float(0.5 * np.sum(np.linalg.norm(cross, axis=-1)))
+
+    def _intersections_normal_axis(self, axis: int, position: float):
+        """Mesh-plane cross-section: triangle/plane segments stitched
+        into closed loops (reference uses trimesh.section, mesh.py:377;
+        a data-less mesh has no cross-sections, :377-378)."""
+        from .utils import PlanarPolygon
+
+        if self.triangles is None:
+            return []
+        tris = np.asarray(self.triangles)
+        d = tris[..., axis] - position  # (N, 3) signed vertex distances
+        plane_dims = [i for i in range(3) if i != axis]
+        segs: List[Tuple[Tuple[float, float], Tuple[float, float]]] = []
+        crossing = (d.min(axis=1) < 0) & (d.max(axis=1) > 0)
+        for tri, dv in zip(tris[crossing], d[crossing]):
+            pts = []
+            for i in range(3):
+                j = (i + 1) % 3
+                di, dj = dv[i], dv[j]
+                if (di < 0) != (dj < 0):
+                    t = di / (di - dj)
+                    p = tri[i] + t * (tri[j] - tri[i])
+                    pts.append((p[plane_dims[0]], p[plane_dims[1]]))
+            if len(pts) == 2:
+                segs.append((pts[0], pts[1]))
+        if not segs:
+            return []
+        # stitch segments into loops by snapped-endpoint adjacency
+        scale = max(np.ptp([p for s in segs for p in s], axis=0).max(), 1.0)
+        tol = 1e-9 * scale
+
+        def key(p):
+            return (round(p[0] / tol), round(p[1] / tol))
+
+        adj: dict = {}
+        for si, (a, b) in enumerate(segs):
+            adj.setdefault(key(a), []).append((si, b))
+            adj.setdefault(key(b), []).append((si, a))
+        used = set()
+        loops = []
+        for si, (a, b) in enumerate(segs):
+            if si in used:
+                continue
+            used.add(si)
+            loop = [a, b]
+            while True:
+                cur = loop[-1]
+                nxt = None
+                for sj, other in adj.get(key(cur), ()):
+                    if sj not in used:
+                        used.add(sj)
+                        nxt = other
+                        break
+                if nxt is None or key(nxt) == key(loop[0]):
+                    break
+                loop.append(nxt)
+            if len(loop) >= 3:
+                loops.append(np.asarray(loop, dtype=float))
+        return [PlanarPolygon(loop) for loop in loops]
 
     @cached_property
     def trimesh(self):

@@ -241,6 +241,25 @@ class GridSpec(Tidy3dBaseModel):
     override_structures: Tuple[Any, ...] = pydantic.Field(
         (), title="Grid specification override structures",
     )
+
+    @pydantic.field_validator("override_structures", mode="before")
+    @classmethod
+    def _parse_override_structures(cls, val):
+        """Parse serialized dicts into Structure/MeshOverrideStructure
+        models (reference grid_spec.py uses a StructureType union)."""
+        if not val:
+            return val
+        from ..structure import MeshOverrideStructure, Structure
+
+        out = []
+        for item in val:
+            if isinstance(item, dict):
+                model = MeshOverrideStructure \
+                    if item.get("type") == "MeshOverrideStructure" \
+                    else Structure
+                item = model.model_validate(item)
+            out.append(item)
+        return tuple(out)
     snapping_points: Tuple[Tuple[Optional[float], Optional[float], Optional[float]], ...] = (
         pydantic.Field((), title="Grid points to snap to")
     )

@@ -26,6 +26,12 @@ from ..log import log
 from .autograd.derivative_utils import quad_weights
 from .base import Tidy3dBaseModel, cached_property
 from .data.data_array import ScalarFieldDataArray, SpatialDataArray
+from .data.unstructured import TetrahedralGridDataset, TriangularGridDataset
+
+# spatial data accepted by custom media: Cartesian or unstructured
+# (reference dataset.py:2857 CustomSpatialDataType)
+CustomSpatialDataType = Union[SpatialDataArray, TriangularGridDataset,
+                              TetrahedralGridDataset]
 from .types import (
     Axis,
     Bound,
@@ -41,6 +47,34 @@ from .types import (
 FREQ_EVAL_INF = 1e50
 # tolerance for gain checks
 LOSS_TOL = -1e-12
+
+
+def _not_loaded(field) -> bool:
+    """Whether a serialized custom-data field came in as a data-less
+    placeholder — reference-written '.json' files strip DataArrays to
+    their type-name string (reference medium.py:1376 ``_not_loaded``)."""
+    from .base import DATA_ARRAY_MAP
+
+    if isinstance(field, str) and field in DATA_ARRAY_MAP:
+        return True
+    if isinstance(field, dict) and field.get("type") in (
+            "TriangularGridDataset", "TetrahedralGridDataset"):
+        return any(isinstance(sub, str) and sub in DATA_ARRAY_MAP
+                   for sub in (field.get("points"), field.get("cells"),
+                               field.get("values")))
+    return False
+
+
+def _vacuum_spatial() -> "SpatialDataArray":
+    return SpatialDataArray(np.ones((1, 1, 1)),
+                            coords=dict(x=[0], y=[0], z=[0]))
+
+
+def _spatial_vals(arr) -> np.ndarray:
+    """Raw numpy values of a SpatialDataArray or unstructured dataset."""
+    if hasattr(arr, "points"):  # UnstructuredGridDataset
+        return np.asarray(arr.values.values)
+    return np.asarray(arr.values)
 
 
 def ensure_freq_in_range(eps_model: Callable) -> Callable:
@@ -126,6 +160,13 @@ class AbstractMedium(Tidy3dBaseModel, ABC):
         False, title="Allow gain medium",
         description="Allow the medium to be active (amplifying).",
     )
+
+    @pydantic.field_validator("allow_gain", mode="before")
+    @classmethod
+    def _allow_gain_none(cls, val):
+        # the reference serializes AnisotropicMedium.allow_gain as None
+        # (a derived property there, medium.py:4863); coerce on load
+        return False if val is None else val
     nonlinear_spec: Optional[Union[NonlinearSpec, NonlinearModelType]] = pydantic.Field(
         None, title="Nonlinear spec"
     )
@@ -658,8 +699,6 @@ class Debye(DispersiveMedium):
 # custom (spatially varying) media
 # --------------------------------------------------------------------------- #
 
-CustomSpatialDataType = SpatialDataArray
-
 
 class CustomIsotropicMedium(AbstractMedium):
     """Isotropic nondispersive medium with spatially varying eps/sigma
@@ -719,10 +758,10 @@ class CustomMedium(AbstractMedium):
     eps_dataset: Optional[Any] = pydantic.Field(
         None, title="Permittivity dataset (legacy)",
     )
-    permittivity: Optional[SpatialDataArray] = pydantic.Field(
+    permittivity: Optional[CustomSpatialDataType] = pydantic.Field(
         None, title="Permittivity", description="Spatial relative permittivity (>= 1)."
     )
-    conductivity: Optional[SpatialDataArray] = pydantic.Field(
+    conductivity: Optional[CustomSpatialDataType] = pydantic.Field(
         None, title="Conductivity", description="Spatial conductivity [S/um]."
     )
     interp_method: InterpMethod = pydantic.Field(
@@ -733,6 +772,29 @@ class CustomMedium(AbstractMedium):
         False, title="Subpixel averaging",
         description="Apply subpixel averaging of this medium at structure interfaces.",
     )
+
+    @pydantic.model_validator(mode="before")
+    @classmethod
+    def _warn_if_unloaded(cls, values):
+        """Reference medium.py ``_warn_if_none``: a data-less placeholder
+        (JSON-written file) degrades to a vacuum medium with a warning."""
+        if not isinstance(values, dict):
+            return values
+        fail = False
+        for fld in ("permittivity", "conductivity"):
+            if _not_loaded(values.get(fld)):
+                log.warning(f"Loading '{fld}' without data; constructing "
+                            "a vacuum medium instead.")
+                fail = True
+        eps_dataset = values.get("eps_dataset")
+        if isinstance(eps_dataset, dict) and any(
+                _not_loaded(v) for v in eps_dataset.values()):
+            log.warning("Loading 'eps_dataset' without data; constructing "
+                        "a vacuum medium instead.")
+            fail = True
+        if fail:
+            return dict(permittivity=_vacuum_spatial())
+        return values
 
     @pydantic.model_validator(mode="after")
     def _check_data(self):
@@ -776,16 +838,21 @@ class CustomMedium(AbstractMedium):
 
     @ensure_freq_in_range
     def eps_model(self, frequency: float) -> complex:
-        eps = float(np.mean(self.permittivity.values))
-        sigma = float(np.mean(self.conductivity.values)) if self.conductivity is not None else 0.0
+        eps = float(np.mean(np.real(_spatial_vals(self.permittivity))))
+        sigma = float(np.mean(np.real(_spatial_vals(self.conductivity)))) \
+            if self.conductivity is not None else 0.0
         return self.eps_sigma_to_eps_complex(eps, sigma, frequency)
 
-    def eps_dataarray_freq(self, frequency: float) -> Tuple[SpatialDataArray, ...]:
+    def eps_dataarray_freq(self, frequency: float) -> Tuple[Any, ...]:
         omega = 2 * np.pi * frequency
-        eps_c = self.permittivity.values.astype(complex)
+        eps_c = _spatial_vals(self.permittivity).astype(complex)
         if self.conductivity is not None:
-            eps_c = eps_c + 1j * self.conductivity.values / omega / EPSILON_0
-        arr = SpatialDataArray(eps_c, coords=self.permittivity.coords)
+            eps_c = eps_c + 1j * _spatial_vals(self.conductivity) \
+                / omega / EPSILON_0
+        if hasattr(self.permittivity, "points"):  # unstructured dataset
+            arr = self.permittivity._with_values(eps_c)
+        else:
+            arr = SpatialDataArray(eps_c, coords=self.permittivity.coords)
         return (arr, arr, arr)
 
     def eps_diagonal_on_grid(self, frequency: float, coords) -> Tuple[np.ndarray, ...]:
@@ -793,25 +860,32 @@ class CustomMedium(AbstractMedium):
         arrs = self.eps_dataarray_freq(frequency)
         out = []
         for arr in arrs:
-            interp = arr.interp(
-                x=np.asarray(coords.x), y=np.asarray(coords.y), z=np.asarray(coords.z),
-                method=self.interp_method if self.interp_method != "nearest" else "nearest",
-            )
+            if hasattr(arr, "points"):  # unstructured: barycentric interp
+                interp = arr.interp(x=np.asarray(coords.x),
+                                    y=np.asarray(coords.y),
+                                    z=np.asarray(coords.z))
+            else:
+                interp = arr.interp(
+                    x=np.asarray(coords.x), y=np.asarray(coords.y),
+                    z=np.asarray(coords.z),
+                    method=self.interp_method
+                    if self.interp_method != "nearest" else "nearest",
+                )
             out.append(interp.values)
         return tuple(out)
 
     @cached_property
     def n_cfl(self) -> float:
-        eps_min = float(np.min(np.real(self.permittivity.values)))
+        eps_min = float(np.min(np.real(_spatial_vals(self.permittivity))))
         n, _ = self.eps_complex_to_nk(eps_min + 0j)
         return float(max(n, 0.0)) or 1.0
 
     def sel_inside(self, bounds: Bound) -> "CustomMedium":
         update = {}
-        if self.permittivity is not None:
-            update["permittivity"] = self.permittivity.sel_inside(bounds)
-        if self.conductivity is not None:
-            update["conductivity"] = self.conductivity.sel_inside(bounds)
+        for fld in ("permittivity", "conductivity"):
+            arr = getattr(self, fld)
+            if arr is not None and hasattr(arr, "sel_inside"):
+                update[fld] = arr.sel_inside(bounds)
         return self.copy(update=update)
 
     def compute_derivatives(self, paths, derivative_info, geometry) -> dict:
@@ -926,16 +1000,33 @@ class CustomPoleResidue(PoleResidue):
     Reference: medium.py:3122.
     """
 
-    eps_inf: SpatialDataArray = pydantic.Field(..., title="Epsilon at Infinity")  # type: ignore[assignment]
-    poles: Tuple[Tuple[Union[Complex, SpatialDataArray], Union[Complex, SpatialDataArray]], ...] = pydantic.Field(
+    eps_inf: CustomSpatialDataType = pydantic.Field(..., title="Epsilon at Infinity")  # type: ignore[assignment]
+    poles: Tuple[Tuple[Union[Complex, CustomSpatialDataType], Union[Complex, CustomSpatialDataType]], ...] = pydantic.Field(
         (), title="Poles"
     )
+
+    @pydantic.model_validator(mode="before")
+    @classmethod
+    def _warn_if_unloaded(cls, values):
+        """Reference medium.py ``_warn_if_none``: data-less placeholders
+        (JSON-written files) degrade to a vacuum medium with a warning."""
+        if not isinstance(values, dict):
+            return values
+        fail = _not_loaded(values.get("eps_inf"))
+        for pole in values.get("poles") or ():
+            for term in (pole if isinstance(pole, (list, tuple)) else (pole,)):
+                fail = fail or _not_loaded(term)
+        if fail:
+            log.warning("Loading 'eps_inf' or 'poles' without data; "
+                        "constructing a vacuum medium instead.")
+            return dict(eps_inf=_vacuum_spatial(), poles=())
+        return values
 
     @pydantic.field_validator("poles")
     @classmethod
     def _causality(cls, val):
         for a, _ in val:
-            a_vals = a.values if isinstance(a, SpatialDataArray) else a
+            a_vals = _spatial_vals(a) if hasattr(a, "values") else a
             if np.any(np.real(a_vals) > 0):
                 raise ValidationError("all pole 'a' values must have non-positive real part")
         return val
@@ -950,17 +1041,19 @@ class CustomPoleResidue(PoleResidue):
 
     @ensure_freq_in_range
     def eps_model(self, frequency: float) -> complex:
-        eps_inf = float(np.mean(self.eps_inf.values))
+        eps_inf = float(np.mean(np.real(_spatial_vals(self.eps_inf))))
         poles = []
         for a, c in self.poles:
-            a_val = complex(np.mean(a.values)) if isinstance(a, SpatialDataArray) else a
-            c_val = complex(np.mean(c.values)) if isinstance(c, SpatialDataArray) else c
+            a_val = complex(np.mean(_spatial_vals(a))) \
+                if hasattr(a, "values") else a
+            c_val = complex(np.mean(_spatial_vals(c))) \
+                if hasattr(c, "values") else c
             poles.append((a_val, c_val))
         return PoleResidue._eps_model(eps_inf, poles, frequency)
 
     @cached_property
     def n_cfl(self) -> float:
-        return float(np.sqrt(np.min(np.real(self.eps_inf.values))))
+        return float(np.sqrt(np.min(np.real(_spatial_vals(self.eps_inf)))))
 
 
 class _CustomDispersiveBase(Tidy3dBaseModel):
@@ -977,10 +1070,31 @@ class _CustomDispersiveBase(Tidy3dBaseModel):
     def is_custom(self) -> bool:
         return True
 
+    @pydantic.model_validator(mode="before")
+    @classmethod
+    def _warn_if_unloaded(cls, values):
+        """Reference medium.py ``_warn_if_none``: data-less placeholders
+        (JSON-written files) degrade to a vacuum medium with a warning."""
+        if not isinstance(values, dict):
+            return values
+        fail = _not_loaded(values.get("eps_inf"))
+        for coeff in values.get("coeffs") or ():
+            for term in (coeff if isinstance(coeff, (list, tuple))
+                         else (coeff,)):
+                fail = fail or _not_loaded(term)
+        if fail:
+            log.warning("Loading 'eps_inf' or 'coeffs' without data; "
+                        "constructing a vacuum medium instead.")
+            out = dict(coeffs=())
+            if "eps_inf" in values:
+                out["eps_inf"] = 1.0
+            return out
+        return values
+
     @staticmethod
     def _mean(value):
-        if isinstance(value, SpatialDataArray):
-            return float(np.mean(np.real(value.values)))
+        if hasattr(value, "values"):
+            return float(np.mean(np.real(_spatial_vals(value))))
         return value
 
 
@@ -988,8 +1102,8 @@ class CustomSellmeier(_CustomDispersiveBase, Sellmeier):
     """Sellmeier with spatially varying (B, C) coefficients
     (reference: medium.py:3725)."""
 
-    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
-                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+    coeffs: Tuple[Tuple[Union[float, CustomSpatialDataType],
+                        Union[float, CustomSpatialDataType]], ...] = pydantic.Field(
         (), title="Coefficients")
 
     @ensure_freq_in_range
@@ -1007,10 +1121,10 @@ class CustomSellmeier(_CustomDispersiveBase, Sellmeier):
 class CustomLorentz(_CustomDispersiveBase, Lorentz):
     """Lorentz with spatially varying coefficients (reference: medium.py:4110)."""
 
-    eps_inf: Union[pydantic.PositiveFloat, SpatialDataArray] = pydantic.Field(1.0)  # type: ignore[assignment]
-    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
-                        Union[float, SpatialDataArray],
-                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+    eps_inf: Union[pydantic.PositiveFloat, CustomSpatialDataType] = pydantic.Field(1.0)  # type: ignore[assignment]
+    coeffs: Tuple[Tuple[Union[float, CustomSpatialDataType],
+                        Union[float, CustomSpatialDataType],
+                        Union[float, CustomSpatialDataType]], ...] = pydantic.Field(
         (), title="Coefficients")
 
     @ensure_freq_in_range
@@ -1030,9 +1144,9 @@ class CustomLorentz(_CustomDispersiveBase, Lorentz):
 class CustomDrude(_CustomDispersiveBase, Drude):
     """Drude with spatially varying coefficients (reference: medium.py:4412)."""
 
-    eps_inf: Union[pydantic.PositiveFloat, SpatialDataArray] = pydantic.Field(1.0)  # type: ignore[assignment]
-    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
-                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+    eps_inf: Union[pydantic.PositiveFloat, CustomSpatialDataType] = pydantic.Field(1.0)  # type: ignore[assignment]
+    coeffs: Tuple[Tuple[Union[float, CustomSpatialDataType],
+                        Union[float, CustomSpatialDataType]], ...] = pydantic.Field(
         (), title="Coefficients")
 
     @ensure_freq_in_range
@@ -1052,9 +1166,9 @@ class CustomDrude(_CustomDispersiveBase, Drude):
 class CustomDebye(_CustomDispersiveBase, Debye):
     """Debye with spatially varying coefficients (reference: medium.py:4670)."""
 
-    eps_inf: Union[pydantic.PositiveFloat, SpatialDataArray] = pydantic.Field(1.0)  # type: ignore[assignment]
-    coeffs: Tuple[Tuple[Union[float, SpatialDataArray],
-                        Union[float, SpatialDataArray]], ...] = pydantic.Field(
+    eps_inf: Union[pydantic.PositiveFloat, CustomSpatialDataType] = pydantic.Field(1.0)  # type: ignore[assignment]
+    coeffs: Tuple[Tuple[Union[float, CustomSpatialDataType],
+                        Union[float, CustomSpatialDataType]], ...] = pydantic.Field(
         (), title="Coefficients")
 
     @ensure_freq_in_range

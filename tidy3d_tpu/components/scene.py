@@ -89,13 +89,49 @@ class Scene(Tidy3dBaseModel):
 
     def intersecting_media(self, test_object: Box, structures: Tuple[Structure, ...] = None
                            ) -> List[AbstractMedium]:
-        """Media of structures intersecting a box (plus background)."""
+        """Media of structures intersecting a box (plus background).
+
+        For a planar test object, tangency along the plane normal does not
+        count: the reference intersects actual plane cross-sections
+        (scene.py:244-248 via ``_filter_structures_plane_medium``), so a
+        structure whose face merely touches the plane contributes zero
+        area and is excluded."""
         structures = structures if structures is not None else self.structures
+        size = tuple(test_object.size)
+        plane_ax = size.index(0.0) if size.count(0.0) == 1 else None
         mediums = []
         for structure in structures:
-            if structure.geometry.intersects(test_object):
-                if structure.medium not in mediums:
-                    mediums.append(structure.medium)
+            geometry = structure.geometry
+            if plane_ax is not None:
+                pos = test_object.center[plane_ax]
+                # true cross-section test: tangency yields no polygon,
+                # a coincident face yields one; handles data-less meshes
+                # and composite geometries whose bbox over-covers
+                try:
+                    polys = geometry.intersections_plane(
+                        **{"xyz"[plane_ax]: pos})
+                except NotImplementedError:
+                    b = geometry.bounds
+                    polys = None
+                    if not (b[0][plane_ax] <= pos <= b[1][plane_ax]):
+                        continue
+                if polys is not None:
+                    tc = [c for i, c in enumerate(test_object.center)
+                          if i != plane_ax]
+                    ts = [s for i, s in enumerate(test_object.size)
+                          if i != plane_ax]
+                    lo = [c - s / 2 for c, s in zip(tc, ts)]
+                    hi = [c + s / 2 for c, s in zip(tc, ts)]
+                    if not any(
+                        p.bounds[0] <= hi[0] and p.bounds[2] >= lo[0]
+                        and p.bounds[1] <= hi[1] and p.bounds[3] >= lo[1]
+                        for p in polys
+                    ):
+                        continue
+            if not geometry.intersects(test_object):
+                continue
+            if structure.medium not in mediums:
+                mediums.append(structure.medium)
         if self.medium not in mediums:
             mediums.append(self.medium)
         return mediums

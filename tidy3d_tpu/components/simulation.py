@@ -22,7 +22,7 @@ import pydantic
 from ..constants import C_0, fp_eps, inf
 from ..exceptions import SetupError, ValidationError
 from ..log import log
-from ..version import __version__
+from ..version import SCHEMA_VERSION, __version__
 from .apodization import ApodizationSpec
 from .base import Tidy3dBaseModel, cached_property, skip_if_fields_missing
 from .boundary import (
@@ -156,7 +156,9 @@ class Simulation(Box):
     courant: float = pydantic.Field(
         0.99, gt=0.0, le=1.0, title="Normalized Courant Factor",
     )
-    version: str = pydantic.Field(__version__, title="Version")
+    # files are stamped with the serialization-schema version (the
+    # reference-compatible 2.7.x), not the package version
+    version: str = pydantic.Field(SCHEMA_VERSION, title="Version")
 
     # ------------------------------------------------------------------ #
     # validators
@@ -203,14 +205,16 @@ class Simulation(Box):
         the Updater chain before validation (reference behavior:
         base_sim/simulation.py:107 warns and updates on load)."""
         if isinstance(values, dict):
+            from ..version import SCHEMA_VERSION
+
             version = values.get("version")
             if isinstance(version, str) and version.split(".")[:2] != \
-                    __version__.split(".")[:2]:
+                    SCHEMA_VERSION.split(".")[:2]:
                 from ..updater import Updater
 
                 log.warning(
                     f"Simulation written with schema version {version}; "
-                    f"updating to {__version__}.", log_once=True)
+                    f"updating to {SCHEMA_VERSION}.", log_once=True)
                 values = Updater(sim_dict=values).update_to_current()
         return values
 
@@ -264,10 +268,13 @@ class Simulation(Box):
         """Plane waves require periodic-type transverse boundaries at normal
         incidence and Bloch boundaries at angled incidence."""
         for source in self.sources:
-            if not isinstance(source, (PlaneWave, TFSF)):
+            # reference simulation.py:2309-2346 checks PlaneWave only; an
+            # angled TFSF whose box stays inside the domain is legal with
+            # any transverse boundary (tfsf_boundaries :2391 constrains
+            # only boundary-crossing TFSF boxes)
+            if not isinstance(source, PlaneWave) or isinstance(source, TFSF):
                 continue
-            inj_axis = source._injection_axis if isinstance(source, TFSF) else \
-                tuple(source.size).index(0.0)
+            inj_axis = tuple(source.size).index(0.0)
             for axis in range(3):
                 if axis == inj_axis or self.size[axis] == 0.0:
                     continue
@@ -275,10 +282,27 @@ class Simulation(Box):
                 theta = getattr(source, "angle_theta", 0.0)
                 if theta == 0.0 and isinstance(minus, BlochBoundary):
                     continue
-                if theta != 0.0 and not isinstance(minus, BlochBoundary):
+                if theta != 0.0 and isinstance(minus, (PML, StablePML,
+                                                       Absorber)):
+                    # reference simulation.py:2328-2334: angled + absorbing
+                    # transverse boundary is a hard error
                     raise SetupError(
-                        "Angled plane-wave sources require Bloch boundaries in "
-                        f"the transverse directions (axis {'xyz'[axis]})."
+                        "Angled plane wave sources are not compatible with "
+                        "the absorbing boundary along dimension "
+                        f"{'xyz'[axis]}. Either set the source "
+                        "'angle_theta' to 0, or use Bloch boundaries that "
+                        "match the source angle."
+                    )
+                if theta != 0.0 and isinstance(minus, Periodic):
+                    # reference behavior (_check_bloch_vec): a Periodic
+                    # boundary is a zero Bloch vector — warn, don't error
+                    log.warning(
+                        "Angled plane-wave source with 'Periodic' "
+                        f"transverse boundary along axis {'xyz'[axis]}: "
+                        "the zero Bloch vector does not match the source "
+                        "angle; use 'BlochBoundary.from_source' for a "
+                        "consistent setup.",
+                        log_once=True,
                     )
                 if theta == 0.0 and not isinstance(
                     minus, (Periodic, BlochBoundary, PECBoundary, PMCBoundary)

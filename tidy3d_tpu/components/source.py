@@ -193,6 +193,25 @@ class CustomSourceTime(Pulse):
         description="Dict with 'values' (complex array) and 'times' (s).",
     )
 
+    @pydantic.field_validator("source_time_dataset", mode="before")
+    @classmethod
+    def _from_time_dataset(cls, val):
+        """Accept the reference's TimeDataset layout (source.py:259: a
+        'values' TimeDataArray on a 't' coord); a data-less placeholder
+        (JSON-written file) degrades to None with a warning."""
+        if isinstance(val, dict) and val.get("type") == "TimeDataset":
+            inner = val.get("values")
+            if isinstance(inner, str):  # DataArray placeholder
+                log.warning("Loading 'source_time_dataset' without data.")
+                return None
+            if inner is None:
+                return None
+            values = np.asarray(getattr(inner, "values", inner))
+            coords = getattr(inner, "coords", {})
+            times = np.asarray(coords.get("t", np.arange(len(values))))
+            return {"values": values, "times": times}
+        return val
+
     @classmethod
     def from_values(cls, freq0: float, fwidth: float, values, dt: float, **kwargs):
         times = np.arange(len(np.asarray(values))) * dt
