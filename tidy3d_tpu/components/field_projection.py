@@ -176,19 +176,156 @@ class FieldProjector(Tidy3dBaseModel):
         _, N_t, N_p = to_sph(total["Nx"], total["Ny"], total["Nz"])
         _, L_t, L_p = to_sph(total["Lx"], total["Ly"], total["Lz"])
 
-        # far-zone fields (Balanis radiation integrals mapped to e^{-iwt}):
+        # far-zone fields (Balanis radiation integrals mapped to e^{-iwt};
+        # signs match the reference: propagation factor -ik e^{ikr}/(4 pi r)
+        # times Etheta = -(Lphi + eta Ntheta), Ephi = (Ltheta - eta Nphi)
+        # — reference field_projection.py:514-515, monitor_data.py:2178 —
+        # and independently cross-checked against the analytic dipole by
+        # the exact-projection test):
         if r_proj is None:
             scalar = 1j * k[None, :] / (4 * np.pi)
         else:
             scalar = (1j * k[None, :] * np.exp(1j * k[None, :] * r_proj)
                       / (4 * np.pi * r_proj))
-        e_theta = -scalar * (L_p + eta * N_t)
-        e_phi = scalar * (L_t - eta * N_p)
+        e_theta = scalar * (L_p + eta * N_t)
+        e_phi = -scalar * (L_t - eta * N_p)
         h_theta = -e_phi / eta
         h_phi = e_theta / eta
         zeros = np.zeros_like(e_theta)
         return dict(Er=zeros, Etheta=e_theta, Ephi=e_phi,
                     Hr=zeros, Htheta=h_theta, Hphi=h_phi)
+
+    # ------------------------------------------------------------------ #
+    # exact (non-far-field-approx) projection
+    # ------------------------------------------------------------------ #
+
+    def _project_exact(self, xs, ys, zs, freqs) -> Dict[str, np.ndarray]:
+        """Exact homogeneous-medium dyadic-Green's-function projection —
+        no geometric far-field approximation, valid in the near zone:
+
+            E = iw (A + grad div A / k^2) - curl F / eps
+            H = iw (F + grad div F / k^2) + curl A / mu0
+
+        with vector potentials A = mu0 ∮ J G dS', F = eps ∮ M G dS' and
+        the full G = e^{ikr}/(4 pi r) including the 1/r^2 and 1/r^3
+        derivative terms (reference field_projection.py:831
+        ``_fields_for_surface_exact``, Taflove eqs. 8.24-8.28).
+
+        xs/ys/zs: flattened observation coordinates. Returns spherical
+        components with shape (npts, nf)."""
+        xs = np.asarray(xs, float).ravel()
+        ys = np.asarray(ys, float).ravel()
+        zs = np.asarray(zs, float).ravel()
+        freqs = np.asarray(freqs, float)
+        nf = len(freqs)
+        npts = len(xs)
+        n_med = self.medium_n
+        k = 2 * np.pi * freqs * n_med / C_0
+        i_omega = 1j * 2 * np.pi * freqs
+        epsilon = EPSILON_0 * n_med**2
+
+        tot = {c: np.zeros((npts, nf), dtype=complex)
+               for c in ("Ex", "Ey", "Ez", "Hx", "Hy", "Hz")}
+
+        for field_data, normal_dir in self.surfaces:
+            surf = self._surface_currents(field_data, normal_dir)
+            axis = surf["axis"]
+            b_ax, c_ax = (axis + 1) % 3, (axis + 2) % 3
+            b = surf["coords"][surf["b_dim"]]
+            c = surf["coords"][surf["c_dim"]]
+            w2d = (_trapz_weights(b)[:, None]
+                   * _trapz_weights(c)[None, :]).ravel()
+            bb, cc = np.meshgrid(b, c, indexing="ij")
+            P = np.zeros((bb.size, 3))
+            P[:, axis] = surf["pos"]
+            P[:, b_ax] = bb.ravel()
+            P[:, c_ax] = cc.ravel()
+            J = [0.0, 0.0, 0.0]
+            M = [0.0, 0.0, 0.0]
+            J[b_ax] = surf["j_b"].reshape(-1, nf)
+            J[c_ax] = surf["j_c"].reshape(-1, nf)
+            J[axis] = np.zeros_like(J[b_ax])
+            M[b_ax] = surf["m_b"].reshape(-1, nf)
+            M[c_ax] = surf["m_c"].reshape(-1, nf)
+            M[axis] = np.zeros_like(M[b_ax])
+
+            for pi in range(npts):
+                dx = xs[pi] - P[:, 0]
+                dy = ys[pi] - P[:, 1]
+                dz = zs[pi] - P[:, 2]
+                r = np.sqrt(dx * dx + dy * dy + dz * dz)
+                r = np.where(r == 0.0, 1e-12, r)
+                ct = np.clip(dz / r, -1.0, 1.0)
+                st = np.sqrt(np.maximum(1.0 - ct * ct, 0.0))
+                ph = np.arctan2(dy, dx)
+                sp, cp = np.sin(ph), np.cos(ph)
+                rc = r[:, None]
+                ikr = 1j * k[None, :] * rc
+                G = np.exp(ikr) / (4 * np.pi * rc)
+                dG = G * (ikr - 1.0) / rc
+                d2G = dG * (ikr - 1.0) / rc + G / rc**2
+                stc = st[:, None]
+                ctc = ct[:, None]
+                spc = sp[:, None]
+                cpc = cp[:, None]
+
+                def pot_terms(cur, const):
+                    """(pot, curl_pot, grad_div_pot) Cartesian terms of
+                    one vector potential (reference ``potential_terms``)."""
+                    r_x_c = [stc * spc * cur[2] - ctc * cur[1],
+                             ctc * cur[0] - stc * cpc * cur[2],
+                             stc * cpc * cur[1] - stc * spc * cur[0]]
+                    r_dot = (stc * cpc * cur[0] + stc * spc * cur[1]
+                             + ctc * cur[2])
+                    r_dot_dt = (ctc * cpc * cur[0] + ctc * spc * cur[1]
+                                - stc * cur[2])
+                    r_dot_dp_div_st = -spc * cur[0] + cpc * cur[1]
+                    g_r = d2G * r_dot
+                    g_t = dG * r_dot_dt / rc
+                    g_p = dG * r_dot_dp_div_st / rc
+                    # spherical -> Cartesian at (theta, phi) of each r'
+                    gdp = [
+                        g_r * stc * cpc + g_t * ctc * cpc - g_p * spc,
+                        g_r * stc * spc + g_t * ctc * spc + g_p * cpc,
+                        g_r * ctc - g_t * stc,
+                    ]
+                    pot = [const * v * G for v in cur]
+                    curl_pot = [const * v * dG for v in r_x_c]
+                    grad_div_pot = [const * v for v in gdp]
+                    return pot, curl_pot, grad_div_pot
+
+                A, curl_A, gdiv_A = pot_terms(J, MU_0)
+                F, curl_F, gdiv_F = pot_terms(M, epsilon)
+
+                ksq = (k**2)[None, :]
+                for ci, comp in enumerate("xyz"):
+                    e_int = i_omega[None, :] * (A[ci] + gdiv_A[ci] / ksq) \
+                        - curl_F[ci] / epsilon
+                    h_int = i_omega[None, :] * (F[ci] + gdiv_F[ci] / ksq) \
+                        + curl_A[ci] / MU_0
+                    tot[f"E{comp}"][pi] += np.einsum("s,sf->f", w2d, e_int)
+                    tot[f"H{comp}"][pi] += np.einsum("s,sf->f", w2d, h_int)
+
+        # convert to spherical components at the observation angles
+        r_obs = np.sqrt(xs**2 + ys**2 + zs**2)
+        r_safe = np.where(r_obs == 0.0, 1.0, r_obs)
+        ct = np.clip(zs / r_safe, -1.0, 1.0)
+        st = np.sqrt(np.maximum(1.0 - ct * ct, 0.0))
+        ph = np.arctan2(ys, xs)
+        sp, cp = np.sin(ph), np.cos(ph)
+
+        def to_sph(vx, vy, vz):
+            v_r = (vx * (st * cp)[:, None] + vy * (st * sp)[:, None]
+                   + vz * ct[:, None])
+            v_t = (vx * (ct * cp)[:, None] + vy * (ct * sp)[:, None]
+                   - vz * st[:, None])
+            v_p = -vx * sp[:, None] + vy * cp[:, None]
+            return v_r, v_t, v_p
+
+        e_r, e_t, e_p = to_sph(tot["Ex"], tot["Ey"], tot["Ez"])
+        h_r, h_t, h_p = to_sph(tot["Hx"], tot["Hy"], tot["Hz"])
+        return dict(Er=e_r, Etheta=e_t, Ephi=e_p,
+                    Hr=h_r, Htheta=h_t, Hphi=h_p)
 
     # ------------------------------------------------------------------ #
     # public API per monitor type
@@ -215,9 +352,13 @@ class FieldProjector(Tidy3dBaseModel):
         phi = np.atleast_1d(np.asarray(monitor.phi, dtype=float))
         freqs = self._freqs()
         tt, pp = np.meshgrid(theta, phi, indexing="ij")
-        comps = self._project(monitor, tt.ravel(), pp.ravel(),
-                              monitor.proj_distance if monitor.far_field_approx
-                              else monitor.proj_distance, freqs)
+        if monitor.far_field_approx:
+            comps = self._project(monitor, tt.ravel(), pp.ravel(),
+                                  monitor.proj_distance, freqs)
+        else:
+            xs, ys, zs = sph_2_car(monitor.proj_distance, tt.ravel(),
+                                   pp.ravel())
+            comps = self._project_exact(xs, ys, zs, freqs)
         arrays = {}
         for name, vals in comps.items():
             vals = vals.reshape(len(theta), len(phi), len(freqs))
@@ -243,12 +384,17 @@ class FieldProjector(Tidy3dBaseModel):
         b_ax, c_ax = (a + 1) % 3, (a + 2) % 3
         pts[b_ax], pts[c_ax], pts[a] = pts_local[0], pts_local[1], pts_local[2]
         r = np.sqrt(pts[0]**2 + pts[1]**2 + pts[2]**2)
-        theta = np.arccos(np.clip(pts[a] * 0 + pts[2] / np.where(r == 0, 1, r), -1, 1))
-        phi = np.arctan2(pts[1], pts[0])
-        comps = self._project(monitor, theta, phi, None, freqs)
-        # apply the exact per-point spherical spreading e^{ikr}/r
-        k = 2 * np.pi * freqs * self.medium_n / C_0
-        spread = np.exp(1j * np.outer(r, k)) / r[:, None]
+        if monitor.far_field_approx:
+            theta = np.arccos(
+                np.clip(pts[a] * 0 + pts[2] / np.where(r == 0, 1, r), -1, 1))
+            phi = np.arctan2(pts[1], pts[0])
+            comps = self._project(monitor, theta, phi, None, freqs)
+            # apply the exact per-point spherical spreading e^{ikr}/r
+            k = 2 * np.pi * freqs * self.medium_n / C_0
+            spread = np.exp(1j * np.outer(r, k)) / r[:, None]
+        else:
+            comps = self._project_exact(pts[0], pts[1], pts[2], freqs)
+            spread = 1.0
         arrays = {}
         for name, vals in comps.items():
             vals = (vals * spread).reshape(len(x), len(y), 1, len(freqs))
@@ -267,7 +413,12 @@ class FieldProjector(Tidy3dBaseModel):
         freqs = self._freqs()
         uxx, uyy = np.meshgrid(ux, uy, indexing="ij")
         theta, phi = kspace_2_sph(uxx.ravel(), uyy.ravel(), monitor.proj_axis)
-        comps = self._project(monitor, theta, phi, monitor.proj_distance, freqs)
+        if monitor.far_field_approx:
+            comps = self._project(monitor, theta, phi,
+                                  monitor.proj_distance, freqs)
+        else:
+            xs, ys, zs = sph_2_car(monitor.proj_distance, theta, phi)
+            comps = self._project_exact(xs, ys, zs, freqs)
         arrays = {}
         for name, vals in comps.items():
             vals = vals.reshape(len(ux), len(uy), 1, len(freqs))
