@@ -114,21 +114,161 @@ class ModeSolver(Tidy3dBaseModel):
         coords[c] = pc
         return coords
 
+    @cached_property
+    def _has_full_anisotropy(self) -> bool:
+        media = [self.simulation.medium] + [s.medium
+                                            for s in self.simulation.structures]
+        return any(getattr(m, "is_fully_anisotropic", False) for m in media)
+
+    def _eps_row_subpixel(self, coords, freq: float, row_axis: int):
+        """One row of the 3x3 eps tensor at the given Yee points: the
+        diagonal entry gets SDF polarized subpixel averaging (the same
+        scheme the FDTD lowering applies, solver/lowering.py:475-502 —
+        the reference applies subpixel on the mode plane server-side,
+        SURVEY §2.3 item 7), off-diagonals staircase. Returns a dict
+        col_axis -> complex array of shape (len(xs), len(ys), len(zs))."""
+        from ...components.medium import PECMedium
+        from ...components.subpixel_spec import PolarizedAveraging
+        from ...constants import pec_val
+
+        sim = self.simulation
+        xs, ys, zs = [np.asarray(v, dtype=float) for v in coords]
+        shape = (len(xs), len(ys), len(zs))
+
+        def eps_row_of(medium):
+            """(row entries) of the medium eps tensor at freq."""
+            if isinstance(medium, PECMedium):
+                return {ax: (pec_val + 0j if ax == row_axis else 0j)
+                        for ax in range(3)}
+            if getattr(medium, "is_fully_anisotropic", False):
+                return {ax: medium.eps_comp(row_axis, ax, freq)
+                        for ax in range(3)}
+            diag = medium.eps_diagonal(freq)
+            return {ax: (diag[row_axis] if ax == row_axis else 0j)
+                    for ax in range(3)}
+
+        bg = eps_row_of(sim.medium)
+        row = {ax: np.full(shape, bg[ax], dtype=complex) for ax in range(3)}
+
+        sp_spec = sim.subpixel_spec
+        use_polarized = isinstance(sp_spec.dielectric, PolarizedAveraging)
+        b, c = self.plane_axes
+        plane_bounds = self._plane_grid
+        dl = float(np.mean([np.mean(np.diff(pb)) for pb in plane_bounds]))
+        half = dl / 2.0
+
+        for structure in sim.volumetric_structures:
+            geometry = structure.geometry
+            medium = structure.medium
+            rmin, rmax = geometry.bounds
+            ix = np.nonzero((xs >= rmin[0] - dl) & (xs <= rmax[0] + dl))[0]
+            iy = np.nonzero((ys >= rmin[1] - dl) & (ys <= rmax[1] + dl))[0]
+            iz = np.nonzero((zs >= rmin[2] - dl) & (zs <= rmax[2] + dl))[0]
+            if len(ix) == 0 or len(iy) == 0 or len(iz) == 0:
+                continue
+            sl = np.ix_(ix, iy, iz)
+            s_row = eps_row_of(medium)
+            is_pec = isinstance(medium, PECMedium)
+            smooth = (use_polarized and not is_pec
+                      and not getattr(medium, "is_custom", False)
+                      and not getattr(medium, "is_fully_anisotropic", False)
+                      and getattr(medium, "is_spatially_uniform", True)
+                      and getattr(medium, "is_isotropic", True)
+                      and hasattr(geometry, "sdf"))
+            # coordinate stencils: singleton axes get a +-dl/2 stencil so
+            # the SDF gradient (interface normal) includes the plane
+            # normal direction
+            pts = []
+            slices = []
+            for vals, idx in zip((xs, ys, zs), (ix, iy, iz)):
+                v = vals[idx]
+                if smooth and len(v) == 1:
+                    pts.append(np.array([v[0] - half, v[0], v[0] + half]))
+                    slices.append(slice(1, 2))
+                else:
+                    pts.append(v)
+                    slices.append(slice(None))
+            xg, yg, zg = np.meshgrid(*pts, indexing="ij", sparse=True)
+            if smooth:
+                sdf = np.broadcast_to(
+                    geometry.sdf(xg, yg, zg),
+                    (len(pts[0]), len(pts[1]), len(pts[2])))
+                grads = [np.zeros_like(sdf) for _ in range(3)]
+                for axg in range(3):
+                    if len(pts[axg]) > 1:
+                        grads[axg] = np.gradient(sdf, pts[axg], axis=axg,
+                                                 edge_order=1)
+                gnorm = np.sqrt(sum(g**2 for g in grads)) + 1e-30
+                n_comp = (grads[row_axis] / gnorm)[tuple(slices)]
+                frac = np.clip(0.5 - sdf / dl, 0.0, 1.0)[tuple(slices)]
+                if np.all(frac == 0):
+                    continue
+                eps_old = row[row_axis][sl]
+                s_eps = s_row[row_axis]
+                eps_arith = frac * s_eps + (1 - frac) * eps_old
+                eps_old_safe = np.where(np.abs(eps_old) < 1e-6, 1e-6,
+                                        eps_old)
+                eps_harm = 1.0 / (frac / s_eps + (1 - frac) / eps_old_safe)
+                w_n = n_comp**2
+                row[row_axis][sl] = (1 - w_n) * eps_arith + w_n * eps_harm
+                # off-diagonals of an isotropic structure are zero; blend
+                # any background off-diagonal out by the coverage fraction
+                for ax in range(3):
+                    if ax != row_axis:
+                        row[ax][sl] = (1 - frac) * row[ax][sl]
+            else:
+                mask = geometry.inside(xg, yg, zg)
+                mask = np.broadcast_to(
+                    mask, (len(pts[0]), len(pts[1]), len(pts[2])))
+                mask = mask[tuple(slices)]
+                if not np.any(mask):
+                    continue
+                if getattr(medium, "is_custom", False) and hasattr(
+                        medium, "eps_dataarray_freq"):
+                    comp_arr = medium.eps_dataarray_freq(freq)[row_axis]
+                    vals = comp_arr.interp(
+                        x=xs[ix], y=ys[iy], z=zs[iz],
+                        method="linear" if getattr(medium, "interp_method",
+                                                   "nearest") == "linear"
+                        else "nearest",
+                        kwargs=dict(fill_value=None),
+                    ).values
+                    row[row_axis][sl] = np.where(mask, vals,
+                                                 row[row_axis][sl])
+                    for ax in range(3):
+                        if ax != row_axis:
+                            row[ax][sl] = np.where(mask, 0j, row[ax][sl])
+                else:
+                    for ax in range(3):
+                        row[ax][sl] = np.where(mask, s_row[ax], row[ax][sl])
+        return row
+
     def _solver_eps(self, freq: float):
-        """(eps_xx, eps_yy, eps_zz) in local axes at the local Yee points."""
+        """Local-axes eps at the local Yee points: the full 9-component
+        Yee-averaged tensor when fully anisotropic media are present
+        (reference mode_solver.py:587-653), otherwise the 3 diagonal
+        components — in both cases with SDF polarized subpixel averaging
+        on the diagonals (closing the staircase-order gap; the FDTD core
+        already has real subpixel)."""
         a = self.normal_axis
         b, c = self.plane_axes
-        eps_out = []
-        for local_comp, global_axis in (("Ex", b), ("Ey", c), ("Ez", a)):
-            coords = self._comp_coords(local_comp)
-            eps = self.simulation._eps_on_grid_points(
-                coords[0], coords[1], coords[2], freq, global_axis)
-            # reduce to local 2D (squeeze the normal axis, order (b, c))
-            eps2d = np.squeeze(eps, axis=a)
-            if b > c:
-                eps2d = eps2d.T
-            eps_out.append(eps2d)
-        return tuple(eps_out)
+        l2g = (b, c, a)  # local (x, y, z) -> global axes
+
+        def to_2d(arr):
+            arr2 = np.squeeze(arr, axis=a)
+            return arr2.T if b > c else arr2
+
+        rows = []
+        for local_row, g_row in (("Ex", b), ("Ey", c), ("Ez", a)):
+            coords = self._comp_coords(local_row)
+            rows.append(self._eps_row_subpixel(coords, freq, g_row))
+        if not self._has_full_anisotropy:
+            return tuple(to_2d(rows[i][l2g[i]]) for i in range(3))
+        out = []
+        for i in range(3):
+            for j in range(3):
+                out.append(to_2d(rows[i][l2g[j]]))
+        return tuple(out)
 
     # ------------------------------------------------------------------ #
     # solving

@@ -101,7 +101,19 @@ def compute_modes(
     # explicit copies: the bend transform and PEC clamp below modify these
     # in place, and np.asarray would alias caller arrays that are already
     # complex (a second solve on the same inputs would double-apply them)
-    eps_xx, eps_yy, eps_zz = [np.array(e, dtype=complex) for e in eps_cross]
+    # eps_cross: 3 diagonal arrays, or 9 row-major tensor components
+    # (xx, xy, xz, yx, ...) at the row component's Yee position (reference
+    # mode_solver.py:587-593 eps_keys ordering, rotated to local axes)
+    eps_full = None
+    if len(eps_cross) == 9:
+        full = [np.array(e, dtype=complex) for e in eps_cross]
+        offdiag = [full[i] for i in (1, 2, 3, 5, 6, 7)]
+        if any(np.any(np.abs(o) > 1e-12) for o in offdiag):
+            eps_full = full
+        eps_xx, eps_yy, eps_zz = full[0], full[4], full[8]
+    else:
+        eps_xx, eps_yy, eps_zz = [np.array(e, dtype=complex)
+                                  for e in eps_cross]
     x_b, y_b = [np.asarray(c, dtype=float) for c in coords]
     nx, ny = eps_xx.shape
     if (nx != len(x_b) - 1) or (ny != len(y_b) - 1):
@@ -242,6 +254,25 @@ def compute_modes(
     # solver.py solver_tensorial:594)
     theta = float(getattr(mode_spec, "angle_theta", 0.0) or 0.0)
     phi = float(getattr(mode_spec, "angle_phi", 0.0) or 0.0)
+
+    # full-tensor cross-section (FullyAnisotropicMedium): 4N x 4N
+    # tensorial eigenproblem on the 9-component eps (reference:
+    # solver.py solver_tensorial:594 handles tensorial eps directly)
+    if eps_full is not None:
+        if theta != 0.0 or mode_spec.bend_radius is not None:
+            raise NotImplementedError(
+                "angled propagation / bends combined with fully "
+                "anisotropic cross-sections are not supported")
+        zero = np.zeros(nx * ny)
+        eps_t = [[eps_full[3 * i + j].ravel() for j in range(3)]
+                 for i in range(3)]
+        mu_rows = (mu_xx.ravel(), mu_yy.ravel(), mu_zz.ravel())
+        mu_t = [[mu_rows[i] if i == j else zero for j in range(3)]
+                for i in range(3)]
+        return _compute_modes_tensorial(
+            eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0, 1.0, n_target, n_max,
+            num_modes, (mask_x, mask_y, mask_z), nx, ny, direction)
+
     if theta != 0.0:
         return _compute_modes_angled(
             eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
@@ -321,14 +352,24 @@ def _compute_modes_angled(eps_xx, eps_yy, eps_zz, mu_xx, mu_yy, mu_zz,
     n_eff = beta' cos(theta)/k0 (the index along the tilted direction);
     in-plane field components are physical (the shear leaves tangential
     components unchanged — A^T acts only on the normal component)."""
-    mask_x, mask_y, mask_z = masks
     T = _shear_tensor(theta, phi)
     eps_rows = (eps_xx.ravel(), eps_yy.ravel(), eps_zz.ravel())
     mu_rows = (np.asarray(mu_xx).ravel(), np.asarray(mu_yy).ravel(),
                np.asarray(mu_zz).ravel())
     eps_t = [[T[i, j] * eps_rows[i] for j in range(3)] for i in range(3)]
     mu_t = [[T[i, j] * mu_rows[i] for j in range(3)] for i in range(3)]
-    cos_t = np.cos(theta)
+    return _compute_modes_tensorial(
+        eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0, np.cos(theta), n_target,
+        n_max, num_modes, masks, nx, ny, direction)
+
+
+def _compute_modes_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0, cos_t,
+                             n_target, n_max, num_modes, masks, nx, ny,
+                             direction):
+    """Solve the 4N x 4N first-order tensorial eigenproblem and
+    reconstruct fields; n_eff = beta cos_t / k0 (cos_t = 1 for a straight
+    full-tensor solve, cos(theta) for the sheared angled solve)."""
+    mask_x, mask_y, mask_z = masks
     sigma_beta = n_target * k0 / cos_t
     betas, vecs = _solver_tensorial(eps_t, mu_t, Dxf, Dxb, Dyf, Dyb, k0,
                                     (mask_x, mask_y, mask_z), num_modes,
