@@ -173,7 +173,18 @@ from .components.data.monitor_data import (
 from .components.data.sim_data import SimulationData
 
 # --- EME ------------------------------------------------------------------- #
-from .components.eme.data import EMESimulationData, EMESMatrixDataset
+from .components.eme.data import (
+    EMECoefficientData,
+    EMEFieldData,
+    EMEModeSolverData,
+    EMESimulationData,
+    EMESMatrixDataset,
+)
+from .components.eme.monitor import (
+    EMECoefficientMonitor,
+    EMEFieldMonitor,
+    EMEModeSolverMonitor,
+)
 from .components.eme.grid import (
     EMECompositeGrid,
     EMEExplicitGrid,

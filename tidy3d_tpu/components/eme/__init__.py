@@ -1,4 +1,16 @@
-from .data import EMESimulationData, EMESMatrixDataset
+from .data import (
+    EMECoefficientData,
+    EMEFieldData,
+    EMEModeSolverData,
+    EMESimulationData,
+    EMESMatrixDataset,
+)
+from .monitor import (
+    EMECoefficientMonitor,
+    EMEFieldMonitor,
+    EMEModeSolverMonitor,
+    EMEMonitor,
+)
 from .grid import (
     EMECompositeGrid,
     EMEExplicitGrid,
