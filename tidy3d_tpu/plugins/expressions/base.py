@@ -19,8 +19,16 @@ class NumericType:
     pass
 
 
+# type-tag registry so serialized ASTs reconstruct their node classes
+EXPRESSION_REGISTRY = {}
+
+
 class Expression(Tidy3dBaseModel):
     """Base class of all expression nodes: evaluable, composable, serializable."""
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        EXPRESSION_REGISTRY[cls.__name__] = cls
 
     def evaluate(self, *args, **kwargs) -> Any:
         raise NotImplementedError
@@ -118,3 +126,11 @@ def expression_from_dict(model_dict: Any) -> Any:
         return cls(**kwargs)
 
     return build(model_dict)
+
+
+def expression_from_dict(val):
+    """Reconstruct an Expression node from its serialized dict (by the
+    injected ``type`` tag); pass anything else through."""
+    if isinstance(val, dict) and val.get("type") in EXPRESSION_REGISTRY:
+        return EXPRESSION_REGISTRY[val["type"]].model_validate(val)
+    return val

@@ -14,6 +14,13 @@ class BinaryOperator(Expression):
     left: Any = pydantic.Field(..., title="Left operand")
     right: Any = pydantic.Field(..., title="Right operand")
 
+    @pydantic.field_validator("left", "right", mode="before")
+    @classmethod
+    def _reconstruct(cls, val):
+        from .base import expression_from_dict
+
+        return expression_from_dict(val)
+
     def _operands(self, *args, **kwargs):
         lhs = self.left.evaluate(*args, **kwargs) if isinstance(self.left, Expression) \
             else self.left
@@ -54,6 +61,13 @@ class Power(BinaryOperator):
 
 class UnaryOperator(Expression):
     operand: Any = pydantic.Field(..., title="Operand")
+
+    @pydantic.field_validator("operand", mode="before")
+    @classmethod
+    def _reconstruct(cls, val):
+        from .base import expression_from_dict
+
+        return expression_from_dict(val)
 
     def _operand(self, *args, **kwargs):
         return self.operand.evaluate(*args, **kwargs) \
