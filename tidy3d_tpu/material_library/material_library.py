@@ -475,41 +475,108 @@ def _metal_rakic(eps_inf, wp_ev, f0, gamma0_ev, lorentz_terms, ref):
 
 _RAKIC = "A. D. Rakic et al., Appl. Opt. 37, 5271 (1998) (LD model)"
 
+# Brendel-Bormann variants: the BB model (Gaussian-broadened oscillators,
+# Rakic et al. 1998 Table 1) evaluated via the Faddeeva function over
+# 0.4-12 um and fitted to pole-residue form with this package's own
+# FastDispersionFitter (scripts/fit_bb_metals.py; fit rms on eps: Au
+# 1.5e-4, Ag 3.1e-4, Al 1.0e-2, Cu 0.29, W 1.5 — the Cu/W residual is
+# concentrated in the huge-|eps| IR tail; n/k agree to ~3% everywhere).
+_RAKIC_BB = ("A. D. Rakic et al., Appl. Opt. 37, 5271 (1998) "
+             "(BB model, fitted to pole-residue with tidy3d_tpu "
+             "FastDispersionFitter)")
+
+
+def _pole_residue(eps_inf, poles, ref):
+    from ..components.medium import PoleResidue
+
+    return VariantItem(
+        medium=PoleResidue(eps_inf=eps_inf, poles=tuple(poles)),
+        reference=ref)
+
+
+_BB_FITS = {
+    "Au": dict(eps_inf=1.0359234657379517, poles=[
+        ((-3605520639507588 - 4839166608046143j), (1.8004247009723434e+16 + 5.183417171550635e+16j)),
+        ((-1254131980526373.5 - 4743738333907382j), (-7896517044496155 - 3250655994291638.5j)),
+        ((-1320168472631218 - 3779334493663463.5j), (5903415382678396 - 6777785742720908j)),
+        ((-2908017203398686 - 0j), (-2.308124644203077e+16 + 0j)),
+        ((-11270172020.7635 - 0j), (9.556570549190006e+17 - 0j)),
+        ((-76064593156259.1 - 0j), (-9.562076904336547e+17 - 0j)),
+        ((-94962071387837.17 - 0j), (5959583204672381 - 0j)),
+    ]),
+    "Ag": dict(eps_inf=1.7652545306253502, poles=[
+        ((-707510848300639 - 6777129104597849j), (1541105454041775.8 + 2285498551674141.5j)),
+        ((-4507849755080372 - 0j), (645974704714467.4 + 0j)),
+        ((-247202423090017.97 - 0j), (522523409804317.6 - 0j)),
+        ((-3358018327.453941 - 0j), (1.0335603038424901e+18 - 0j)),
+        ((-74435488700541.78 - 0j), (-1.0329319176719095e+18 - 0j)),
+    ]),
+    "Al": dict(eps_inf=1.0393297430010966, poles=[
+        ((-1273317062128016.8 - 2495769184132171.5j), (1230562070208950.2 + 2.200997874927397e+16j)),
+        ((-301524453881725.4 - 2365932502058620j), (-1730151737043620.2 + 1.0363198914325264e+16j)),
+        ((-471617863992079.3 - 2252476792756775j), (35918151102488.19 - 5464326205806458j)),
+        ((-245108562767164.88 - 95565866503224.62j), (-3.911614930463108e+16 + 5.171387780210279e+17j)),
+        ((-84014562434.98825 - 0j), (1.9165105042292864e+18 - 0j)),
+        ((-70390938955277.14 - 0j), (-1.8769787768974144e+18 - 0j)),
+    ]),
+    "Cu": dict(eps_inf=1.0, poles=[
+        ((-1107505928883126 - 3722921960373473j), (4701387782517149 + 2526211705513491.5j)),
+        ((-1880928787366138.8 - 1521253886919529j), (-2826330540258498.5 - 1.918194439854656e+16j)),
+        ((-74094713304.07933 - 0j), (1.6791738633322732e+18 - 0j)),
+        ((-45399118576688.02 - 0j), (-1.6676958941217052e+18 - 0j)),
+    ]),
+    "W": dict(eps_inf=1.0, poles=[
+        ((-5354077855481980 - 5400992017361780j), (2.091934326444128e+16 + 8.219559915587179e+16j)),
+        ((-1637940174884270.5 - 2838594651921914j), (-5637677489127804 + 1.7665347185160586e+16j)),
+        ((-307496882279801.44 - 1564810996152735.8j), (-2280351379480121.5 + 1289892563040588j)),
+        ((-308177793672825.5 - 1390748601341109.5j), (2314606999326387.5 + 1438296949228743.5j)),
+        ((-1168078702140171.8 - 0j), (2915368650235549.5 + 0j)),
+        ((-370750896397824.6 - 0j), (727283580894332.5 - 0j)),
+        ((-7921779635.4704485 - 0j), (4.5911195062695904e+17 - 0j)),
+        ((-86575780249980.06 - 0j), (-4.5855408302251814e+17 - 0j)),
+    ]),
+}
+
 _add("Au", "RakicLorentzDrude1998",
      RakicLorentzDrude1998=_metal_rakic(
          1.0, 9.03, 0.760, 0.053,
          [(0.024, 0.241, 0.415), (0.010, 0.345, 0.830),
           (0.071, 0.870, 2.969), (0.601, 2.494, 4.304),
           (4.384, 2.214, 13.32)], _RAKIC),
-     JohnsonChristy1972=_metal_rakic(
-         1.0, 9.03, 0.760, 0.053, [(0.024, 0.241, 0.415)],
-         "P. B. Johnson and R. W. Christy, PRB 6, 4370 (1972) "
-         "(Drude-dominant approximation)"))
+     RakicBrendelBormann1998=_pole_residue(ref=_RAKIC_BB, **_BB_FITS["Au"]),
+     Olmon2012Drude=_metal_rakic(
+         1.0, 8.5, 1.0, 0.048, [],
+         "R. L. Olmon et al., PRB 86, 235147 (2012) (evaporated gold, "
+         "Drude parameters; IR-valid)"))
 
 _add("Ag", "RakicLorentzDrude1998",
      RakicLorentzDrude1998=_metal_rakic(
          1.0, 9.01, 0.845, 0.048,
          [(0.065, 3.886, 0.816), (0.124, 0.452, 4.481),
           (0.011, 0.065, 8.185), (0.840, 0.916, 9.083),
-          (5.646, 2.419, 20.29)], _RAKIC))
+          (5.646, 2.419, 20.29)], _RAKIC),
+     RakicBrendelBormann1998=_pole_residue(ref=_RAKIC_BB, **_BB_FITS["Ag"]))
 
 _add("Al", "RakicLorentzDrude1998",
      RakicLorentzDrude1998=_metal_rakic(
          1.0, 14.98, 0.523, 0.047,
          [(0.227, 0.333, 0.162), (0.050, 0.312, 1.544),
-          (0.166, 1.351, 1.808), (0.030, 3.382, 3.473)], _RAKIC))
+          (0.166, 1.351, 1.808), (0.030, 3.382, 3.473)], _RAKIC),
+     RakicBrendelBormann1998=_pole_residue(ref=_RAKIC_BB, **_BB_FITS["Al"]))
 
 _add("Cu", "RakicLorentzDrude1998",
      RakicLorentzDrude1998=_metal_rakic(
          1.0, 10.83, 0.575, 0.030,
          [(0.061, 0.378, 0.291), (0.104, 1.056, 2.957),
-          (0.723, 3.213, 5.300), (0.638, 4.305, 11.18)], _RAKIC))
+          (0.723, 3.213, 5.300), (0.638, 4.305, 11.18)], _RAKIC),
+     RakicBrendelBormann1998=_pole_residue(ref=_RAKIC_BB, **_BB_FITS["Cu"]))
 
 _add("W", "RakicLorentzDrude1998",
      RakicLorentzDrude1998=_metal_rakic(
          1.0, 13.22, 0.206, 0.064,
          [(0.054, 0.530, 1.004), (0.166, 1.281, 1.917),
-          (0.706, 3.332, 3.580), (2.590, 5.836, 7.498)], _RAKIC))
+          (0.706, 3.332, 3.580), (2.590, 5.836, 7.498)], _RAKIC),
+     RakicBrendelBormann1998=_pole_residue(ref=_RAKIC_BB, **_BB_FITS["W"]))
 
 _add("Ti", "RakicLorentzDrude1998",
      RakicLorentzDrude1998=_metal_rakic(
