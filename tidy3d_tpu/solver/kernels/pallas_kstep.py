@@ -232,7 +232,7 @@ class PallasKStepper:
         for ckey in ("coeffs_E", "coeffs_H"):
             for _, (a, b) in runner.consts[ckey].items():
                 n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
-        if n_var > 6:
+        if n_var > 12:
             return False
         # packed z-psi lanes per family must fit one vreg row
         for fam in ("dual", "primal"):
@@ -298,7 +298,7 @@ class PallasKStepper:
         for ckey in ("coeffs_E", "coeffs_H"):
             for _, (a, b) in runner.consts[ckey].items():
                 n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
-        if n_var > 6:
+        if n_var > 12:
             return False
         for fam in ("dual", "primal"):
             w_lo, w_hi = runner.pml_meta[(fam, 2)]
@@ -389,7 +389,8 @@ class PallasKStepper:
                 # against the 128M budget)
                 vmem += 16 * win * 4
                 vmem += n_psi_x * win * esize         # psi_x scratch
-                vmem += n_var * win * 4               # coeff scratch
+                # coeff pieces: double-buffered inputs + assembled window
+                vmem += n_var * win * 4 * 3
                 if n_qch:
                     # measured on v5e (384^3 half-domain Lorentz): the
                     # (16,32) config under-predicted by ~35M and compiled
@@ -621,18 +622,16 @@ class PallasKStepper:
         y_mode = "wrap" if plan.boundaries[1][0] not in ("pec", "pmc") \
             else "edge"
 
-        def pad_xy(arr):
-            xpad = (bx + hwx) if shard is not None else hwx
-            arr = np.pad(np.asarray(arr, f32), ((xpad, xpad), (0, 0), (0, 0)),
-                         mode=x_mode)
-            arr = np.pad(arr, ((0, 0), (hwy, hwy), (0, 0)), mode=y_mode)
-            arr = np.pad(arr, ((0, 0), (0, 0), (0, self.nz_p - nz)))
-            if shard is not None:
-                return _xslice_stack(arr, xpad)
-            return arr
-
+        # spatially-varying update coefficients ride the SAME pipelined
+        # l/m/h piece machinery as the fields, packed on dim1 (one array,
+        # 9 streams regardless of count). The round-2 design DMA'd each
+        # coefficient window manually into scratch per program — measured
+        # on v5e at 384^3 half-domain dielectric: 0.5 Gcell*steps/s (6
+        # manual ~1.6 MB DMAs per program serialize against compute) vs
+        # 22.6 vacuum. Pieces pipeline through Mosaic like everything else.
         self.var_coeffs: List[str] = []
         self.static_coeffs: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+        vc_arrays: List[np.ndarray] = []
         for fam_key, comps in (("coeffs_E", E_COMPS), ("coeffs_H", H_COMPS)):
             host = runner.consts[fam_key]
             for c in comps:
@@ -641,15 +640,24 @@ class PallasKStepper:
                 b_s = float(b_h) if np.ndim(b_h) == 0 else None
                 self.static_coeffs[c] = (a_s, b_s)
                 if a_s is None:
-                    kc[f"cf_a_{c}"] = pad_xy(a_h)
                     self.var_coeffs.append(f"cf_a_{c}")
-                    if shard is not None:
-                        self.sharded_keys.add(f"cf_a_{c}")
+                    vc_arrays.append(np.asarray(a_h, f32))
                 if b_s is None:
-                    kc[f"cf_b_{c}"] = pad_xy(b_h)
                     self.var_coeffs.append(f"cf_b_{c}")
-                    if shard is not None:
-                        self.sharded_keys.add(f"cf_b_{c}")
+                    vc_arrays.append(np.asarray(b_h, f32))
+        self.n_vch = len(self.var_coeffs)
+        if vc_arrays:
+            Cg = np.stack(vc_arrays, axis=1)  # (nx_glob, n_var, ny, nz)
+            if shard is not None:
+                Ce = np.pad(Cg, ((bx, bx), (0, 0), (0, 0), (0, 0)),
+                            mode=x_mode)
+                kc["coef_pk"] = np.stack(
+                    [Ce[sd * shard["nx_loc"]:
+                        sd * shard["nx_loc"] + shard["nx_loc"] + 2 * bx]
+                     for sd in range(ndev)])
+                self.sharded_keys.add("coef_pk")
+            else:
+                kc["coef_pk"] = Cg
 
         # packed ADE pole residue channels, z-restricted to the support
         # slab (see _pole_layout): mask-mode poles ship one 0/1 indicator
@@ -1164,8 +1172,11 @@ class PallasKStepper:
                     memory_space=pltpu.VMEM))
             else:
                 add(f"src_{si}", kc[f"src_{si}"], full)
-        for name in self.var_coeffs:
-            add(name, kc[name], pl.BlockSpec(memory_space=pltpu.ANY))
+        if self.var_coeffs:
+            for xk in "lmh":
+                for yk in "lmh":
+                    add(f"Cpk_{xk}{yk}", kc["coef_pk"],
+                        piece_spec4(xk, yk, C=self.n_vch))
 
         # psi x/y machinery per region: "manual" (single-call fallback,
         # packed layouts + guarded DMAs) or pieces (split mode: true-wrap
@@ -1302,11 +1313,7 @@ class PallasKStepper:
                 shp = (Wx, 4, self.psiy_pack[key[5:]]["w"], self.nz_p)
             scratch_names.append(f"s_{key}")
             scratch_shapes.append(pltpu.VMEM(shp, self.psi_dtype))
-        for name in self.var_coeffs:
-            scratch_names.append(f"s_{name}")
-            scratch_shapes.append(pltpu.VMEM((Wx, Wy, self.nz_p),
-                                             jnp.float32))
-        n_dma = 4 * len(pack_keys) + len(self.var_coeffs)
+        n_dma = 4 * len(pack_keys)
         scratch_names.append("dma_sems")
         scratch_shapes.append(pltpu.SemaphoreType.DMA((max(n_dma, 1),)))
 
@@ -1428,13 +1435,6 @@ class PallasKStepper:
                 def _(dma=dma):
                     dma.start()
             read_waits.append((dma, cond))
-        for name in self.var_coeffs:
-            dma = pltpu.make_async_copy(
-                r[name].at[pl.ds(s, Wx), pl.ds(sy, Wy), :],
-                r[f"s_{name}"], sems.at[dma_idx[0]])
-            dma_idx[0] += 1
-            dma.start()
-            read_waits.append((dma, None))
 
         # ---- field windows (component-packed, dim1 = comp) ---- #
         def ext(c):
@@ -1553,8 +1553,11 @@ class PallasKStepper:
                                     val.dtype)], axis=2)
             sref[:, ci] = val.astype(sref.dtype)
 
-        coeff_vals = {name: r[f"s_{name}"][:][:, :, :nz]
-                      for name in self.var_coeffs}
+        coeff_vals = {}
+        if self.var_coeffs:
+            Cwin = ext4("Cpk")
+            for ch, name in enumerate(self.var_coeffs):
+                coeff_vals[name] = Cwin[:, ch]
 
         def coeff(c, which):
             a_s, b_s = self.static_coeffs[c]
