@@ -631,6 +631,7 @@ class PallasKStepper:
         # 22.6 vacuum. Pieces pipeline through Mosaic like everything else.
         self.var_coeffs: List[str] = []
         self.static_coeffs: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
+        self.var_coeff_mean: Dict[str, float] = {}
         vc_arrays: List[np.ndarray] = []
         for fam_key, comps in (("coeffs_E", E_COMPS), ("coeffs_H", H_COMPS)):
             host = runner.consts[fam_key]
@@ -642,9 +643,11 @@ class PallasKStepper:
                 if a_s is None:
                     self.var_coeffs.append(f"cf_a_{c}")
                     vc_arrays.append(np.asarray(a_h, f32))
+                    self.var_coeff_mean[f"cf_a_{c}"] = float(np.mean(a_h))
                 if b_s is None:
                     self.var_coeffs.append(f"cf_b_{c}")
                     vc_arrays.append(np.asarray(b_h, f32))
+                    self.var_coeff_mean[f"cf_b_{c}"] = float(np.mean(b_h))
         self.n_vch = len(self.var_coeffs)
         if vc_arrays:
             Cg = np.stack(vc_arrays, axis=1)  # (nx_glob, n_var, ny, nz)
@@ -1172,7 +1175,7 @@ class PallasKStepper:
                     memory_space=pltpu.VMEM))
             else:
                 add(f"src_{si}", kc[f"src_{si}"], full)
-        if self.var_coeffs:
+        if self.var_coeffs and "coef" not in _sk:
             for xk in "lmh":
                 for yk in "lmh":
                     add(f"Cpk_{xk}{yk}", kc["coef_pk"],
@@ -1554,7 +1557,7 @@ class PallasKStepper:
             sref[:, ci] = val.astype(sref.dtype)
 
         coeff_vals = {}
-        if self.var_coeffs:
+        if self.var_coeffs and not ({"coef", "coefc"} & _skip):
             Cwin = ext4("Cpk")
             for ch, name in enumerate(self.var_coeffs):
                 coeff_vals[name] = Cwin[:, ch]
@@ -1564,7 +1567,10 @@ class PallasKStepper:
             v = a_s if which == "a" else b_s
             if v is not None:
                 return v
-            return coeff_vals[f"cf_{which}_{c}"]
+            name = f"cf_{which}_{c}"
+            if name not in coeff_vals:  # coef/coefc profiling skips
+                return self.var_coeff_mean[name]
+            return coeff_vals[name]
 
         inv_e = {0: r["inv_e_x"][pl.ds(s, Wx)],
                  1: r["inv_e_y"][:, pl.ds(sy, Wy)],
