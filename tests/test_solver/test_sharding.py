@@ -83,3 +83,92 @@ def test_sharded_matches_single_device(reference_run, decomp):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(8, decomp=(3, 1, 1))
+
+
+class _FakeDev:
+    """Stand-in TPU device for ring-order logic tests."""
+
+    def __init__(self, id, coords=None, slice_index=0, process_index=0):
+        self.id = id
+        self.coords = coords
+        self.slice_index = slice_index
+        self.process_index = process_index
+
+    def __repr__(self):
+        return f"dev{self.id}"
+
+
+def test_ring_device_order_snakes_ici_and_segments_slices():
+    """Multi-host layout (SURVEY §2.2 P4): the gx ring must be
+    ICI-contiguous inside a slice (snake through chip coords) and cross
+    DCN exactly once per slice boundary."""
+    from tidy3d_tpu.solver.distributed import ring_device_order
+
+    # two slices of a 2x2 chip grid each; scrambled input order
+    devs = [
+        _FakeDev(3, coords=(1, 1, 0), slice_index=0),
+        _FakeDev(6, coords=(0, 1, 0), slice_index=1),
+        _FakeDev(0, coords=(0, 0, 0), slice_index=0),
+        _FakeDev(5, coords=(1, 0, 0), slice_index=1),
+        _FakeDev(2, coords=(0, 1, 0), slice_index=0),
+        _FakeDev(7, coords=(1, 1, 0), slice_index=1),
+        _FakeDev(1, coords=(1, 0, 0), slice_index=0),
+        _FakeDev(4, coords=(0, 0, 0), slice_index=1),
+    ]
+    order = ring_device_order(devs)
+    # slices are contiguous segments
+    slices = [d.slice_index for d in order]
+    assert slices == sorted(slices)
+    # within each slice, consecutive devices differ by ONE ICI hop
+    # (manhattan distance 1 in chip coords)
+    for a, b in zip(order, order[1:]):
+        if a.slice_index != b.slice_index:
+            continue  # DCN crossing
+        dist = sum(abs(x - y) for x, y in zip(a.coords, b.coords))
+        assert dist == 1, f"{a} -> {b} not ICI-adjacent"
+    # exactly one DCN crossing in the open chain (ring adds the wrap)
+    crossings = sum(1 for a, b in zip(order, order[1:])
+                    if a.slice_index != b.slice_index)
+    assert crossings == 1
+
+
+def test_ring_device_order_without_coords_groups_by_process():
+    from tidy3d_tpu.solver.distributed import ring_device_order
+
+    devs = [_FakeDev(i, coords=None, process_index=i // 2)
+            for i in (3, 0, 2, 1)]
+    order = ring_device_order(devs)
+    procs = [d.process_index for d in order]
+    assert procs == sorted(procs)
+
+
+def test_make_global_mesh_and_env_plan(monkeypatch):
+    from tidy3d_tpu.solver import distributed
+
+    mesh, decomp = distributed.make_global_mesh()
+    assert decomp[0] == len(mesh.devices.reshape(-1))
+
+    plan_shape = (32, 32, 32)
+    monkeypatch.setenv("TIDY3D_TPU_SHARD", "")
+    assert distributed.sharding_plan_from_env(plan_shape) is None
+    monkeypatch.setenv("TIDY3D_TPU_SHARD", "2,2")
+    sp = distributed.sharding_plan_from_env(plan_shape)
+    assert sp is not None and sp.decomp[:2] == (2, 2)
+    # grid too small for the axis -> refuses, runs unsharded
+    monkeypatch.setenv("TIDY3D_TPU_SHARD", "auto")
+    assert distributed.sharding_plan_from_env((4, 4, 4)) is None
+
+
+def test_web_run_sharded_env_matches_unsharded(monkeypatch):
+    """TIDY3D_TPU_SHARD drives web.run onto the sharded path end-to-end."""
+    from tidy3d_tpu import web
+
+    sim = _build_sim()
+    monkeypatch.delenv("TIDY3D_TPU_SHARD", raising=False)
+    ref = web.run(sim, task_name="unsharded", verbose=False)
+    monkeypatch.setenv("TIDY3D_TPU_SHARD", "4,1,1")
+    got = web.run(sim, task_name="sharded", verbose=False)
+    f_ref = ref["field"].Ez.values
+    f_got = got["field"].Ez.values
+    err = np.max(np.abs(f_got - f_ref)) / (np.max(np.abs(f_ref)) or 1.0)
+    assert err < 1e-5

@@ -77,7 +77,17 @@ def run(
         nx, ny, nz = plan.shape
         log.info(f"[{task_name}] lowered: grid {nx}x{ny}x{nz}, "
                  f"{plan.num_steps} steps, {len(plan.sources)} source terms.")
-    runner = FDTDRunner(plan)
+    # multi-chip / multi-host decomposition via TIDY3D_TPU_SHARD
+    # ("auto" or "dx,dy,dz"); multi-host processes join through
+    # jax.distributed first (solver/distributed.py, SURVEY §2.2 P4)
+    from ..solver.distributed import sharding_plan_from_env
+
+    sharding_plan = sharding_plan_from_env(plan.shape)
+    if sharding_plan is not None and verbose:
+        log.info(f"[{task_name}] sharded run: decomp "
+                 f"{sharding_plan.decomp} over "
+                 f"{int(np.prod(sharding_plan.decomp))} devices.")
+    runner = FDTDRunner(plan, sharding_plan=sharding_plan)
     from ..solver.profiling import maybe_profile
 
     with maybe_profile():
