@@ -1074,6 +1074,14 @@ class Simulation(Box):
     # plotting (minimal)
     # ------------------------------------------------------------------ #
 
+    def plot_3d(self, width=800, height=800, path=None):
+        """Interactive self-contained 3D viewer (reference
+        ``simulation.py:4169`` ``plot_3d`` -> hosted widget; here a
+        zero-dependency inline HTML renderer, see ``viz3d.py``)."""
+        from .viz3d import plot_sim_3d
+
+        return plot_sim_3d(self, width=width, height=height, path=path)
+
     def plot(self, x: float = None, y: float = None, z: float = None,
              ax: Ax = None, **kwargs):
         import matplotlib.pyplot as plt
