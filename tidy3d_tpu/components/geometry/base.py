@@ -297,6 +297,11 @@ class Box(Centered):
         name = kwargs.pop("name", "")
         surfaces = []
         for axis in range(3):
+            if size[axis] >= inf:
+                # surfaces infinitely far away are skipped (reference
+                # geometry/base.py:1894 "ignore surfaces that are
+                # infinitely far away")
+                continue
             for sign, tag in zip((-1, 1), ("-", "+")):
                 s_center = list(center)
                 s_center[axis] += sign * size[axis] / 2
@@ -313,9 +318,10 @@ class Box(Centered):
         exclude_surfaces = kwargs.pop("exclude_surfaces", None) or []
         surfaces = cls.surfaces(size=size, center=center, **kwargs)
         if exclude_surfaces and "name" in kwargs:
-            name = kwargs["name"]
-            excluded = [f"{name}_{es}" for es in exclude_surfaces]
-            surfaces = [s for s in surfaces if s.name not in excluded]
+            # match by trailing "x-"/"y+"/... tag (reference
+            # geometry/base.py:1949 matches surf.name[-2:])
+            surfaces = [s for s in surfaces
+                        if s.name[-2:] not in exclude_surfaces]
         return surfaces
 
     @cached_property
