@@ -131,6 +131,14 @@ from .components.apodization import ApodizationSpec
 
 # --- simulation ------------------------------------------------------------ #
 from .components.simulation import Simulation
+from .components.subpixel_spec import (
+    HeuristicPECStaircasing,
+    PECConformal,
+    PolarizedAveraging,
+    Staircasing,
+    SubpixelSpec,
+    VolumetricAveraging,
+)
 
 # --- data ------------------------------------------------------------------ #
 from .components.data.data_array import (

@@ -984,6 +984,9 @@ class FDTDRunner:
     def _accumulate_monitors(self, step, newE, newH, state, consts):
         """Running-DFT / time-sample monitor accumulation on the fresh fields
         (newE/newH are per-copy lists: one entry, or two for Bloch runs)."""
+        import os as _os
+        if _os.environ.get("TIDY3D_TPU_SKIP_MON"):  # profiling knob
+            return state["mon"]
         cx = self.is_complex
         new_mon = []
         for mi, (mp, acc) in enumerate(zip(self.plan.monitors, state["mon"])):

@@ -228,11 +228,7 @@ class PallasKStepper:
         wf = np.asarray(plan.waveforms)
         if wf.nbytes > WAVEFORM_BYTES_CAP or np.iscomplexobj(wf):
             return False
-        n_var = 0
-        for ckey in ("coeffs_E", "coeffs_H"):
-            for _, (a, b) in runner.consts[ckey].items():
-                n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
-        if n_var > 12:
+        if len(cls._coeff_layout(runner)[0]) > 12:
             return False
         # packed z-psi lanes per family must fit one vreg row
         for fam in ("dual", "primal"):
@@ -294,17 +290,102 @@ class PallasKStepper:
         wf = np.asarray(plan.waveforms)
         if wf.nbytes > WAVEFORM_BYTES_CAP or np.iscomplexobj(wf):
             return False
-        n_var = 0
-        for ckey in ("coeffs_E", "coeffs_H"):
-            for _, (a, b) in runner.consts[ckey].items():
-                n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
-        if n_var > 12:
+        if len(cls._coeff_layout(runner)[0]) > 12:
             return False
         for fam in ("dual", "primal"):
             w_lo, w_hi = runner.pml_meta[(fam, 2)]
             if 2 * (w_lo + w_hi) > 128:
                 return False
         return True
+
+    @staticmethod
+    def _coeff_layout(runner):
+        """Classify spatially-varying ca/cb update coefficients by their
+        variation structure (cached on the runner — full-volume scans).
+
+        Returns ``(full, vecs, consts)``:
+
+        * ``full``  — ``[(name, arr3d)]`` genuinely 3D, need piece streams
+        * ``vecs``  — ``[(name, axis, vec1d)]`` varying along ONE axis
+          (layered stacks / slab structures): shipped as broadcast vectors
+        * ``consts``— ``[(name, scalar)]`` uniform arrays folded to static
+        """
+        cached = getattr(runner, "_kstep_coeff_layout", None)
+        if cached is not None:
+            return cached
+        full, vecs, consts = [], [], []
+        for fam_key, comps in (("coeffs_E", E_COMPS), ("coeffs_H", H_COMPS)):
+            host = runner.consts[fam_key]
+            for c in comps:
+                for which, v in zip("ab", host[c]):
+                    if np.ndim(v) == 0:
+                        continue
+                    name = f"cf_{which}_{c}"
+                    arr = np.asarray(v, np.float32)
+                    v0 = arr.flat[0]
+                    if np.all(arr == v0):
+                        consts.append((name, float(v0)))
+                        continue
+                    ax_found = None
+                    for ax in range(3):
+                        sl = [slice(0, 1)] * 3
+                        sl[ax] = slice(None)
+                        prof = arr[tuple(sl)]
+                        if np.array_equal(
+                                arr, np.broadcast_to(prof, arr.shape)):
+                            ax_found = ax
+                            vecs.append((name, ax, prof.reshape(-1).copy()))
+                            break
+                    if ax_found is None:
+                        full.append((name, arr))
+        runner._kstep_coeff_layout = (full, vecs, consts)
+        return full, vecs, consts
+
+    @staticmethod
+    def _poleB_layout(runner):
+        """Classify the packed ADE pole B channels like _coeff_layout
+        (cached). Returns ``(vec_specs, packed)``: ``vec_specs`` maps a
+        logical channel index to a scalar or ``(axis, vec1d)``; ``packed``
+        is ``[(ch, arr3d)]`` for genuinely 3D channels. Channel indexing
+        matches the metas' ``coff`` offsets; mask-mode poles contribute 3
+        indicator channels, full-mode 6 re/im channels. Inside the
+        z-restricted support slab the mask channel is OFTEN all-ones
+        (single dispersive structure spanning the slab) — it folds to the
+        scalar 1.0 and ships nothing."""
+        cached = getattr(runner, "_kstep_poleB_layout", None)
+        if cached is not None:
+            return cached
+        metas, (z0q, zqn) = PallasKStepper._pole_layout(runner)
+        chans = {}
+        for meta, B_maps in zip(metas, runner.consts["pole_B"]):
+            for ci, (br, bi) in enumerate(B_maps):
+                if meta["mode"] == "mask":
+                    chans[meta["coff"] + ci] = np.logical_or(
+                        br != 0, bi != 0)[:, :, z0q:z0q + zqn].astype(
+                        np.float32)
+                else:
+                    chans[meta["coff"] + ci] = np.asarray(
+                        br, np.float32)[:, :, z0q:z0q + zqn]
+                    chans[meta["coff"] + 3 + ci] = np.asarray(
+                        bi, np.float32)[:, :, z0q:z0q + zqn]
+        vec_specs, packed = {}, []
+        for ch in sorted(chans):
+            arr = chans[ch]
+            v0 = arr.flat[0]
+            if np.all(arr == v0):
+                vec_specs[ch] = float(v0)
+                continue
+            for ax in range(3):
+                sl = [slice(0, 1)] * 3
+                sl[ax] = slice(None)
+                prof = arr[tuple(sl)]
+                if np.array_equal(arr, np.broadcast_to(prof, arr.shape)):
+                    vec_specs[ch] = (ax, prof.reshape(-1).copy())
+                    break
+            else:
+                packed.append((ch, arr))
+        runner._kstep_poleB_layout = (vec_specs, packed)
+        return vec_specs, packed
 
     @staticmethod
     def _pick_config_static(runner, k: int, shard: Optional[dict] = None):
@@ -319,12 +400,10 @@ class PallasKStepper:
         esize = 2 if runner.dtype == jnp.bfloat16 else 4
         pole_metas, (_, q_zn) = PallasKStepper._pole_layout(runner)
         n_qch = 6 * len(pole_metas)
-        n_bch = sum(3 if m["mode"] == "mask" else 6 for m in pole_metas)
+        n_bch = len(PallasKStepper._poleB_layout(runner)[1]) \
+            if pole_metas else 0
         wy = max(runner.pml_meta[("dual", 1)] + runner.pml_meta[("primal", 1)])
-        n_var = 0
-        for ckey in ("coeffs_E", "coeffs_H"):
-            for _, (a, b) in runner.consts[ckey].items():
-                n_var += int(np.ndim(a) > 0) + int(np.ndim(b) > 0)
+        n_var = len(PallasKStepper._coeff_layout(runner)[0])
         n_psi_x = sum(
             1 for fam in ("dual", "primal")
             for w in runner.pml_meta[(fam, 0)] if w) * 2  # 2 comps per fam
@@ -622,32 +701,52 @@ class PallasKStepper:
         y_mode = "wrap" if plan.boundaries[1][0] not in ("pec", "pmc") \
             else "edge"
 
-        # spatially-varying update coefficients ride the SAME pipelined
-        # l/m/h piece machinery as the fields, packed on dim1 (one array,
-        # 9 streams regardless of count). The round-2 design DMA'd each
-        # coefficient window manually into scratch per program — measured
-        # on v5e at 384^3 half-domain dielectric: 0.5 Gcell*steps/s (6
-        # manual ~1.6 MB DMAs per program serialize against compute) vs
-        # 22.6 vacuum. Pieces pipeline through Mosaic like everything else.
+        # spatially-varying update coefficients, by variation structure:
+        # * constant arrays fold back to static scalars;
+        # * single-axis variation (layered stacks, slab structures — the
+        #   common photonics case after subpixel averaging of xy-uniform
+        #   layers) ships as a broadcast VECTOR like the inv_d tables:
+        #   ~zero HBM traffic (measured on v5e 384^3 half-domain
+        #   dielectric: full 3D streams cost 22.9 -> 13.9 Gcell*steps/s;
+        #   z-vectors are free);
+        # * genuinely 3D coefficients ride the SAME pipelined l/m/h piece
+        #   machinery as the fields, packed on dim1 (one array, 9 streams
+        #   regardless of count). The round-2 design DMA'd each window
+        #   manually into scratch per program: 0.5 Gcell*steps/s — manual
+        #   DMAs serialize against compute; pieces pipeline through
+        #   Mosaic like everything else.
         self.var_coeffs: List[str] = []
+        self.vec_coeffs: Dict[str, int] = {}
         self.static_coeffs: Dict[str, Tuple[Optional[float], Optional[float]]] = {}
         self.var_coeff_mean: Dict[str, float] = {}
         vc_arrays: List[np.ndarray] = []
+        full_c, vec_c, const_c = self._coeff_layout(runner)
+        consts_by = {}
         for fam_key, comps in (("coeffs_E", E_COMPS), ("coeffs_H", H_COMPS)):
-            host = runner.consts[fam_key]
             for c in comps:
-                a_h, b_h = host[c]
-                a_s = float(a_h) if np.ndim(a_h) == 0 else None
-                b_s = float(b_h) if np.ndim(b_h) == 0 else None
-                self.static_coeffs[c] = (a_s, b_s)
-                if a_s is None:
-                    self.var_coeffs.append(f"cf_a_{c}")
-                    vc_arrays.append(np.asarray(a_h, f32))
-                    self.var_coeff_mean[f"cf_a_{c}"] = float(np.mean(a_h))
-                if b_s is None:
-                    self.var_coeffs.append(f"cf_b_{c}")
-                    vc_arrays.append(np.asarray(b_h, f32))
-                    self.var_coeff_mean[f"cf_b_{c}"] = float(np.mean(b_h))
+                a_h, b_h = runner.consts[fam_key][c]
+                consts_by[f"cf_a_{c}"] = a_h
+                consts_by[f"cf_b_{c}"] = b_h
+        for name, val in const_c:
+            consts_by[name] = val  # uniform array folded to scalar
+        for c in E_COMPS + H_COMPS:
+            a_v, b_v = consts_by[f"cf_a_{c}"], consts_by[f"cf_b_{c}"]
+            self.static_coeffs[c] = (
+                float(a_v) if np.ndim(a_v) == 0 else None,
+                float(b_v) if np.ndim(b_v) == 0 else None)
+        for name, arr in full_c:
+            self.var_coeffs.append(name)
+            vc_arrays.append(arr)
+            self.var_coeff_mean[name] = float(np.mean(arr))
+        for name, ax, vec in vec_c:
+            self.vec_coeffs[name] = ax
+            self.var_coeff_mean[name] = float(np.mean(vec))
+            if ax == 2:
+                kc[f"cfv_{name}"] = np.asarray(vec, f32).reshape(1, 1, -1)
+            else:
+                kc[f"cfv_{name}"] = ext_vec(vec, ax)
+                if ax == 0 and shard is not None:
+                    self.sharded_keys.add(f"cfv_{name}")
         self.n_vch = len(self.var_coeffs)
         if vc_arrays:
             Cg = np.stack(vc_arrays, axis=1)  # (nx_glob, n_var, ny, nz)
@@ -665,36 +764,43 @@ class PallasKStepper:
         # packed ADE pole residue channels, z-restricted to the support
         # slab (see _pole_layout): mask-mode poles ship one 0/1 indicator
         # channel per comp (+ static complex B0), full-mode poles ship
-        # re/im channel pairs [br_x..z, bi_x..z]. Rides the same l/m/h
-        # piece machinery as the fields (read-only).
+        # re/im channel pairs [br_x..z, bi_x..z]. Channels factor like the
+        # update coefficients: constant -> scalar, single-axis -> broadcast
+        # vector, genuinely 3D -> the same l/m/h piece machinery as the
+        # fields (read-only).
         self.n_qch = 6 * len(self.pole_metas)
-        self.n_bch = sum(3 if m["mode"] == "mask" else 6
-                         for m in self.pole_metas)
+        self.pole_b_vec: Dict[int, object] = {}
+        self.pole_b_pos: Dict[int, int] = {}
+        self.n_bch = 0
         if self.pole_metas:
-            z0q, zqn = self.q_z0, self.q_zn
-            nx_g = self.gshape[0]
-            Bg = np.zeros((nx_g, self.n_bch, ny, zqn), f32)
-            for meta, B_maps in zip(self.pole_metas,
-                                    runner.consts["pole_B"]):
-                for ci, (br, bi) in enumerate(B_maps):
-                    if meta["mode"] == "mask":
-                        Bg[:, meta["coff"] + ci] = np.logical_or(
-                            br != 0, bi != 0)[:, :, z0q:z0q + zqn]
-                    else:
-                        Bg[:, meta["coff"] + ci] = \
-                            np.asarray(br, f32)[:, :, z0q:z0q + zqn]
-                        Bg[:, meta["coff"] + 3 + ci] = \
-                            np.asarray(bi, f32)[:, :, z0q:z0q + zqn]
-            if shard is not None:
-                Be = np.pad(Bg, ((bx, bx), (0, 0), (0, 0), (0, 0)),
-                            mode=x_mode)
-                kc["poleB_pk"] = np.stack(
-                    [Be[sd * shard["nx_loc"]:
-                        sd * shard["nx_loc"] + shard["nx_loc"] + 2 * bx]
-                     for sd in range(ndev)])
-                self.sharded_keys.add("poleB_pk")
-            else:
-                kc["poleB_pk"] = Bg
+            vec_specs, packed = self._poleB_layout(runner)
+            for ch, spec in vec_specs.items():
+                if isinstance(spec, float):
+                    self.pole_b_vec[ch] = spec
+                    continue
+                ax, vec = spec
+                self.pole_b_vec[ch] = ("vec", ax)
+                if ax == 2:
+                    kc[f"pbv_{ch}"] = np.asarray(vec, f32).reshape(1, 1, -1)
+                else:
+                    kc[f"pbv_{ch}"] = ext_vec(vec, ax)
+                    if ax == 0 and shard is not None:
+                        self.sharded_keys.add(f"pbv_{ch}")
+            self.n_bch = len(packed)
+            if packed:
+                Bg = np.stack([arr for _, arr in packed], axis=1)
+                for pos, (ch, _) in enumerate(packed):
+                    self.pole_b_pos[ch] = pos
+                if shard is not None:
+                    Be = np.pad(Bg, ((bx, bx), (0, 0), (0, 0), (0, 0)),
+                                mode=x_mode)
+                    kc["poleB_pk"] = np.stack(
+                        [Be[sd * shard["nx_loc"]:
+                            sd * shard["nx_loc"] + shard["nx_loc"] + 2 * bx]
+                         for sd in range(ndev)])
+                    self.sharded_keys.add("poleB_pk")
+                else:
+                    kc["poleB_pk"] = Bg
 
         # source profiles in window-aligned layouts (built in GLOBAL x
         # coordinates; shard mode slices per shard afterwards)
@@ -1128,8 +1234,14 @@ class PallasKStepper:
                 for yk in "lmh":
                     add(f"Qpk_{xk}{yk}", view["Q"],
                         piece_spec4(xk, yk, C=self.n_qch, depth=self.q_zn))
-                    add(f"Bpk_{xk}{yk}", kc["poleB_pk"],
-                        piece_spec4(xk, yk, C=self.n_bch, depth=self.q_zn))
+                    if self.n_bch:
+                        add(f"Bpk_{xk}{yk}", kc["poleB_pk"],
+                            piece_spec4(xk, yk, C=self.n_bch,
+                                        depth=self.q_zn))
+            for ch, spec in self.pole_b_vec.items():
+                if not isinstance(spec, float):
+                    add(f"pbv_{ch}", kc[f"pbv_{ch}"],
+                        pl.BlockSpec(memory_space=pltpu.VMEM))
 
         # the lane-packed z-psi array rides the same piece machinery
         use_psiz = self.psiz_Ltot and not _skip_psi and "psiz" not in _sk
@@ -1180,6 +1292,9 @@ class PallasKStepper:
                 for yk in "lmh":
                     add(f"Cpk_{xk}{yk}", kc["coef_pk"],
                         piece_spec4(xk, yk, C=self.n_vch))
+        if self.vec_coeffs and "coef" not in _sk:
+            for name in self.vec_coeffs:
+                add(f"cfv_{name}", kc[f"cfv_{name}"], full)
 
         # psi x/y machinery per region: "manual" (single-call fallback,
         # packed layouts + guarded DMAs) or pieces (split mode: true-wrap
@@ -1467,11 +1582,24 @@ class PallasKStepper:
         bch = {}
         if have_q:
             Qwin = ext4("Qpk")
-            Bwin = ext4("Bpk")
             for ch in range(self.n_qch):
                 qs[ch] = Qwin[:, ch]
-            for ch in range(self.n_bch):
-                bch[ch] = Bwin[:, ch]
+            if self.n_bch:
+                Bwin = ext4("Bpk")
+            for ch, pos in self.pole_b_pos.items():
+                bch[ch] = Bwin[:, pos]
+            for ch, spec in self.pole_b_vec.items():
+                if isinstance(spec, float):
+                    bch[ch] = spec
+                    continue
+                ref = r[f"pbv_{ch}"]
+                ax = spec[1]
+                if ax == 0:
+                    bch[ch] = _f32(ref[pl.ds(s, Wx)])
+                elif ax == 1:
+                    bch[ch] = _f32(ref[:, pl.ds(sy, Wy)])
+                else:
+                    bch[ch] = _f32(ref[:])
         use_psiz_body = (self.psiz_Ltot and "psi" not in _skip
                          and "psiz" not in _skip)
         packed_fams = [fam for fam in ("dual", "primal")
@@ -1562,15 +1690,33 @@ class PallasKStepper:
             for ch, name in enumerate(self.var_coeffs):
                 coeff_vals[name] = Cwin[:, ch]
 
+        _skip_coef = bool({"coef", "coefc"} & _skip)
+
         def coeff(c, which):
             a_s, b_s = self.static_coeffs[c]
             v = a_s if which == "a" else b_s
             if v is not None:
                 return v
             name = f"cf_{which}_{c}"
-            if name not in coeff_vals:  # coef/coefc profiling skips
+            if _skip_coef:  # coef/coefc profiling skips
                 return self.var_coeff_mean[name]
+            ax = self.vec_coeffs.get(name)
+            if ax is not None:  # single-axis broadcast vector
+                ref = r[f"cfv_{name}"]
+                if ax == 0:
+                    return _f32(ref[pl.ds(s, Wx)])
+                if ax == 1:
+                    return _f32(ref[:, pl.ds(sy, Wy)])
+                return _f32(ref[:])
             return coeff_vals[name]
+
+        def bcast_slice(v, axis, start, width):
+            """Slice a (possibly broadcast-shaped) coefficient value."""
+            if not jnp.ndim(v) or v.shape[axis] == 1:
+                return v
+            idx = [slice(None)] * 3
+            idx[axis] = slice(start, start + width)
+            return v[tuple(idx)]
 
         inv_e = {0: r["inv_e_x"][pl.ds(s, Wx)],
                  1: r["inv_e_y"][:, pl.ds(sy, Wy)],
@@ -1695,8 +1841,7 @@ class PallasKStepper:
                 psi_new = bv * psiy_state[(side, ci)] + cv * d_slab
                 psiy_state[(side, ci)] = psi_new
                 cb_eff = (sign * sgn) * cb
-                cb_sl = cb_eff[:, r0:r0 + width, :] \
-                    if jnp.ndim(cb_eff) else cb_eff
+                cb_sl = bcast_slice(cb_eff, 1, r0, width)
                 yitems.append((r0, width, cb_sl * psi_new))
             if comp in px_index and "psix" in pack_keys:
                 ci, sgn = px_index[comp]
@@ -1728,8 +1873,7 @@ class PallasKStepper:
                 psi_new = bv * psi_get(f"psiy_{side}", ci) + cv * d_slab
                 psi_put(f"psiy_{side}", ci, psi_new)
                 cb_eff = (sign * sgn) * cb
-                cb_sl = cb_eff[:, r0:r0 + width, :] \
-                    if jnp.ndim(cb_eff) else cb_eff
+                cb_sl = bcast_slice(cb_eff, 1, r0, width)
                 yitems.append((r0, width, cb_sl * psi_new))
             return out
 
@@ -1758,8 +1902,7 @@ class PallasKStepper:
                 comp = m["comp"]
                 z0, width = m["z0"], m["width"]
                 cb_eff = (sign * m["sgn"]) * coeff(comp, "b")
-                cb_sl = cb_eff[:, :, z0:z0 + width] \
-                    if jnp.ndim(cb_eff) else cb_eff
+                cb_sl = bcast_slice(cb_eff, 2, z0, width)
                 zitems.setdefault(comp, []).append(
                     (z0, width, cb_sl * pz[:, :, m["off"]:m["off"] + width]))
             for comp, items in zitems.items():
@@ -1841,8 +1984,7 @@ class PallasKStepper:
                             pt = t if pt is None else pt + t
                     if pt is not None:
                         cbv = coeff(comp, "b")
-                        cb_sl = cbv[:, :, z0q:z0q + zqn] \
-                            if jnp.ndim(cbv) else cbv
+                        cb_sl = bcast_slice(cbv, 2, z0q, zqn)
                         out = seg_merge(
                             out, [(z0q, zqn, -(cb_sl * pt))], 2)
                 yitems = []
