@@ -724,6 +724,44 @@ class ModeSolverData(MonitorData, ModeSolverDataset):
     def normalize(self, source_spectrum_fn) -> "ModeSolverData":
         return self.copy()
 
+    def dot(self, field_data, conjugate: bool = True) -> FreqDataArray:
+        """Modal overlap with another plane dataset; matching extra dims
+        (f, mode_index) broadcast elementwise (reference
+        monitor_data.py:640)."""
+        axis = tuple(self.monitor.size).index(0.0)
+        return _mode_overlaps(self, field_data, axis, conjugate)
+
+    def outer_dot(self, field_data, conjugate: bool = True) -> DataArray:
+        """All-pairs modal overlap matrix with dims
+        (f, mode_index_0, mode_index_1) (reference monitor_data.py:724)."""
+        axis = tuple(self.monitor.size).index(0.0)
+        comps2 = {k: v for k, v in field_data.field_components.items()
+                  if v is not None}
+        some = next(iter(comps2.values()))
+        mon2 = getattr(field_data, "monitor", None)
+        if "mode_index" in some.dims:
+            idx2 = np.asarray(some.coords["mode_index"])
+            subs = [
+                _FieldsView({k: v.isel(mode_index=mi, drop=True)
+                             for k, v in comps2.items()}, mon2)
+                for mi in range(len(idx2))]
+        else:
+            idx2 = np.array([0])
+            subs = [_FieldsView(comps2, mon2)]
+        cols = [_mode_overlaps(self, sub, axis, conjugate) for sub in subs]
+        vals = np.stack([np.asarray(c.values) for c in cols], axis=-1)
+        c0 = cols[0]
+        coords = {("mode_index_0" if d == "mode_index" else d):
+                  np.asarray(c0.coords[d]) for d in c0.dims}
+        dims = tuple("mode_index_0" if d == "mode_index" else d
+                     for d in c0.dims)
+        if "mode_index_0" not in dims:
+            vals = vals[..., None, :]
+            dims = dims + ("mode_index_0",)
+            coords["mode_index_0"] = np.array([0])
+        coords["mode_index_1"] = idx2
+        return DataArray(vals, coords=coords, dims=dims + ("mode_index_1",))
+
     @property
     def _plane_axes(self):
         """(normal_axis, in-plane dims) of the mode plane."""

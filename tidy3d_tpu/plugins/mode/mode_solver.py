@@ -154,7 +154,15 @@ class ModeSolver(Tidy3dBaseModel):
         use_polarized = isinstance(sp_spec.dielectric, PolarizedAveraging)
         b, c = self.plane_axes
         plane_bounds = self._plane_grid
-        dl = float(np.mean([np.mean(np.diff(pb)) for pb in plane_bounds]))
+        # interface smear width: mean in-plane cell size, EXCLUDING
+        # single-cell axes (a collapsed 2D-simulation axis has one fat
+        # cell that resolves no variation — folding it in smears the
+        # subpixel blend across the whole cross-section)
+        dl_axes = [float(np.mean(np.diff(pb))) for pb in plane_bounds
+                   if len(pb) > 2]
+        if not dl_axes:
+            dl_axes = [float(np.mean(np.diff(pb))) for pb in plane_bounds]
+        dl = float(np.mean(dl_axes))
         half = dl / 2.0
 
         for structure in sim.volumetric_structures:
