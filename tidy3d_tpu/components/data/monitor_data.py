@@ -374,6 +374,18 @@ def _integrate_plane(arr: DataArray, b_dim: str, c_dim: str, bounds=None,
     return out
 
 
+class _FieldsView:
+    """Pairs a dict of field components with a monitor, duck-typing the
+    second-operand interface of `_mode_overlaps` (``field_components`` +
+    ``monitor``) for per-mode slices that have no dataset class."""
+
+    __slots__ = ("field_components", "monitor")
+
+    def __init__(self, field_components, monitor=None):
+        self.field_components = field_components
+        self.monitor = monitor
+
+
 def _mode_overlaps(data1, data2, axis: int, conjugate: bool = True):
     """Mode-overlap 'dot' between two field datasets on the same plane."""
     comps1, (b_dim, c_dim) = _colocated_tangential_fields(data1, axis)
