@@ -40,6 +40,18 @@ def _build(case, monitors=()):
             geometry=td.Box(center=(0, 0, 0.4), size=(1.6, 1.6, 0.8)),
             medium=td.Lorentz(eps_inf=2.0,
                               coeffs=[(8.0, FREQ0 * 1.8, FREQ0 / 10)]))]
+    if case == "metal7":
+        # 7-pole library metal (Au Rakic/Brendel-Bormann fit) half-domain:
+        # the round-3 kernel rejected >4 pole slots; all poles must now
+        # ride the packed Q channels sharing 3 indicator mask channels
+        # (reference contract: material_library gold variants,
+        # /root/reference/tidy3d/material_library/material_library.py)
+        from tidy3d_tpu.material_library import material_library
+        gold = material_library["Au"]["RakicBrendelBormann1998"]
+        assert len(gold.poles) >= 5, "library Au fit lost its poles"
+        structures = [td.Structure(
+            geometry=td.Box(center=(0, 0, 0.4), size=(1.6, 1.6, 0.8)),
+            medium=gold)]
     if case == "periodic":
         bspec = td.BoundarySpec(
             x=td.Boundary.periodic(),
@@ -120,6 +132,42 @@ def test_kstep_k4_matches_xla(case):
         assert err < TOL, f"{c}: rel err {err:.2e}"
 
 
+@pytest.mark.parametrize("k", ["2", "4"])
+def test_kstep_metal7_matches_xla(k):
+    """7-pole library Au rides the k-step kernel (round-3 gap: the kernel
+    hard-capped at 4 pole slots so every library metal fell to the slow
+    paths) and matches the XLA reference path."""
+    sim = _build("metal7")
+    ref = _run_fields(sim, "xla")
+    got = _run_fields(sim, "kstep_interpret", k=k)
+    scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
+    for c in ref:
+        assert np.all(np.isfinite(got[c])), f"{c} has non-finite values"
+        err = np.max(np.abs(ref[c] - got[c])) / scale
+        assert err < TOL, f"{c}: rel err {err:.2e}"
+
+
+def test_kstep_metal7_mask_channels_shared():
+    """All 7 poles of one gold structure share the same indicator masks:
+    the packed B table carries at most 3 channels (one per E comp), not
+    one per (pole, comp)."""
+    from tidy3d_tpu.solver.fdtd import FDTDRunner
+    from tidy3d_tpu.solver.kernels.pallas_kstep import PallasKStepper
+    from tidy3d_tpu.solver.lowering import lower
+
+    os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"
+    try:
+        plan = lower(_build("metal7"))
+        assert len(plan.pole_masks) <= 3
+        runner = FDTDRunner(plan)
+        assert runner.kstep is not None
+        assert len(runner.kstep.pole_metas) == 7
+        vec_specs, packed = PallasKStepper._poleB_layout(runner)
+        assert len(vec_specs) + len(packed) <= 3
+    finally:
+        os.environ.pop("TIDY3D_TPU_KERNEL", None)
+
+
 def test_kstep_dispersive_full_residue_maps():
     """Per-cell (non-two-valued) residue maps take the 'full' B packing:
     6 re/im channels per pole instead of 3 indicator channels. The
@@ -134,11 +182,13 @@ def test_kstep_dispersive_full_residue_maps():
 
     sim = _build("dispersive")
     plan = lower(sim)
-    # grade each residue map along x inside its support
+    # grade each residue map along x inside its support (materialize the
+    # compressed mask+scalar poles to dense maps, then ramp them)
     nx = plan.shape[0]
     ramp = (1.0 + 0.5 * np.arange(nx) / nx).reshape(-1, 1, 1)
     for pp in plan.poles:
-        pp.c_maps = tuple(m * ramp for m in pp.c_maps)
+        dense = pp.dense_c_maps(plan.pole_masks, plan.shape)
+        pp.c_maps = tuple(m * ramp for m in dense)
 
     def run(kernel, k="2"):
         os.environ["TIDY3D_TPU_KERNEL"] = kernel
@@ -286,3 +336,27 @@ def test_kstep_pad_alignment_odd_grid():
         assert pmax < 1e-6 * scale, f"{c}: pad contamination {pmax:.2e}"
         err = np.max(np.abs(ref[c] - g[:nx, :ny, :nz])) / scale
         assert err < TOL, f"{c}: rel err {err:.2e}"
+
+
+def test_memory_budget_gate(monkeypatch):
+    """An over-budget plan raises a clean SetupError naming the limit
+    BEFORE dispatch (round-3 gap: Au 256^3 surfaced as a raw XLA OOM
+    traceback from inside run(); reference gates scale client-side,
+    simulation.py:3341 validate_pre_upload)."""
+    from tidy3d_tpu.exceptions import SetupError
+    from tidy3d_tpu.solver.fdtd import FDTDRunner
+    from tidy3d_tpu.solver.lowering import lower
+
+    runner = FDTDRunner(lower(_build("dispersive")))
+    est = runner.estimate_device_memory()
+    assert est["total"] > 0
+    # generous budget passes
+    monkeypatch.setenv("TIDY3D_TPU_HBM_BYTES", str(est["total"] * 10))
+    runner.check_memory_budget()
+    # starved budget raises with the limit in the message
+    monkeypatch.setenv("TIDY3D_TPU_HBM_BYTES", str(est["total"] // 2))
+    with pytest.raises(SetupError, match="device limit"):
+        runner.check_memory_budget()
+    # explicit opt-out
+    monkeypatch.setenv("TIDY3D_TPU_MEM_CHECK", "0")
+    runner.check_memory_budget()

@@ -141,18 +141,16 @@ class GaussianPulse(Pulse):
     def amp_time(self, time):
         time = np.asarray(time)
         omega0 = 2 * np.pi * self.freq0
-        time_shifted = time - self.offset * self.twidth
+        t_rel = time - self.offset * self.twidth
 
-        offset = np.exp(1j * self.phase)
-        oscillation = np.exp(-1j * omega0 * time)
-        amp = np.exp(-(time_shifted**2) / 2 / self.twidth**2) * self.amplitude
+        phasor = self.amplitude * np.exp(1j * self.phase)
+        carrier = np.exp(-1j * omega0 * time)
+        envelope = np.exp(-(t_rel**2) / 2 / self.twidth**2)
 
-        pulse_amp = offset * oscillation * amp
+        amp = phasor * carrier * envelope
         if self.remove_dc_component:
-            pulse_amp = pulse_amp * (1j + time_shifted / self.twidth**2 / omega0)
-        else:
-            pulse_amp = pulse_amp * 1j
-        return pulse_amp
+            return amp * (1j + t_rel / self.twidth**2 / omega0)
+        return amp * 1j
 
     def end_time(self) -> Optional[float]:
         return self.offset * self.twidth + END_TIME_FACTOR_GAUSSIAN * self.twidth
@@ -173,11 +171,11 @@ class ContinuousWave(Pulse):
         time = np.asarray(time)
         twidth = self.twidth
         omega0 = 2 * np.pi * self.freq0
-        time_shifted = time - self.offset * twidth
-        offset = np.exp(1j * self.phase)
-        oscillation = np.exp(-1j * omega0 * time)
-        amp = 1 / (1 + np.exp(-time_shifted / twidth)) * self.amplitude
-        return offset * oscillation * amp
+        t_rel = time - self.offset * twidth
+        phasor = self.amplitude * np.exp(1j * self.phase)
+        carrier = np.exp(-1j * omega0 * time)
+        ramp = 1 / (1 + np.exp(-t_rel / twidth))
+        return phasor * carrier * ramp
 
     def end_time(self) -> Optional[float]:
         return None

@@ -633,4 +633,137 @@ _add("TaN", "Const", Const=_metal_from_nk(2.4, 1.7, 1.934e14,
                                           ref="typical TaN @ 1.55 um"))
 
 
+# --------------------------------------------------------------------------- #
+# frequency-validity metadata (reference parity: every library variant in
+# /root/reference/tidy3d/material_library/material_library.py carries a
+# ``frequency_range`` on its medium; Simulation warns when sources drive a
+# medium outside it). Ranges below are the wavelength validity windows of the
+# cited fits/measurements, in um; constant-index entries get a band around
+# their anchor wavelength.
+# --------------------------------------------------------------------------- #
+
+_VALID_UM: Dict[str, Dict[str, tuple]] = {
+    "SiO2": {"Malitson1965": (0.21, 3.71), "Palik_Lossless": (0.21, 3.71)},
+    "cSi": {"Li1993_293K": (1.2, 14.0), "SalzbergVilla1957": (1.36, 11.0),
+            "Green2008": (0.5, 1.2)},
+    "aSi": {"Pierce1972": (0.6, 2.5)},
+    "Si3N4": {"Luke2015": (0.31, 5.5), "Luke2015Sellmeier": (0.31, 5.5),
+              "Philipp1973": (0.207, 1.24),
+              "Philipp1973Sellmeier": (0.207, 1.24)},
+    "SiN": {"Luke2015": (0.31, 5.5)},
+    "Ge": {"Icenogle1976": (2.5, 12.0), "Barnes1979": (2.0, 14.0)},
+    "GaAs": {"Skauli2003": (0.97, 17.0)},
+    "InP": {"Pettit1965": (0.95, 10.0)},
+    "GaN": {"Barker1973": (0.35, 10.0)},
+    "AlN": {"Pastrnak1966": (0.22, 5.0)},
+    "Al2O3": {"Malitson1972": (0.2, 5.5),
+              "Malitson1972_extraordinary": (0.2, 5.5)},
+    "Sapphire": {"Malitson1972": (0.2, 5.5),
+                 "Malitson1972_extraordinary": (0.2, 5.5)},
+    "TiO2": {"Devore1951": (0.43, 1.53)},
+    "MgF2": {"Dodge1984": (0.2, 7.0), "Dodge1984_extraordinary": (0.2, 7.0)},
+    "CaF2": {"Malitson1963": (0.23, 9.7)},
+    "BK7": {"SCHOTT": (0.3, 2.5)},
+    "SF10": {"SCHOTT": (0.38, 2.5)},
+    "SF11": {"SCHOTT": (0.37, 2.5)},
+    "FusedSilica": {"Malitson1965": (0.21, 3.71),
+                    "ZemaxSellmeier": (0.21, 3.71)},
+    "PMMA": {"Sultanova2009": (0.437, 1.052)},
+    "Polycarbonate": {"Sultanova2009": (0.437, 1.052)},
+    "Polystyrene": {"Sultanova2009": (0.437, 1.052)},
+    "Cellulose": {"Sultanova2009": (0.437, 1.052)},
+    "PEI": {"Sultanova2009": (0.437, 1.052)},
+    "PEN": {"Sultanova2009": (0.437, 1.052)},
+    "PTFE": {"Yang2017": (0.4, 2.0)},
+    "PVC": {"Zhang2020": (0.4, 2.0)},
+    "SU8": {"Const": (1.2, 2.0)},
+    "BCB": {"Const": (1.2, 2.0)},
+    "ITO": {"Konig2014": (0.4, 3.0)},
+    "H2O": {"Hale1973": (0.2, 2.0), "Daimon2007": (0.18, 1.13)},
+    "D2O": {"Hale1973": (0.2, 2.0)},
+    "YAG": {"Zelmon1998": (0.4, 5.0)},
+    "ZnO": {"Bond1965": (0.45, 4.0)},
+    "ZnS": {"Debenham1984": (0.405, 13.0)},
+    "ZnSe": {"Connolly1979": (0.54, 18.2)},
+    "LiNbO3": {"Zelmon1997": (0.4, 5.0), "Zelmon1997_extraordinary": (0.4, 5.0)},
+    "GaP": {"Bond1965": (0.44, 3.4)},
+    "SiC": {"Shaffer1971": (0.47, 0.69)},
+    "InGaAs": {"Const": (1.3, 1.8)},
+    "MoS2": {"Const": (1.3, 1.8)},
+    "Graphene_substrate": {"Const": (0.4, 2.0)},
+    "CrystalQuartz": {"Ghosh1999_ordinary": (0.198, 2.05),
+                      "Ghosh1999_extraordinary": (0.198, 2.05)},
+    "Diamond": {"Peter1923": (0.22, 2.5)},
+    "GeO2": {"Fleming1984": (0.36, 4.3)},
+    "BaF2": {"Li1980": (0.27, 10.3)},
+    "Y2O3": {"Nigara1968": (0.25, 9.6)},
+    "AlAs": {"FernOnton1971": (0.56, 2.2)},
+    "ZnTe": {"Marple1964": (0.58, 2.5)},
+    "CdTe": {"DeBell1979": (1.0, 22.0)},
+    "MgO": {"StephensMalitson1952": (0.36, 5.4)},
+    "HfO2": {"Lorentz": (0.4, 2.0)},
+    "Ta2O5": {"Lorentz": (0.4, 2.0)},
+    "ZrO2": {"Lorentz": (0.4, 2.0)},
+    "SiON": {"Const": (1.2, 2.0)},
+    "SiO": {"Const": (0.4, 2.0)},
+    "InAs": {"Const": (3.7, 12.0)},
+    "GaSb": {"Const": (2.0, 12.0)},
+    "InSb": {"Const": (8.0, 12.0)},
+    "AlGaN": {"Const": (0.4, 0.8)},
+    "AlGaAs": {"Const": (1.2, 2.0)},
+    "MoSe2": {"Const": (1.3, 1.8)},
+    "WS2": {"Const": (1.3, 1.8)},
+    "WSe2": {"Const": (1.3, 1.8)},
+    "PET": {"Const": (0.4, 0.8)},
+    "PDMS": {"Const": (1.2, 2.0)},
+    "Parylene": {"Const": (0.4, 0.8)},
+    "AminoAcid": {"Const": (0.4, 0.8)},
+    "AZO": {"Drude": (1.0, 3.0)},
+    "Au": {"RakicLorentzDrude1998": (0.25, 12.4),
+           "RakicBrendelBormann1998": (0.4, 12.0),
+           "Olmon2012Drude": (2.0, 25.0)},
+    "Ag": {"RakicLorentzDrude1998": (0.25, 12.4),
+           "RakicBrendelBormann1998": (0.4, 12.0)},
+    "Al": {"RakicLorentzDrude1998": (0.25, 12.4),
+           "RakicBrendelBormann1998": (0.4, 12.0)},
+    "Cu": {"RakicLorentzDrude1998": (0.25, 12.4),
+           "RakicBrendelBormann1998": (0.4, 12.0)},
+    "W": {"RakicLorentzDrude1998": (0.25, 12.4),
+          "RakicBrendelBormann1998": (0.4, 12.0)},
+    "Ti": {"RakicLorentzDrude1998": (0.25, 12.4)},
+    "Ni": {"RakicLorentzDrude1998": (0.25, 12.4)},
+    "Cr": {"RakicLorentzDrude1998": (0.25, 12.4)},
+    "Pt": {"RakicLorentzDrude1998": (0.25, 12.4)},
+    "Pd": {"RakicLorentzDrude1998": (0.25, 12.4)},
+    "Be": {"RakicLorentzDrude1998": (0.25, 12.4)},
+    "TiN": {"Const": (1.3, 1.8)},
+    "TaN": {"Const": (1.3, 1.8)},
+}
+
+
+def _apply_valid_ranges():
+    """Stamp frequency_range onto every variant's medium.
+
+    Alias variants share one medium object; the id-keyed cache preserves that
+    sharing so alias entries stay identity-equal (the distinct-variant tally
+    excludes them by id)."""
+    stamped: Dict[int, object] = {}
+    for mname, mat in _M.items():
+        for vname, var in mat.variants.items():
+            lam = _VALID_UM.get(mname, {}).get(vname)
+            if lam is None:
+                raise RuntimeError(
+                    f"material_library: {mname}/{vname} missing a validity "
+                    "range in _VALID_UM")
+            key = id(var.medium)
+            if key not in stamped:
+                frange = (C_0 / lam[1], C_0 / lam[0])
+                stamped[key] = var.medium.updated_copy(frequency_range=frange)
+            mat.variants[vname] = VariantItem(
+                medium=stamped[key], reference=var.reference,
+                data_url=var.data_url)
+
+
+_apply_valid_ranges()
+
 material_library: Dict[str, MaterialItem] = _M

@@ -299,6 +299,12 @@ class FDTDRunner:
     def _build_constants(self):
         plan = self.plan
         f32 = np.float32
+        # invalidate kernel layout caches: consts/pole data change when
+        # the plan is re-padded between builds
+        for attr in ("_kstep_coeff_layout", "_kstep_poleB_layout",
+                     "_kstep_psiy_geom"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
         def compact(arr: np.ndarray):
             arr = np.asarray(arr, f32)
@@ -408,20 +414,41 @@ class FDTDRunner:
             if masks:
                 consts["wall_masks"][comp] = masks
 
-        # dispersive poles (complex scalars static; residue maps as re/im)
+        # dispersive poles, compressed: static scalars live on the runner
+        # (self.pole_B_meta); the only device arrays are the shared f32
+        # indicator masks (one per distinct structure support, NOT per
+        # pole) plus dense re/im maps for spatially varying residues.
+        # The round-3 dense layout shipped 6 full-grid maps per pole:
+        # 5.4 GB of jit arguments at 256^3 x 7-pole Au (HBM OOM).
         dt = plan.dt
         self.pole_scalars = []
-        consts["pole_B"] = []
-        for pole in plan.poles:
+        self.pole_B_meta = []
+        consts["pole_masks"] = [np.asarray(m, f32) for m in plan.pole_masks]
+        consts["pole_B_dense"] = {}
+        for pi, pole in enumerate(plan.poles):
             a = pole.a
             A = (1.0 + a * dt / 2.0) / (1.0 - a * dt / 2.0)
             Gc = a * (A + 1.0)
             self.pole_scalars.append((complex(A), complex(Gc)))
-            consts["pole_B"].append([
-                (np.asarray(np.real(Bm), f32), np.asarray(np.imag(Bm), f32))
-                for Bm in (EPSILON_0 * cm * (dt / 2.0) / (1.0 - a * dt / 2.0)
-                           for cm in pole.c_maps)
-            ])
+            metas = []
+            for ci in range(3):
+                if pole.c_maps is not None:
+                    Bm = EPSILON_0 * pole.c_maps[ci] * (dt / 2.0) \
+                        / (1.0 - a * dt / 2.0)
+                    consts["pole_B_dense"][f"{pi}_{ci}"] = (
+                        np.asarray(np.real(Bm), f32),
+                        np.asarray(np.imag(Bm), f32))
+                    metas.append(dict(kind="dense"))
+                    continue
+                mid = pole.mask_ids[ci]
+                c = pole.c_vals[ci]
+                if mid < 0 or c == 0:
+                    metas.append(dict(kind="zero"))
+                    continue
+                B0 = EPSILON_0 * c * (dt / 2.0) / (1.0 - a * dt / 2.0)
+                metas.append(dict(kind="mask", mask_id=mid,
+                                  B0=(float(B0.real), float(B0.imag))))
+            self.pole_B_meta.append(metas)
 
         # nonlinear response coefficients: the fixed-point iteration solves
         # E' = E_lin - B (E'^3 - E^3) - K ((E+E')/2)^3 with
@@ -480,6 +507,89 @@ class FDTDRunner:
             consts["mod"] = mod_list
 
         self.consts = consts
+
+    # ------------------------------------------------------------------ #
+    # pre-flight device-memory feasibility (reference gates scale
+    # client-side via validate_pre_upload, simulation.py:3341; here the
+    # solver owns execution so it must refuse over-budget plans with a
+    # clean SetupError instead of a raw XLA OOM mid-run)
+    # ------------------------------------------------------------------ #
+
+    def estimate_device_memory(self) -> dict:
+        """Rough per-device HBM budget of this run in bytes.
+
+        ``consts``: resident coefficient/mask/DFT tables. ``state``: the
+        solver state (fields, psi, pole currents, monitor accumulators,
+        incl. the k-step ping-pong buffer set). ``margin``: XLA
+        temporaries — the step program holds a few field-sized
+        intermediates live on the XLA path (the Pallas paths are
+        VMEM-blocked, but the same margin is kept as headroom)."""
+        import jax
+
+        def tree_bytes(tree) -> int:
+            tot = 0
+            for leaf in jax.tree_util.tree_leaves(tree):
+                if hasattr(leaf, "nbytes"):
+                    tot += int(leaf.nbytes)
+                elif hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+                    tot += int(np.prod(leaf.shape)
+                               * np.dtype(leaf.dtype).itemsize)
+            return tot
+
+        consts_b = tree_bytes(self.consts)
+        try:
+            state_b = tree_bytes(jax.eval_shape(self.init_state))
+        except Exception:  # sharding-constrained init outside a mesh ctx
+            state_b = 14 * int(np.prod(self.shape)) * 4
+        n_shards = 1
+        if self.sharding is not None:
+            n_shards = max(int(np.prod(self.sharding.decomp)), 1)
+        state_b = state_b // n_shards
+        consts_b = consts_b // n_shards if n_shards > 1 else consts_b
+        margin = state_b // 2 + (256 << 20)
+        return dict(consts=consts_b, state=state_b, margin=margin,
+                    total=consts_b + state_b + margin)
+
+    def check_memory_budget(self):
+        """Raise SetupError before dispatch when the run cannot fit the
+        device HBM. Limit resolution: TIDY3D_TPU_HBM_BYTES env override >
+        device memory_stats bytes_limit > skip (non-TPU platforms run
+        from host RAM). TIDY3D_TPU_MEM_CHECK=0 disables."""
+        import os as _os
+
+        import jax
+
+        from ..exceptions import SetupError
+
+        if _os.environ.get("TIDY3D_TPU_MEM_CHECK", "1") == "0":
+            return
+        env_limit = _os.environ.get("TIDY3D_TPU_HBM_BYTES")
+        limit = None
+        if env_limit:
+            limit = int(float(env_limit))
+        else:
+            try:
+                dev = jax.devices()[0]
+                if dev.platform != "tpu":
+                    return
+                stats = dev.memory_stats() or {}
+                limit = int(stats.get("bytes_limit", 0)) or None
+            except Exception:
+                limit = None
+            if limit is None:
+                limit = 16 << 30
+        est = self.estimate_device_memory()
+        if est["total"] > limit:
+            gib = 1 << 30
+            raise SetupError(
+                f"Simulation needs an estimated {est['total'] / gib:.2f} "
+                f"GiB of device memory (constants "
+                f"{est['consts'] / gib:.2f} + state {est['state'] / gib:.2f}"
+                f" + working margin {est['margin'] / gib:.2f}) but the "
+                f"device limit is {limit / gib:.2f} GiB. Reduce the grid/"
+                "monitor footprint, switch field storage to bfloat16 "
+                "(TIDY3D_TPU_PRECISION=bfloat16), or shard the run over "
+                "more chips (TIDY3D_TPU_SHARD=auto).")
 
     def _nyquist_fmax(self, mp_freqs) -> float:
         """Highest frequency with meaningful energy at a DFT monitor.
@@ -967,17 +1077,43 @@ class FDTDRunner:
         return out
 
     def _update_poles(self, nE, view, consts):
-        """Semi-implicit pole-residue auxiliary-current state update."""
+        """Semi-implicit pole-residue auxiliary-current state update.
+
+        Uniform-support poles couple through a shared f32 indicator mask
+        times a static complex B0; the masked E sums are memoized per
+        (mask, comp) so the 7 poles of a library metal share 3 mask
+        multiplies instead of reading 42 dense residue maps."""
         nQ = []
-        for (A, Gc), B_maps, Qp in zip(self.pole_scalars, consts["pole_B"],
-                                       view["Q"]):
+        cache = {}
+        for pi, ((A, Gc), metas, Qp) in enumerate(zip(
+                self.pole_scalars, self.pole_B_meta, view["Q"])):
             newQp = {}
             for ci, comp in enumerate(E_COMPS):
-                esum = nE[comp] + self._int(view["E"][comp])
                 qr, qi = Qp[comp]
-                br, bi = B_maps[ci]
-                newQp[comp] = (A.real * qr - A.imag * qi + br * esum,
-                               A.imag * qr + A.real * qi + bi * esum)
+                nqr = A.real * qr - A.imag * qi
+                nqi = A.imag * qr + A.real * qi
+                m = metas[ci]
+                if m["kind"] != "zero":
+                    ekey = ("e", ci)
+                    if ekey not in cache:
+                        cache[ekey] = nE[comp] + self._int(view["E"][comp])
+                    esum = cache[ekey]
+                    if m["kind"] == "mask":
+                        mkey = (m["mask_id"], ci)
+                        if mkey not in cache:
+                            cache[mkey] = \
+                                consts["pole_masks"][m["mask_id"]] * esum
+                        mes = cache[mkey]
+                        B0r, B0i = m["B0"]
+                        if B0r:
+                            nqr = nqr + B0r * mes
+                        if B0i:
+                            nqi = nqi + B0i * mes
+                    else:
+                        br, bi = consts["pole_B_dense"][f"{pi}_{ci}"]
+                        nqr = nqr + br * esum
+                        nqi = nqi + bi * esum
+                newQp[comp] = (nqr, nqi)
             nQ.append(newQp)
         return nQ
 

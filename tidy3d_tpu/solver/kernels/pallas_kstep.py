@@ -70,7 +70,7 @@ stride, tidy3d/components/simulation.py:4414).
   the E-coupling splices in via one z-segment concat per component.
 
 Unsupported (the runner falls back to the 1-step kernels / XLA path):
-more than 4 dispersive pole slots, nonlinear media, time modulation,
+more than 8 dispersive pole slots, nonlinear media, time modulation,
 Bloch (complex) boundaries, volume sources thick in both x and y,
 grids not 8-aligned in z, > 64 packed z-psi lanes per family, and
 time-monitors whose sampling steps cannot align to group ends.
@@ -157,44 +157,77 @@ class PallasKStepper:
     def _pole_layout(cls, runner):
         """Static packing info for the in-kernel ADE pole machinery.
 
-        Returns ``(metas, (z0, zn))``: one meta per pole slot with the
-        semi-implicit scalars (A, Gc), the packing mode ('mask' = the
-        lowered residue map is two-valued {0, B0} per component, the
-        common case for non-Custom media — ships a single 0/1 indicator
-        channel per comp with static complex B0; 'full' = per-cell
-        complex residues, ships 6 re/im channels), and the channel
-        offset into the packed B array. (z0, zn) is the z-support of
-        the union of all residue maps: all Q state, B channels, and
-        the E-coupling are restricted to this slab (semantics spec:
-        pallas_fused.py pole_term / fdtd._update_poles)."""
+        Consumes the runner's compressed pole coupling (pole_B_meta +
+        plan.pole_masks). Returns ``(metas, (z0, zn))``: one meta per pole
+        slot with the semi-implicit scalars (A, Gc), per-comp static
+        complex B0 ('mask' kind: residue = B0 * shared indicator), and
+        per-comp channel KEYS into the B-channel table — multiple poles
+        of one structure reference the SAME mask channel, so a 7-pole
+        metal ships 3 indicator channels total instead of 21 (or 42
+        dense). 'dense' comps reference re/im channel pairs. (z0, zn) is
+        the z-support of the union of all residues: all Q state, B
+        channels, and the E-coupling are restricted to this slab
+        (semantics spec: fdtd._update_poles)."""
         if not runner.pole_scalars:
             return [], (0, 0)
+        plan = runner.plan
         nz = runner.shape[2]
         z_lo, z_hi = nz, 0
+        mask_zspan: dict = {}
+
+        def zspan_of(sup):
+            zs = np.nonzero(sup.any(axis=(0, 1)))[0]
+            return (int(zs[0]), int(zs[-1]) + 1) if len(zs) else None
+
         metas = []
-        coff = 0
-        for (A, Gc), B_maps in zip(runner.pole_scalars,
-                                   runner.consts["pole_B"]):
+        for pi, ((A, Gc), comp_metas) in enumerate(
+                zip(runner.pole_scalars, runner.pole_B_meta)):
             mode = "mask"
             B0 = []
-            for (br, bi) in B_maps:
-                sup = np.logical_or(br != 0, bi != 0)
-                if sup.any():
-                    vr = np.unique(br[sup])
-                    vi = np.unique(bi[sup])
-                    if len(vr) > 1 or len(vi) > 1:
-                        mode = "full"
-                    B0.append((float(vr[0]), float(vi[0])))
-                    zs = np.nonzero(sup.any(axis=(0, 1)))[0]
-                    z_lo = min(z_lo, int(zs[0]))
-                    z_hi = max(z_hi, int(zs[-1]) + 1)
+            chans = []
+            for ci, m in enumerate(comp_metas):
+                if m["kind"] == "dense":
+                    mode = "full"
+                    br, bi = runner.consts["pole_B_dense"][f"{pi}_{ci}"]
+                    sp = zspan_of(np.logical_or(br != 0, bi != 0))
+                    if sp:
+                        z_lo, z_hi = min(z_lo, sp[0]), max(z_hi, sp[1])
+                    B0.append((0.0, 0.0))
+                    chans.append(("d", pi, ci))
+                elif m["kind"] == "mask":
+                    mid = m["mask_id"]
+                    if mid not in mask_zspan:
+                        mask_zspan[mid] = zspan_of(
+                            np.asarray(plan.pole_masks[mid], bool))
+                    sp = mask_zspan[mid]
+                    if sp:
+                        z_lo, z_hi = min(z_lo, sp[0]), max(z_hi, sp[1])
+                    B0.append(m["B0"])
+                    chans.append(("m", mid) if sp else None)
                 else:
                     B0.append((0.0, 0.0))
+                    chans.append(None)
+            # purely-real poles (Drude / relaxation terms — e.g. 4 of the
+            # 7 poles of the library's Au Rakic/Brendel-Bormann fit) keep
+            # Q real forever: qi' = A.re*qi + B0i*E with A.im = B0i = 0
+            # and qi(0) = 0. They occupy 3 packed channels instead of 6,
+            # cutting Q VMEM windows and HBM traffic by the same ratio.
+            is_real = (A.imag == 0.0) and all(b[1] == 0.0 for b in B0)
+            if is_real:
+                for ci, m in enumerate(comp_metas):
+                    if m["kind"] == "dense":
+                        _, bi = runner.consts["pole_B_dense"][f"{pi}_{ci}"]
+                        if np.any(bi):
+                            is_real = False
+                            break
             metas.append(dict(A=complex(A), Gc=complex(Gc), mode=mode,
-                              coff=coff, B0=B0))
-            coff += 3 if mode == "mask" else 6
+                              B0=B0, chans=chans, real=is_real))
         if z_hi <= z_lo:
             return [], (0, 0)  # all maps zero: poles are inert
+        ch0 = 0
+        for m in metas:
+            m["ch0"] = ch0
+            ch0 += 3 if m["real"] else 6
         return metas, (z_lo, z_hi - z_lo)
 
     @classmethod
@@ -204,7 +237,10 @@ class PallasKStepper:
             return False
         if plan.nonlinear is not None or plan.modulation:
             return False
-        if len(runner.pole_scalars) > 4:
+        if len(runner.pole_scalars) > 8:
+            # 8 pole slots = 48 Q channels; beyond that no (bx, by) fits
+            # VMEM. Within the cap feasibility is decided by the config
+            # search below (returns None when the Q windows don't fit).
             return False
         nx, ny, nz = runner.shape
         if nz % 8:
@@ -243,7 +279,10 @@ class PallasKStepper:
         plan = runner.plan
         if plan.is_complex or plan.nonlinear is not None or plan.modulation:
             return False
-        if len(runner.pole_scalars) > 4:
+        if len(runner.pole_scalars) > 8:
+            # 8 pole slots = 48 Q channels; beyond that no (bx, by) fits
+            # VMEM. Within the cap feasibility is decided by the config
+            # search below (returns None when the Q windows don't fit).
             return False
         nx, ny, nz = runner.shape
         if nz % 8 or nx % ndev:
@@ -269,11 +308,8 @@ class PallasKStepper:
         ni_loc = nx_loc // bx
         if ni_loc - kx_lo - kx_hi <= 0:
             return False
-        wy = max(runner.pml_meta[("dual", 1)][0],
-                 runner.pml_meta[("primal", 1)][0],
-                 runner.pml_meta[("dual", 1)][1],
-                 runner.pml_meta[("primal", 1)][1])
-        if wy and ny // by - 2 <= 0:
+        psiy_geom = cls._psiy_geometry(runner)
+        if psiy_geom and ny // by - len(psiy_geom) < 1:
             return False
         # source/profile/waveform caps as in supported()
         prof_bytes = 0
@@ -299,6 +335,49 @@ class PallasKStepper:
         return True
 
     @staticmethod
+    def _classify_profile(arr, boundaries):
+        """Factor a 3D array into broadcast structure if possible.
+
+        Returns one of
+        * ``("const", v0)``
+        * ``("vec", axis, vec1d, gates)`` — ``arr == broadcast(vec) *
+          box`` where ``box`` is 1 on ``[0, n_t)`` and 0 on trailing rows
+          of each gate axis: ``gates = ((axis_j, n_t_j), ...)``. Plain
+          single-axis variation has ``gates == ()``. Trailing-zero boxes
+          arise from the frozen alignment padding (pad_plan_for_kernels)
+          — without this factoring a padded layered medium degrades to
+          full-grid piece streams. Gate axes must be hi-clamped (PEC/PMC):
+          on a wrap axis the halo beyond the array is REAL low-row data
+          and a trailing-zero gate would corrupt it.
+        * ``("full",)``
+        """
+        v0 = arr.flat[0]
+        if np.all(arr == v0):
+            return ("const", float(v0))
+        shape = arr.shape
+        # trailing all-zero widths per axis (only meaningful on clamped)
+        n_t = []
+        for ax in range(3):
+            if boundaries[ax][1] in ("pec", "pmc"):
+                other = tuple(j for j in range(3) if j != ax)
+                prof = np.any(arr != 0.0, axis=other)
+                nz_idx = np.nonzero(prof)[0]
+                n_t.append(int(nz_idx[-1]) + 1 if len(nz_idx) else 0)
+            else:
+                n_t.append(shape[ax])
+        for ax in range(3):
+            gates = tuple((j, n_t[j]) for j in range(3)
+                          if j != ax and n_t[j] < shape[j])
+            core = arr[tuple(slice(0, shape[j] if j == ax else n_t[j])
+                             for j in range(3))]
+            sl = [slice(0, 1)] * 3
+            sl[ax] = slice(None)
+            prof = core[tuple(sl)]
+            if np.array_equal(core, np.broadcast_to(prof, core.shape)):
+                return ("vec", ax, prof.reshape(-1).copy(), gates)
+        return ("full",)
+
+    @staticmethod
     def _coeff_layout(runner):
         """Classify spatially-varying ca/cb update coefficients by their
         variation structure (cached on the runner — full-volume scans).
@@ -306,13 +385,16 @@ class PallasKStepper:
         Returns ``(full, vecs, consts)``:
 
         * ``full``  — ``[(name, arr3d)]`` genuinely 3D, need piece streams
-        * ``vecs``  — ``[(name, axis, vec1d)]`` varying along ONE axis
-          (layered stacks / slab structures): shipped as broadcast vectors
+        * ``vecs``  — ``[(name, axis, vec1d, gates)]`` varying along ONE
+          axis (layered stacks / slab structures), possibly windowed by a
+          trailing-zero interior box (see _classify_profile): shipped as
+          broadcast vectors + in-kernel iota gates
         * ``consts``— ``[(name, scalar)]`` uniform arrays folded to static
         """
         cached = getattr(runner, "_kstep_coeff_layout", None)
         if cached is not None:
             return cached
+        bnd = runner.plan.boundaries
         full, vecs, consts = [], [], []
         for fam_key, comps in (("coeffs_E", E_COMPS), ("coeffs_H", H_COMPS)):
             host = runner.consts[fam_key]
@@ -322,21 +404,12 @@ class PallasKStepper:
                         continue
                     name = f"cf_{which}_{c}"
                     arr = np.asarray(v, np.float32)
-                    v0 = arr.flat[0]
-                    if np.all(arr == v0):
-                        consts.append((name, float(v0)))
-                        continue
-                    ax_found = None
-                    for ax in range(3):
-                        sl = [slice(0, 1)] * 3
-                        sl[ax] = slice(None)
-                        prof = arr[tuple(sl)]
-                        if np.array_equal(
-                                arr, np.broadcast_to(prof, arr.shape)):
-                            ax_found = ax
-                            vecs.append((name, ax, prof.reshape(-1).copy()))
-                            break
-                    if ax_found is None:
+                    kind = PallasKStepper._classify_profile(arr, bnd)
+                    if kind[0] == "const":
+                        consts.append((name, kind[1]))
+                    elif kind[0] == "vec":
+                        vecs.append((name,) + kind[1:])
+                    else:
                         full.append((name, arr))
         runner._kstep_coeff_layout = (full, vecs, consts)
         return full, vecs, consts
@@ -345,11 +418,12 @@ class PallasKStepper:
     def _poleB_layout(runner):
         """Classify the packed ADE pole B channels like _coeff_layout
         (cached). Returns ``(vec_specs, packed)``: ``vec_specs`` maps a
-        logical channel index to a scalar or ``(axis, vec1d)``; ``packed``
-        is ``[(ch, arr3d)]`` for genuinely 3D channels. Channel indexing
-        matches the metas' ``coff`` offsets; mask-mode poles contribute 3
-        indicator channels, full-mode 6 re/im channels. Inside the
-        z-restricted support slab the mask channel is OFTEN all-ones
+        channel KEY to a scalar or ``(axis, vec1d)``; ``packed`` is
+        ``[(key, arr3d)]`` for genuinely 3D channels. Keys come from the
+        pole metas' ``chans``: ``("m", mask_id)`` indicator channels
+        (shared across every pole/comp referencing that mask) and
+        ``("d", pi, ci, 0|1)`` dense re/im channels. Inside the
+        z-restricted support slab a mask channel is OFTEN all-ones
         (single dispersive structure spanning the slab) — it folds to the
         scalar 1.0 and ships nothing."""
         cached = getattr(runner, "_kstep_poleB_layout", None)
@@ -357,35 +431,76 @@ class PallasKStepper:
             return cached
         metas, (z0q, zqn) = PallasKStepper._pole_layout(runner)
         chans = {}
-        for meta, B_maps in zip(metas, runner.consts["pole_B"]):
-            for ci, (br, bi) in enumerate(B_maps):
-                if meta["mode"] == "mask":
-                    chans[meta["coff"] + ci] = np.logical_or(
-                        br != 0, bi != 0)[:, :, z0q:z0q + zqn].astype(
-                        np.float32)
+        for pi, meta in enumerate(metas):
+            for ci, ch in enumerate(meta["chans"]):
+                if ch is None:
+                    continue
+                if ch[0] == "m":
+                    if ch not in chans:
+                        chans[ch] = np.asarray(
+                            runner.plan.pole_masks[ch[1]],
+                            np.float32)[:, :, z0q:z0q + zqn]
                 else:
-                    chans[meta["coff"] + ci] = np.asarray(
+                    br, bi = runner.consts["pole_B_dense"][f"{pi}_{ci}"]
+                    chans[ch + (0,)] = np.asarray(
                         br, np.float32)[:, :, z0q:z0q + zqn]
-                    chans[meta["coff"] + 3 + ci] = np.asarray(
+                    chans[ch + (1,)] = np.asarray(
                         bi, np.float32)[:, :, z0q:z0q + zqn]
         vec_specs, packed = {}, []
-        for ch in sorted(chans):
+        bnd = runner.plan.boundaries
+        for ch in sorted(chans, key=str):
             arr = chans[ch]
-            v0 = arr.flat[0]
-            if np.all(arr == v0):
-                vec_specs[ch] = float(v0)
-                continue
-            for ax in range(3):
-                sl = [slice(0, 1)] * 3
-                sl[ax] = slice(None)
-                prof = arr[tuple(sl)]
-                if np.array_equal(arr, np.broadcast_to(prof, arr.shape)):
-                    vec_specs[ch] = (ax, prof.reshape(-1).copy())
-                    break
+            kind = PallasKStepper._classify_profile(arr, bnd)
+            if kind[0] == "const":
+                vec_specs[ch] = kind[1]
+            elif kind[0] == "vec":
+                vec_specs[ch] = kind[1:]  # (ax, vec, gates)
             else:
                 packed.append((ch, arr))
         runner._kstep_poleB_layout = (vec_specs, packed)
         return vec_specs, packed
+
+    @staticmethod
+    def _psiy_geometry(runner):
+        """Active y-CPML slab geometry per side: ``{side: (s0, w_act)}``.
+
+        ``s0`` is the grid row where the stored slab starts; ``w_act`` is
+        the 8-rounded count of rows actually carrying nonzero b/c. The
+        alignment padding grows the hi slab to stay anchored at the (new)
+        array edge with self-neutralizing zero rows at its tail
+        (pad_plan_for_kernels); trimming to the active rows lets the
+        config search place the slab in a SMALL block row instead of
+        demanding ``by >= grown width`` (a 7-pole metal at 256^3 padded
+        y 257->288 grew the slab to 48, forcing by=96 and a VMEM
+        blow-up)."""
+        cached = getattr(runner, "_kstep_psiy_geom", None)
+        if cached is not None:
+            return cached
+        ny = runner.shape[1]
+        out = {}
+        for side in ("lo", "hi"):
+            si = 0 if side == "lo" else 1
+            w_max = max(runner.pml_meta[("dual", 1)][si],
+                        runner.pml_meta[("primal", 1)][si])
+            if not w_max:
+                continue
+            end = 1
+            for fam in ("dual", "primal"):
+                w_f = runner.pml_meta[(fam, 1)][si]
+                if not w_f:
+                    continue
+                pml_c = runner.consts["pml"].get(f"{fam}1")
+                bv = np.asarray(pml_c[f"b_{side}"]).reshape(-1)
+                cv = np.asarray(pml_c[f"c_{side}"]).reshape(-1)
+                nzs = np.nonzero((bv != 0) | (cv != 0))[0]
+                if len(nzs):
+                    off = w_max - w_f  # family slab offset within [s0, .)
+                    end = max(end, off + int(nzs[-1]) + 1)
+            w_act = min(-(-end // 8) * 8, w_max)
+            s0 = 0 if side == "lo" else ny - w_max
+            out[side] = (s0, w_act)
+        runner._kstep_psiy_geom = out
+        return out
 
     @staticmethod
     def _pick_config_static(runner, k: int, shard: Optional[dict] = None):
@@ -399,10 +514,10 @@ class PallasKStepper:
             nx = shard["nx_loc"]
         esize = 2 if runner.dtype == jnp.bfloat16 else 4
         pole_metas, (_, q_zn) = PallasKStepper._pole_layout(runner)
-        n_qch = 6 * len(pole_metas)
+        n_qch = sum(3 if m["real"] else 6 for m in pole_metas)
         n_bch = len(PallasKStepper._poleB_layout(runner)[1]) \
             if pole_metas else 0
-        wy = max(runner.pml_meta[("dual", 1)] + runner.pml_meta[("primal", 1)])
+        psiy_geom = PallasKStepper._psiy_geometry(runner)
         n_var = len(PallasKStepper._coeff_layout(runner)[0])
         n_psi_x = sum(
             1 for fam in ("dual", "primal")
@@ -416,13 +531,10 @@ class PallasKStepper:
                      runner.pml_meta[("primal", 0)][0])
         w_hi_x = max(runner.pml_meta[("dual", 0)][1],
                      runner.pml_meta[("primal", 0)][1])
-        wy_sum = max(runner.pml_meta[("dual", 1)][0],
-                     runner.pml_meta[("primal", 1)][0]) \
-            + max(runner.pml_meta[("dual", 1)][1],
-                  runner.pml_meta[("primal", 1)][1])
         # hwy: Mosaic requires sublane-dim blocks divisible by 8
         hwy = -(-k // 8) * 8
-        for bx in (16, 8):
+        for allow_collide in (False, True):
+          for bx in (16, 8):
             if nx % bx:
                 continue
             hwx = k
@@ -447,16 +559,29 @@ class PallasKStepper:
                     if w_hi_x else 0
                 if nx // bx - kx_lo - kx_hi <= 0:
                     continue
-            by_order = (48, 64, 32, 96, 128, 192, 256, 16) if k >= 4 \
-                else (64, 48, 96, 128, 192, 256, 32, 16)
+            by_order = (48, 64, 32, 24, 96, 128, 192, 256, 16) if k >= 4 \
+                else (64, 48, 96, 128, 192, 256, 32, 24, 16)
             for by in by_order:
                 if ny % by or by % hwy or ny % hwy:
                     continue
-                if wy and by < wy + hwy:
+                # each active y-slab must live entirely inside ONE block
+                # row (static in-window offset per psiy region; applies
+                # to both split and manual modes); a shared row is only
+                # legal in the single-program manual fallback (pass 2)
+                rows_used = set()
+                ok_slabs = True
+                for side, (s0, w_act) in psiy_geom.items():
+                    j_row = s0 // by
+                    if (s0 % by) + w_act > by:
+                        ok_slabs = False
+                        break
+                    rows_used.add(j_row)
+                if not ok_slabs:
                     continue
-                if by < wy_sum:
+                if len(rows_used) < len(psiy_geom) and not allow_collide:
                     continue
-                if shard is not None and wy and ny // by < 3:
+                if shard is not None and psiy_geom \
+                        and ny // by - len(rows_used) < 1:
                     # psiy strip rows + interior must all exist
                     continue
                 Wx, Wy = bx + 2 * hwx, by + 2 * hwy
@@ -475,11 +600,16 @@ class PallasKStepper:
                     # (16,32) config under-predicted by ~35M and compiled
                     # to 136.4M against the 128M cap — the assembled Q/B
                     # window values and the per-substep esum/oldE slabs
-                    # are live on top of the double-buffered piece inputs
-                    winq = Wx * Wy * q_zn
+                    # are live on top of the double-buffered piece inputs.
+                    # Lane-tile-aware: VMEM allocates the lane (last) dim
+                    # in 128-wide tiles, so a 129-deep Q support slab
+                    # costs 256 lanes per window (observed: 7-pole Au at
+                    # 256^3 compiled to 131M against an 81M estimate)
+                    lq = -(-q_zn // 128) * 128
+                    winq = Wx * Wy * lq
                     vmem += n_qch * winq * esize * 2      # Q piece in, 2-buf
                     vmem += n_qch * winq * 4              # assembled Q values
-                    vmem += n_qch * bx * by * q_zn * esize * 2  # Q outputs
+                    vmem += n_qch * bx * by * lq * esize * 2  # Q outputs
                     vmem += n_bch * winq * 4 * 2          # B piece in, 2-buf
                     vmem += n_bch * winq * 4              # assembled B values
                     vmem += 15 * winq * 4                 # oldE/esum/pt temps
@@ -488,6 +618,8 @@ class PallasKStepper:
                     break
             if best is not None:
                 break
+          if best is not None:
+              break
         return best
 
     # ------------------------------------------------------------------ #
@@ -637,9 +769,14 @@ class PallasKStepper:
                 else:
                     b[0, ci, w_max - w_f:, 0] = bv
                     c[0, ci, w_max - w_f:, 0] = cv
-            kc[f"by_pk_{side}"] = b
-            kc[f"cy_pk_{side}"] = c
-            self.psiy_pack[side] = dict(comps=PY_COMPS, w=w_max)
+            # trim to the active rows: the alignment padding grows the hi
+            # slab with self-neutralizing zero tail rows (they'd force
+            # by >= grown width); the slab may therefore sit NON-FLUSH
+            # inside its block row — s0 records its grid start
+            s0, w_act = self._psiy_geometry(runner)[side]
+            kc[f"by_pk_{side}"] = b[:, :, :w_act]
+            kc[f"cy_pk_{side}"] = c[:, :, :w_act]
+            self.psiy_pack[side] = dict(comps=PY_COMPS, w=w_act, s0=s0)
 
         # z-axis psi: all slabs of a family lane-packed into one
         # (nx, ny, L) array fed through the same modular BlockSpec piece
@@ -667,8 +804,13 @@ class PallasKStepper:
                         self.psiz_meta[fam].append(dict(
                             comp=comp, side=side, width=width, sgn=sgn,
                             z0=z0, off=lane))
-                        bvec.append(np.asarray(pml_c[f"b_{side}"], f32))
-                        cvec.append(np.asarray(pml_c[f"c_{side}"], f32))
+                        # flatten: the stored slabs are axis-reshaped
+                        # (1, 1, w) and lo/hi widths may differ (the
+                        # alignment padding grows the hi slab)
+                        bvec.append(
+                            np.asarray(pml_c[f"b_{side}"], f32).reshape(-1))
+                        cvec.append(
+                            np.asarray(pml_c[f"c_{side}"], f32).reshape(-1))
                         lane += width
             if lane:
                 kc[f"bz_pk_{fam}"] = np.concatenate(bvec).reshape(1, 1, lane)
@@ -738,8 +880,8 @@ class PallasKStepper:
             self.var_coeffs.append(name)
             vc_arrays.append(arr)
             self.var_coeff_mean[name] = float(np.mean(arr))
-        for name, ax, vec in vec_c:
-            self.vec_coeffs[name] = ax
+        for name, ax, vec, gates in vec_c:
+            self.vec_coeffs[name] = (ax, gates)
             self.var_coeff_mean[name] = float(np.mean(vec))
             if ax == 2:
                 kc[f"cfv_{name}"] = np.asarray(vec, f32).reshape(1, 1, -1)
@@ -768,24 +910,25 @@ class PallasKStepper:
         # update coefficients: constant -> scalar, single-axis -> broadcast
         # vector, genuinely 3D -> the same l/m/h piece machinery as the
         # fields (read-only).
-        self.n_qch = 6 * len(self.pole_metas)
-        self.pole_b_vec: Dict[int, object] = {}
-        self.pole_b_pos: Dict[int, int] = {}
+        self.n_qch = sum(3 if m["real"] else 6 for m in self.pole_metas)
+        self.pole_b_vec: Dict[tuple, object] = {}
+        self.pole_b_pos: Dict[tuple, int] = {}
         self.n_bch = 0
         if self.pole_metas:
             vec_specs, packed = self._poleB_layout(runner)
-            for ch, spec in vec_specs.items():
+            for vi, (ch, spec) in enumerate(vec_specs.items()):
                 if isinstance(spec, float):
                     self.pole_b_vec[ch] = spec
                     continue
-                ax, vec = spec
-                self.pole_b_vec[ch] = ("vec", ax)
+                ax, vec, gates = spec
+                name = f"pbv_{vi}"
+                self.pole_b_vec[ch] = ("vec", ax, name, gates)
                 if ax == 2:
-                    kc[f"pbv_{ch}"] = np.asarray(vec, f32).reshape(1, 1, -1)
+                    kc[name] = np.asarray(vec, f32).reshape(1, 1, -1)
                 else:
-                    kc[f"pbv_{ch}"] = ext_vec(vec, ax)
+                    kc[name] = ext_vec(vec, ax)
                     if ax == 0 and shard is not None:
-                        self.sharded_keys.add(f"pbv_{ch}")
+                        self.sharded_keys.add(name)
             self.n_bch = len(packed)
             if packed:
                 Bg = np.stack([arr for _, arr in packed], axis=1)
@@ -927,9 +1070,10 @@ class PallasKStepper:
 
     def q_shape(self) -> Optional[Tuple[int, ...]]:
         """Shape of the packed ADE pole-current state array (None when
-        the plan has no active poles): channels = 6 per pole
-        [qr_x, qr_y, qr_z, qi_x, qi_y, qi_z], z-restricted to the
-        residue-map support slab."""
+        the plan has no active poles): 6 channels per complex pole
+        [qr_x, qr_y, qr_z, qi_x, qi_y, qi_z] at meta["ch0"], 3 channels
+        [qr_x, qr_y, qr_z] per purely-real pole (Drude/relaxation terms
+        keep Q real), z-restricted to the residue-map support slab."""
         if not self.pole_metas:
             return None
         nx, ny, _ = self.shape
@@ -1028,40 +1172,59 @@ class PallasKStepper:
                 kx_lo = px["s_clamp_lo"] // self.bx + 1
             if px["has_hi"]:
                 kx_hi = ni - px["s_min_hi"] // self.bx
-        ky_lo = 1 if "lo" in self.psiy_pack else 0
-        ky_hi = 1 if "hi" in self.psiy_pack else 0
+        # psiy slab rows: each active slab lives in ONE block row (gated
+        # by the config search); a NON-flush hi slab (alignment padding
+        # appends frozen rows past the PML) may sit at an interior row,
+        # splitting the y-interior into up to two bands
+        psi_rows: Dict[int, str] = {}
+        for side, pk in self.psiy_pack.items():
+            psi_rows[pk["s0"] // self.by] = side
+        if len(psi_rows) < len(self.psiy_pack):
+            # both slabs in one block row: only the manual path handles
+            # two sides per program (split corners would double-step)
+            force_single = True
+        y_rows = sorted(psi_rows.items())  # [(j0y, side)]
+        bands = []  # maximal runs of non-psi rows: [(j0, nj_r)]
+        j = 0
+        while j < nj:
+            if j in psi_rows:
+                j += 1
+                continue
+            j0b = j
+            while j < nj and j not in psi_rows:
+                j += 1
+            bands.append((j0b, j - j0b))
         ni_int = ni - kx_lo - kx_hi
-        nj_int = nj - ky_lo - ky_hi
+        nj_int = sum(njb for _, njb in bands)
         full = dict(i0=0, ni_r=ni, j0=0, nj_r=nj, psix="manual",
                     psiy_mode="manual", psiy_sides=("lo", "hi"),
                     x_static=False, y_static=False)
-        if force_single or (kx_lo + kx_hi + ky_lo + ky_hi == 0) \
+        if force_single or (kx_lo + kx_hi + len(psi_rows) == 0) \
                 or ni_int <= 0 or nj_int <= 0:
             self._regions_cache = [full]
             return self._regions_cache
         regions = []
         x_sides = [(side, kx, i0x) for side, kx, i0x in
                    (("lo", kx_lo, 0), ("hi", kx_hi, ni - kx_hi)) if kx]
-        y_rows = [(side, j0y) for side, ky, j0y in
-                  (("lo", ky_lo, 0), ("hi", ky_hi, nj - 1)) if ky]
         # corners: psix + psiy pieces, one j-row each
         for xs, kx, i0x in x_sides:
-            for ys, j0y in y_rows:
+            for j0y, ys in y_rows:
                 regions.append(dict(i0=i0x, ni_r=kx, j0=j0y, nj_r=1,
                                     psix=xs, psiy_mode="pieces",
                                     psiy_sides=(ys,)))
         # x mid strips: psix only (their y windows never touch y slabs)
-        if nj_int > 0:
-            for xs, kx, i0x in x_sides:
-                regions.append(dict(i0=i0x, ni_r=kx, j0=ky_lo, nj_r=nj_int,
+        for xs, kx, i0x in x_sides:
+            for j0b, njb in bands:
+                regions.append(dict(i0=i0x, ni_r=kx, j0=j0b, nj_r=njb,
                                     psix=xs, psiy_mode=None, psiy_sides=()))
         # y mid strips: psiy pieces only
-        for ys, j0y in y_rows:
+        for j0y, ys in y_rows:
             regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=j0y, nj_r=1,
                                 psix=None, psiy_mode="pieces",
                                 psiy_sides=(ys,)))
-        regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=ky_lo, nj_r=nj_int,
-                            psix=None, psiy_mode=None, psiy_sides=()))
+        for j0b, njb in bands:
+            regions.append(dict(i0=kx_lo, ni_r=ni_int, j0=j0b, nj_r=njb,
+                                psix=None, psiy_mode=None, psiy_sides=()))
         self._regions_cache = regions
         return regions
 
@@ -1240,7 +1403,7 @@ class PallasKStepper:
                                         depth=self.q_zn))
             for ch, spec in self.pole_b_vec.items():
                 if not isinstance(spec, float):
-                    add(f"pbv_{ch}", kc[f"pbv_{ch}"],
+                    add(spec[2], kc[spec[2]],
                         pl.BlockSpec(memory_space=pltpu.VMEM))
 
         # the lane-packed z-psi array rides the same piece machinery
@@ -1498,6 +1661,24 @@ class PallasKStepper:
         gy = sy - hwy + lax.broadcasted_iota(jnp.int32, (1, Wy, 1), 1)
         iota_z = lax.broadcasted_iota(jnp.int32, (1, 1, nz), 2)
 
+        # trailing-zero interior gates for vec-classified coefficients /
+        # pole channels (vec x box factoring, see _classify_profile):
+        # 0/1 f32 masks cached per (axis, bound)
+        _gate_cache = {}
+
+        def int_gate(gates, ziota=None):
+            m = None
+            for (j, n_t) in gates:
+                key = (j, n_t, ziota is not None and j == 2)
+                if key not in _gate_cache:
+                    g = gx if j == 0 else (
+                        gy if j == 1 else
+                        (ziota if ziota is not None else iota_z))
+                    _gate_cache[key] = (g < n_t).astype(jnp.float32)
+                mm = _gate_cache[key]
+                m = mm if m is None else m * mm
+            return m
+
         # ---- psi/coeff DMA bookkeeping ---- #
         sems = r["dma_sems"]
         dma_idx = [0]
@@ -1518,7 +1699,12 @@ class PallasKStepper:
                 x_off = off_lo
             else:
                 x_off = off_hi
-        y_part = {"lo": (sy == 0), "hi": (sy + by == ny)}
+        # psiy participation: the block row containing the (possibly
+        # non-flush) active slab
+        y_part = {side: (sy == (pk["s0"] // by) * by)
+                  for side, pk in self.psiy_pack.items()}
+        for side in ("lo", "hi"):
+            y_part.setdefault(side, jnp.bool_(False))
 
         def psi_src_dst(key, ref):
             if key == "psix":
@@ -1588,18 +1774,22 @@ class PallasKStepper:
                 Bwin = ext4("Bpk")
             for ch, pos in self.pole_b_pos.items():
                 bch[ch] = Bwin[:, pos]
+            iota_zq = lax.broadcasted_iota(jnp.int32, (1, 1, zqn), 2)
             for ch, spec in self.pole_b_vec.items():
                 if isinstance(spec, float):
                     bch[ch] = spec
                     continue
-                ref = r[f"pbv_{ch}"]
-                ax = spec[1]
+                _, ax, name, gates = spec
+                ref = r[name]
                 if ax == 0:
-                    bch[ch] = _f32(ref[pl.ds(s, Wx)])
+                    val = _f32(ref[pl.ds(s, Wx)])
                 elif ax == 1:
-                    bch[ch] = _f32(ref[:, pl.ds(sy, Wy)])
+                    val = _f32(ref[:, pl.ds(sy, Wy)])
                 else:
-                    bch[ch] = _f32(ref[:])
+                    val = _f32(ref[:])
+                # z gates are slab-local (channels sliced to the support)
+                g = int_gate(gates, ziota=iota_zq)
+                bch[ch] = val * g if g is not None else val
         use_psiz_body = (self.psiz_Ltot and "psi" not in _skip
                          and "psiz" not in _skip)
         packed_fams = [fam for fam in ("dual", "primal")
@@ -1700,14 +1890,18 @@ class PallasKStepper:
             name = f"cf_{which}_{c}"
             if _skip_coef:  # coef/coefc profiling skips
                 return self.var_coeff_mean[name]
-            ax = self.vec_coeffs.get(name)
-            if ax is not None:  # single-axis broadcast vector
+            spec_v = self.vec_coeffs.get(name)
+            if spec_v is not None:  # single-axis broadcast vector (+gates)
+                ax, gates = spec_v
                 ref = r[f"cfv_{name}"]
                 if ax == 0:
-                    return _f32(ref[pl.ds(s, Wx)])
-                if ax == 1:
-                    return _f32(ref[:, pl.ds(sy, Wy)])
-                return _f32(ref[:])
+                    val = _f32(ref[pl.ds(s, Wx)])
+                elif ax == 1:
+                    val = _f32(ref[:, pl.ds(sy, Wy)])
+                else:
+                    val = _f32(ref[:])
+                g = int_gate(gates)
+                return val * g if g is not None else val
             return coeff_vals[name]
 
         def bcast_slice(v, axis, start, width):
@@ -1789,25 +1983,38 @@ class PallasKStepper:
             """Add slab contributions in ONE concat along `axis`.
 
             items: list of (start, width, contrib) with static positions.
+            Overlapping items (both psiy sides landing on the same window
+            span in manual mode — the masked recursion zeroes the
+            non-participating one) are applied in separate passes.
             """
             if not items:
                 return out
             items = sorted(items, key=lambda t: t[0])
+            passes = []  # each pass holds disjoint items
+            for it in items:
+                for p in passes:
+                    if it[0] >= p[-1][0] + p[-1][1]:
+                        p.append(it)
+                        break
+                else:
+                    passes.append([it])
             idx = [slice(None)] * 3
-            segs = []
-            pos = 0
             n_ax = out.shape[axis]
-            for r0, w, c in items:
-                if r0 > pos:
-                    idx[axis] = slice(pos, r0)
+            for p in passes:
+                segs = []
+                pos = 0
+                for r0, w, c in p:
+                    if r0 > pos:
+                        idx[axis] = slice(pos, r0)
+                        segs.append(out[tuple(idx)])
+                    idx[axis] = slice(r0, r0 + w)
+                    segs.append(out[tuple(idx)] + c)
+                    pos = r0 + w
+                if pos < n_ax:
+                    idx[axis] = slice(pos, n_ax)
                     segs.append(out[tuple(idx)])
-                idx[axis] = slice(r0, r0 + w)
-                segs.append(out[tuple(idx)] + c)
-                pos = r0 + w
-            if pos < n_ax:
-                idx[axis] = slice(pos, n_ax)
-                segs.append(out[tuple(idx)])
-            return jnp.concatenate(segs, axis=axis)
+                out = jnp.concatenate(segs, axis=axis)
+            return out
 
         px_index = {}
         if px is not None:
@@ -1816,7 +2023,7 @@ class PallasKStepper:
         py_index = {}
         for side, pk in self.psiy_pack.items():
             for ci, (comp_, fam_, sgn_) in enumerate(pk["comps"]):
-                py_index[(comp_, side)] = (ci, sgn_, pk["w"])
+                py_index[(comp_, side)] = (ci, sgn_, pk["w"], pk["s0"])
 
         def apply_psi(comp, fam, cb, out, d_by_axis, yitems):
             if "psi" in _skip:
@@ -1833,8 +2040,8 @@ class PallasKStepper:
             for side in pieces_info["psiy_sides"]:
                 if (comp, side) not in py_index:
                     continue
-                ci, sgn, width = py_index[(comp, side)]
-                r0 = hwy if side == "lo" else hwy + by - width
+                ci, sgn, width, s0y = py_index[(comp, side)]
+                r0 = hwy + (s0y % by)  # slab offset inside its block row
                 d_slab = d_by_axis[1][:, r0:r0 + width, :]
                 bv = r[f"by_pk_{side}"][:, ci]
                 cv = r[f"cy_pk_{side}"][:, ci]
@@ -1860,8 +2067,8 @@ class PallasKStepper:
                 if (comp, side) not in py_index \
                         or f"psiy_{side}" not in pack_keys:
                     continue
-                ci, sgn, width = py_index[(comp, side)]
-                r0 = hwy if side == "lo" else hwy + by - width
+                ci, sgn, width, s0y = py_index[(comp, side)]
+                r0 = hwy + (s0y % by)  # slab offset inside its block row
                 d_slab = d_by_axis[1][:, r0:r0 + width, :]
                 if y_static:
                     bv = r[f"by_pk_{side}"][:, ci]
@@ -1976,9 +2183,10 @@ class PallasKStepper:
                     pt = None
                     for pi, meta in enumerate(self.pole_metas):
                         Gc = meta["Gc"]
-                        t = Gc.real * qs[6 * pi + ci] if Gc.real else None
-                        if Gc.imag:
-                            ti = Gc.imag * qs[6 * pi + 3 + ci]
+                        ch0 = meta["ch0"]
+                        t = Gc.real * qs[ch0 + ci] if Gc.real else None
+                        if Gc.imag and not meta["real"]:
+                            ti = Gc.imag * qs[ch0 + 3 + ci]
                             t = -ti if t is None else t - ti
                         if t is not None:
                             pt = t if pt is None else pt + t
@@ -2001,31 +2209,46 @@ class PallasKStepper:
             fE = inject("E", newE, jstep)
 
             # semi-implicit pole recursion on the injected fields
-            # (ordering matches fdtd._update_poles: Q' = A Q + B (E'+E))
+            # (ordering matches fdtd._update_poles: Q' = A Q + B (E'+E));
+            # masked E sums memoized per (mask channel, comp) — the poles
+            # of one structure share 3 mask multiplies, not one each
             if have_q:
+                esums = {ci: fE[comp][:, :, z0q:z0q + zqn] + oldE_z[comp]
+                         for ci, comp in enumerate(E_COMPS)}
+                mes_cache = {}
                 for pi, meta in enumerate(self.pole_metas):
                     A = meta["A"]
+                    ch0 = meta["ch0"]
+                    is_real = meta["real"]  # qi channels not materialized
                     for ci, comp in enumerate(E_COMPS):
-                        esum = fE[comp][:, :, z0q:z0q + zqn] \
-                            + oldE_z[comp]
-                        qr, qi = qs[6 * pi + ci], qs[6 * pi + 3 + ci]
+                        qr = qs[ch0 + ci]
+                        qi = None if is_real else qs[ch0 + 3 + ci]
                         nqr = A.real * qr
-                        nqi = A.real * qi
+                        nqi = None if is_real else A.real * qi
                         if A.imag:
                             nqr = nqr - A.imag * qi
                             nqi = nqi + A.imag * qr
-                        if meta["mode"] == "mask":
+                        ch = meta["chans"][ci]
+                        if ch is not None and ch[0] == "m":
                             B0r, B0i = meta["B0"][ci]
-                            mes = bch[meta["coff"] + ci] * esum
+                            key = (ch, ci)
+                            if key not in mes_cache:
+                                mval = bch[ch]
+                                mes_cache[key] = esums[ci] \
+                                    if isinstance(mval, float) \
+                                    and mval == 1.0 else mval * esums[ci]
+                            mes = mes_cache[key]
                             if B0r:
                                 nqr = nqr + B0r * mes
                             if B0i:
                                 nqi = nqi + B0i * mes
-                        else:
-                            nqr = nqr + bch[meta["coff"] + ci] * esum
-                            nqi = nqi + bch[meta["coff"] + 3 + ci] * esum
-                        qs[6 * pi + ci] = nqr
-                        qs[6 * pi + 3 + ci] = nqi
+                        elif ch is not None:
+                            nqr = nqr + bch[ch + (0,)] * esums[ci]
+                            if not is_real:
+                                nqi = nqi + bch[ch + (1,)] * esums[ci]
+                        qs[ch0 + ci] = nqr
+                        if not is_real:
+                            qs[ch0 + 3 + ci] = nqi
 
             newH = {}
             dz_map = {}

@@ -90,12 +90,40 @@ BK_PMC = "pmc"
 
 @dataclass
 class PolePlan:
-    """One global dispersive pole slot: scalar pole `a`, per-cell residue map."""
+    """One global dispersive pole slot: scalar pole `a` plus a compressed
+    per-component residue.
+
+    Library media (Au/Ag/... PoleResidue fits) are uniform inside their
+    structure's support, so the residue of component ``ci`` is the scalar
+    ``c_vals[ci]`` times the shared boolean indicator
+    ``plan.pole_masks[mask_ids[ci]]`` (``mask_ids[ci] < 0`` means zero
+    support for that component). All poles of one structure share the same
+    masks, so a 7-pole metal ships 3 bool masks + 21 complex scalars
+    instead of 42 full-grid f32 maps (the round-3 dense layout measured
+    5.4 GB of jit arguments at 256^3 x 7 poles and HBM-OOM'd; reference
+    pole model: tidy3d/components/medium.py:2843).
+
+    ``c_maps`` (dense per-cell complex maps) is the fallback for spatially
+    varying residues and takes precedence when set."""
 
     a: complex
-    # per E-component complex residue map over the full grid (zero where the
-    # medium does not carry this pole)
-    c_maps: Tuple[np.ndarray, np.ndarray, np.ndarray]
+    c_vals: Tuple[complex, complex, complex] = (0j, 0j, 0j)
+    mask_ids: Tuple[int, int, int] = (-1, -1, -1)
+    c_maps: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+
+    def dense_c_maps(self, pole_masks, shape) -> Tuple[np.ndarray, ...]:
+        """Materialize full-grid complex residue maps (tests/debug)."""
+        if self.c_maps is not None:
+            return self.c_maps
+        out = []
+        for ci in range(3):
+            mid = self.mask_ids[ci]
+            if mid < 0:
+                out.append(np.zeros(shape, np.complex64))
+            else:
+                out.append(np.where(pole_masks[mid], self.c_vals[ci],
+                                    0j).astype(np.complex64))
+        return tuple(out)
 
 
 @dataclass
@@ -172,6 +200,8 @@ class SimulationPlan:
     is_complex: bool
     # eps arrays used for permittivity monitors: comp -> np.ndarray
     eps_yee: Optional[Dict[str, np.ndarray]] = None
+    # shared boolean pole-support indicators referenced by PolePlan.mask_ids
+    pole_masks: List[np.ndarray] = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------- #
@@ -267,7 +297,7 @@ def lower(simulation: Simulation) -> SimulationPlan:
     if simulation.sources:
         freq0 = float(np.mean([s.source_time.freq0 for s in simulation.sources]))
 
-    (eps_arrays, sigma_arrays, pole_plans, disp_ee, nonlinear,
+    (eps_arrays, sigma_arrays, pole_plans, pole_masks, disp_ee, nonlinear,
      modulation) = _material_arrays(simulation, freq0)
 
     # absorber magnetic/electric conductivity profiles
@@ -284,12 +314,26 @@ def lower(simulation: Simulation) -> SimulationPlan:
         # lambda_p = Re(a B) + eps0 Re(c), B = eps0 c dt/2 / (1 - a dt/2)
         for pole in pole_plans:
             a = pole.a
-            c_map = pole.c_maps[ci]
-            if not np.any(c_map):
+            if pole.c_maps is not None:
+                c_map = pole.c_maps[ci]
+                if not np.any(c_map):
+                    continue
+                B = EPSILON_0 * c_map * (dt / 2.0) / (1.0 - a * dt / 2.0)
+                lam = np.real(a * B) + EPSILON_0 * np.real(c_map)
+                sigma_rate = sigma_rate \
+                    + 2.0 * lam / (EPSILON_0 * np.real(eps_r))
                 continue
-            B = EPSILON_0 * c_map * (dt / 2.0) / (1.0 - a * dt / 2.0)
-            lam = np.real(a * B) + EPSILON_0 * np.real(c_map)
-            sigma_rate = sigma_rate + 2.0 * lam / (EPSILON_0 * np.real(eps_r))
+            mid = pole.mask_ids[ci]
+            c = pole.c_vals[ci]
+            if mid < 0 or c == 0:
+                continue
+            B = EPSILON_0 * c * (dt / 2.0) / (1.0 - a * dt / 2.0)
+            lam = float(np.real(a * B) + EPSILON_0 * np.real(c))
+            mask = pole_masks[mid]
+            term = 2.0 * lam / (EPSILON_0 * np.real(eps_r))
+            # uniform-support poles (mask all-ones) keep scalar coeffs
+            sigma_rate = sigma_rate + (term if mask.all()
+                                       else term * mask)
         pec_mask = eps_r.real <= 0.5 * pec_val  # marked PEC cells
         loss = sigma_rate * dt / 2.0
         ca = (1.0 - loss) / (1.0 + loss)
@@ -330,6 +374,7 @@ def lower(simulation: Simulation) -> SimulationPlan:
         poles=pole_plans, disp_ee=disp_ee, nonlinear=nonlinear, modulation=modulation,
         sources=source_plans, waveforms=waveforms,
         monitors=monitor_plans, is_complex=is_complex, eps_yee=eps_yee,
+        pole_masks=pole_masks,
     )
 
 
@@ -401,9 +446,14 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
     dl_subpixel = float(np.mean([avg_dl[a] for a in real_axes])) \
         if real_axes else float(np.mean(avg_dl))
 
-    # collect (medium, mask list) info per component
-    pole_accumulator: Dict[int, Dict[str, np.ndarray]] = {}
-    pole_info: Dict[int, complex] = {}
+    # pole bookkeeping, compressed: per source structure (or 'bg') ONE
+    # boolean support mask per component — shared by every pole of that
+    # structure — plus per-pole scalar (a, c) values per component.
+    # Dense maps are never materialized for uniform media (a 7-pole metal
+    # at 256^3 shipped 2.8 GB of residue maps in the dense layout).
+    pole_mask_acc: Dict[object, Dict[str, np.ndarray]] = {}
+    pole_defs: Dict[Tuple[object, int], Dict[int, Tuple[complex, complex]]] \
+        = {}
 
     chi3_arrays: Dict[str, np.ndarray] = {}
     ktpa_arrays: Dict[str, np.ndarray] = {}
@@ -433,10 +483,10 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                 return np.full(shape, arr, dtype=np.float32)
             return arr
         if bg_poles:
+            pole_mask_acc.setdefault("bg", {})[comp] = \
+                np.ones(shape, dtype=bool)
             for pole_id, (a, c) in enumerate(bg_poles):
-                key = ("bg", pole_id)
-                _accum_pole(pole_accumulator, pole_info, key, a, c, comp,
-                            np.ones(shape, dtype=bool), shape, None)
+                pole_defs.setdefault(("bg", pole_id), {})[ci] = (a, c)
 
         for si, structure in enumerate(structures):
             geometry = structure.geometry
@@ -554,17 +604,22 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
                 else:
                     eps[sl] = np.where(mask, s_eps, eps[sl])
                     sigma[sl] = np.where(mask, s_sigma, sigma[sl])
-                # dispersive poles of this structure
+                # dispersive poles of this structure: record ONE support
+                # mask per (structure, comp) shared by all its poles
                 full_mask = np.zeros(shape, dtype=bool)
                 full_mask[sl] = mask
-                for pole_id, (a, c) in enumerate(s_poles):
-                    key = (si, pole_id)
-                    _accum_pole(pole_accumulator, pole_info, key, a, c, comp,
-                                full_mask, shape, None)
+                if s_poles:
+                    acc = pole_mask_acc.setdefault(si, {})
+                    if comp in acc:
+                        acc[comp] |= full_mask
+                    else:
+                        acc[comp] = full_mask.copy()
+                    for pole_id, (a, c) in enumerate(s_poles):
+                        pole_defs.setdefault((si, pole_id), {})[ci] = (a, c)
                 # structures on top clear underlying poles
-                for key, comp_maps in pole_accumulator.items():
-                    if key[0] != si and comp in comp_maps:
-                        comp_maps[comp][full_mask] = 0.0
+                for skey, comp_masks in pole_mask_acc.items():
+                    if skey != si and comp in comp_masks:
+                        comp_masks[comp][full_mask] = False
 
             # nonlinear response of this structure (mask-based; applied on
             # top of whichever eps path was used above)
@@ -669,33 +724,53 @@ def _material_arrays(simulation: Simulation, freq0: Optional[float]):
         if np.any(ktpa != 0):
             ktpa_arrays[comp] = _mat(ktpa)
 
-    # build pole plans
+    # build compressed pole plans: dedup support masks, split any
+    # anisotropic pole whose `a` differs between components
     pole_plans: List[PolePlan] = []
+    pole_masks: List[np.ndarray] = []
     disp_ee: Dict[str, np.ndarray] = {}
-    if pole_accumulator:
-        for key, comp_maps in pole_accumulator.items():
-            a = pole_info[key]
-            c_maps = tuple(
-                comp_maps.get(comp, np.zeros(shape, dtype=np.complex64))
-                for comp in E_COMPS
-            )
-            pole_plans.append(PolePlan(a=a, c_maps=c_maps))
+    mask_index: Dict[Tuple[object, str], int] = {}
+
+    def _mask_id(skey, comp) -> int:
+        key = (skey, comp)
+        if key in mask_index:
+            return mask_index[key]
+        m = pole_mask_acc.get(skey, {}).get(comp)
+        mid = -1
+        if m is not None and m.any():
+            for i, ex in enumerate(pole_masks):
+                if np.array_equal(ex, m):
+                    mid = i
+                    break
+            else:
+                pole_masks.append(m)
+                mid = len(pole_masks) - 1
+        mask_index[key] = mid
+        return mid
+
+    for (skey, _pid), per_comp in pole_defs.items():
+        for a_val in dict.fromkeys(a for a, _ in per_comp.values()):
+            c_vals = []
+            mids = []
+            for ci2, comp in enumerate(E_COMPS):
+                ac = per_comp.get(ci2)
+                if ac is None or ac[0] != a_val:
+                    c_vals.append(0j)
+                    mids.append(-1)
+                    continue
+                mid = _mask_id(skey, comp)
+                c_vals.append(ac[1] if mid >= 0 else 0j)
+                mids.append(mid if ac[1] != 0 else -1)
+            if any(m >= 0 for m in mids):
+                pole_plans.append(PolePlan(
+                    a=a_val, c_vals=tuple(c_vals), mask_ids=tuple(mids)))
     nonlinear = None
     if chi3_arrays or ktpa_arrays:
         nonlinear = dict(chi3=chi3_arrays, ktpa=ktpa_arrays,
                          num_iters=max(nl_num_iters, 1))
     modulation = list(mod_entries.values()) or None
-    return (eps_arrays, sigma_arrays, pole_plans, (disp_ee or None), nonlinear,
-            modulation)
-
-
-def _accum_pole(acc, info, key, a, c, comp, mask, shape, _):
-    if key not in acc:
-        acc[key] = {}
-        info[key] = a
-    if comp not in acc[key]:
-        acc[key][comp] = np.zeros(shape, dtype=np.complex64)
-    acc[key][comp][mask] = c
+    return (eps_arrays, sigma_arrays, pole_plans, pole_masks,
+            (disp_ee or None), nonlinear, modulation)
 
 
 def _crop_inds(coords: np.ndarray, lo: float, hi: float, pad: float):
@@ -1163,8 +1238,12 @@ def pad_plan_for_kernels(plan: SimulationPlan, ndev_x: int = 1
     pml_dual = tuple(pad_pml(plan.pml_dual[ax], ax) for ax in range(3))
     pml_primal = tuple(pad_pml(plan.pml_primal[ax], ax) for ax in range(3))
 
-    poles = [dataclasses.replace(pp, c_maps=tuple(pad3(m) for m in pp.c_maps))
-             for pp in plan.poles]
+    poles = [dataclasses.replace(
+        pp, c_maps=(tuple(pad3(m) for m in pp.c_maps)
+                    if pp.c_maps is not None else None))
+        for pp in plan.poles]
+    pole_masks = [np.pad(m, ((0, px), (0, py), (0, pz)),
+                         constant_values=False) for m in plan.pole_masks]
     disp_ee = None
     if plan.disp_ee is not None:
         disp_ee = {c: pad3(v) for c, v in plan.disp_ee.items()}
@@ -1191,5 +1270,5 @@ def pad_plan_for_kernels(plan: SimulationPlan, ndev_x: int = 1
         inv_primal=inv_primal, inv_dual=inv_dual,
         pml_dual=pml_dual, pml_primal=pml_primal,
         poles=poles, disp_ee=disp_ee, nonlinear=nonlinear,
-        modulation=modulation, eps_yee=eps_yee)
+        modulation=modulation, eps_yee=eps_yee, pole_masks=pole_masks)
     return new_plan, (px, py, pz)

@@ -88,6 +88,10 @@ def run(
                  f"{sharding_plan.decomp} over "
                  f"{int(np.prod(sharding_plan.decomp))} devices.")
     runner = FDTDRunner(plan, sharding_plan=sharding_plan)
+    # refuse over-budget plans with a clean SetupError before dispatch
+    # (reference parity: validate_pre_upload gates scale client-side,
+    # /root/reference/tidy3d/components/simulation.py:3341)
+    runner.check_memory_budget()
     from ..solver.profiling import maybe_profile
 
     with maybe_profile():
