@@ -752,9 +752,21 @@ def _apply_valid_ranges():
         for vname, var in mat.variants.items():
             lam = _VALID_UM.get(mname, {}).get(vname)
             if lam is None:
-                raise RuntimeError(
-                    f"material_library: {mname}/{vname} missing a validity "
-                    "range in _VALID_UM")
+                # a builder-supplied frequency_range (e.g. _sellmeier's
+                # rng) is an acceptable fallback; raising here would make
+                # the whole package unimportable after adding an entry
+                if var.medium.frequency_range is None:
+                    from ..log import log
+
+                    log.warning(
+                        f"material_library: {mname}/{vname} has no "
+                        "validity range in _VALID_UM and none from its "
+                        "fit builder — frequency_range left unset.")
+                continue
+            if var.medium.frequency_range is not None:
+                # the fit builder already stamped a range; keep it (the
+                # table must not silently win on disagreement)
+                continue
             key = id(var.medium)
             if key not in stamped:
                 frange = (C_0 / lam[1], C_0 / lam[0])

@@ -175,7 +175,11 @@ class FDTDRunner:
                 and kern in ("auto", "kstep", "kstep_interpret") \
                 and _os.environ.get("TIDY3D_TPU_SHARDED_KSTEP", "1") != "0":
             decomp = self.sharding.decomp
-            if decomp[0] > 1 and decomp[1] == 1 and decomp[2] == 1:
+            # any x-only layout, INCLUDING the trivial (1,1,1) mesh: a
+            # 1-device shard_map run rides the same kernel + ring-
+            # exchange code path and bounds the shard_map overhead on
+            # real hardware (bench.py fdtd_sharded)
+            if decomp[1] == 1 and decomp[2] == 1:
                 if self._pallas_interpret:
                     self._shard_kstep_try = True
                 else:
@@ -545,7 +549,17 @@ class FDTDRunner:
         if self.sharding is not None:
             n_shards = max(int(np.prod(self.sharding.decomp)), 1)
         state_b = state_b // n_shards
-        consts_b = consts_b // n_shards if n_shards > 1 else consts_b
+        if n_shards > 1:
+            # only the x-sharded constant arrays split across devices;
+            # replicated tables (z-vectors, waveforms, DFT/pole tables)
+            # stay resident on EVERY device — dividing them all made
+            # sharded estimates optimistic (raw OOM past the gate)
+            skeys = set(getattr(getattr(self, "kstep", None),
+                                "sharded_keys", ()) or ())
+            kc = self.consts.get("kstep", {})
+            sharded_b = tree_bytes({k: v for k, v in kc.items()
+                                    if k in skeys})
+            consts_b = (consts_b - sharded_b) + sharded_b // n_shards
         margin = state_b // 2 + (256 << 20)
         return dict(consts=consts_b, state=state_b, margin=margin,
                     total=consts_b + state_b + margin)
@@ -643,6 +657,15 @@ class FDTDRunner:
         k = self.kstep.k if self.kstep is not None else 1
         self.consts["dft"] = {}
         tmesh = plan.tmesh
+        # group-stride hoisting for the k-step path: monitors only sample
+        # on their Nyquist stride, yet the accumulation ops (hundreds of
+        # small slice-multiply-adds for a multi-surface flux monitor) ran
+        # at EVERY group end with zero weights — pure dispatch overhead
+        # that halved broadband-monitor throughput. B = the largest
+        # (bounded) common divisor of all monitor group-periods such that
+        # every sampled step lands on a group index g with (g+1) % B == 0;
+        # _run_chunk then calls _accumulate_monitors only at those groups.
+        mon_periods = []
         for mi, mp in enumerate(plan.monitors):
             if mp.kind == "field" and mp.freqs is not None and len(mp.freqs):
                 freqs = np.asarray(mp.freqs)
@@ -669,6 +692,23 @@ class FDTDRunner:
                     (w[:, None] * np.cos(ang_h)).astype(f32),
                     (w[:, None] * np.sin(ang_h)).astype(f32),
                 )
+                mon_periods.append(stride // k)
+            elif mp.kind == "field_time":
+                # samples at t_start + j*t_interval, with the kstep gate
+                # guaranteeing t_start % k == k - 1 and k | t_interval:
+                # in group units g0 = (t_start + 1)/k - 1, period ti/k —
+                # covered by accumulating at (g+1) % B == 0 iff B | g0+1
+                # and B | ti/k
+                mon_periods.append(max(mp.t_interval // k, 1))
+                mon_periods.append(max((mp.t_start + 1) // k, 1))
+        B = 0
+        for p in mon_periods:
+            B = np.gcd(B, p)
+        B = int(B) if B else 1
+        # bound chunk-size inflation: keep the largest divisor of B <= 16
+        if B > 16:
+            B = max(d for d in range(1, 17) if B % d == 0)
+        self._mon_group_stride = B
 
     # ------------------------------------------------------------------ #
     # state
@@ -709,9 +749,12 @@ class FDTDRunner:
             }
             q_shape = self.kstep.q_shape()
             if q_shape is not None:
-                # packed ADE pole currents advance inside the kernel
-                state["Qpk"] = zeros(q_shape)
-                state["alt"]["Qpk"] = zeros(q_shape)
+                # packed ADE pole currents (su-form: Gc Q) advance inside
+                # the kernel; storage dtype may be reduced independently
+                # of the fields (TIDY3D_TPU_Q_DTYPE)
+                qdt = self.kstep.q_dtype
+                state["Qpk"] = jnp.zeros(q_shape, qdt)
+                state["alt"]["Qpk"] = jnp.zeros(q_shape, qdt)
             return state
         state = {
             "E": {c: zeros(shape) for c in E_COMPS},
@@ -1351,10 +1394,12 @@ class FDTDRunner:
                                 newH[hcomp].dtype))
         return newH, new_psi
 
-    def _step_group(self, gi, state, consts):
+    def _step_group(self, gi, state, consts, accumulate=True):
         """k steps in one temporal-blocked kernel call (group index gi);
         monitors accumulate on the group-end fields (the DFT tables are
-        strided so sampled steps land exactly there). Outputs land in the
+        strided so sampled steps land exactly there) — only when
+        ``accumulate`` (the _mon_group_stride hoisting skips the calls at
+        groups that cannot carry a sample). Outputs land in the
         ping-pong buffer set (state["alt"]) via pallas aliasing; the
         returned state swaps the sets."""
         k = self.kstep.k
@@ -1366,19 +1411,22 @@ class FDTDRunner:
             alt = dict(alt, Q=alt.get("Qpk"))
         newE, newH, newQ, new_psi = self.kstep.step_group(
             t0, view, consts, alt=alt)
-        # monitors slice lazy per-component views of the packed arrays
-        # (XLA materializes only the monitor regions); shard mode strips
-        # the halo blocks so views are in local-core rows
-        if self.kstep.shard is not None:
-            bxk, nxl = self.kstep.bx, self.kstep.shape[0]
-            newE_c = newE[bxk:bxk + nxl]
-            newH_c = newH[bxk:bxk + nxl]
+        if accumulate:
+            # monitors slice lazy per-component views of the packed arrays
+            # (XLA materializes only the monitor regions); shard mode strips
+            # the halo blocks so views are in local-core rows
+            if self.kstep.shard is not None:
+                bxk, nxl = self.kstep.bx, self.kstep.shape[0]
+                newE_c = newE[bxk:bxk + nxl]
+                newH_c = newH[bxk:bxk + nxl]
+            else:
+                newE_c, newH_c = newE, newH
+            newE_d = {c: newE_c[:, ci] for ci, c in enumerate(E_COMPS)}
+            newH_d = {c: newH_c[:, ci] for ci, c in enumerate(H_COMPS)}
+            new_mon = self._accumulate_monitors(
+                t0 + k - 1, [newE_d], [newH_d], state, consts)
         else:
-            newE_c, newH_c = newE, newH
-        newE_d = {c: newE_c[:, ci] for ci, c in enumerate(E_COMPS)}
-        newH_d = {c: newH_c[:, ci] for ci, c in enumerate(H_COMPS)}
-        new_mon = self._accumulate_monitors(t0 + k - 1, [newE_d], [newH_d],
-                                            state, consts)
+            new_mon = state["mon"]
         out = {"E": newE, "H": newH, "psi": new_psi, "Q": state["Q"],
                "mon": new_mon}
         if "Qpk" in state:
@@ -1395,18 +1443,25 @@ class FDTDRunner:
         size is a multiple of k when the k-step kernel is active)."""
         if self.kstep is not None:
             k = self.kstep.k
+            # monitor-stride hoisting: accumulate only at groups with
+            # (g+1) % B == 0 (every sampled step lands there by
+            # construction of B in _build_dft_tables). The loop body
+            # advances gpi groups — an EVEN multiple of B, so (a) each
+            # iteration ends exactly after an accumulating group and
+            # (b) the ping-pong buffer sets return to their carry slots.
+            B = getattr(self, "_mon_group_stride", 1)
+            gpi = B if B % 2 == 0 else 2 * B
 
-            # two groups per loop iteration: each group ping-pongs the
-            # buffer sets, so after two the buffers are back in their
-            # carry slots and the XLA while loop runs fully in-place
-            def gbody2(g, s):
-                s = self._step_group(start // k + 2 * g, s, consts)
-                return self._step_group(start // k + 2 * g + 1, s, consts)
+            def gbody(g, s):
+                for j in range(gpi):
+                    s = self._step_group(start // k + gpi * g + j, s,
+                                         consts, accumulate=(j + 1) % B == 0)
+                return s
 
-            n2 = (chunk_size // k) // 2
-            st = lax.fori_loop(0, n2, gbody2, st)
-            if (chunk_size // k) % 2:
-                st = self._step_group(start // k + 2 * n2, st, consts)
+            # _align_chunk rounds the chunk to k*gpi, so chunks hold a
+            # whole number of iterations and the chunk-local group phase
+            # equals the global phase mod B
+            st = lax.fori_loop(0, chunk_size // k // gpi, gbody, st)
             return st
 
         def body(n, s):
@@ -1664,10 +1719,14 @@ class FDTDRunner:
     # ------------------------------------------------------------------ #
 
     def _align_chunk(self, chunk_size: int) -> int:
-        """Round the chunk size up to a multiple of the k-step group."""
+        """Round the chunk size up to a whole number of k-step loop
+        iterations (k * gpi steps: gpi groups per iteration keeps the
+        monitor-stride phase and the ping-pong buffer parity)."""
         if self.kstep is not None:
             k = self.kstep.k
-            chunk_size = -(-chunk_size // k) * k
+            B = getattr(self, "_mon_group_stride", 1)
+            gpi = B if B % 2 == 0 else 2 * B
+            chunk_size = -(-chunk_size // (k * gpi)) * (k * gpi)
         return chunk_size
 
     def _max_field(self, state):
@@ -1985,7 +2044,8 @@ class FDTDRunner:
         sharded_kstep = self.kstep is not None \
             and self.kstep.shard is not None
         cache_key = (chunk_size, num_chunks)
-        if getattr(self, "_run_fn_key", None) != cache_key:
+        fresh_fn = getattr(self, "_run_fn_key", None) != cache_key
+        if fresh_fn:
             self._run_fn = self._make_run_fn_sharded(
                 chunk_size, num_chunks) if sharded_kstep \
                 else self._make_run_fn(chunk_size, num_chunks)
@@ -2019,11 +2079,22 @@ class FDTDRunner:
                 if self.sharding is not None \
                 else (jax.device_put(self.consts),)
 
+        # compile explicitly (AOT) so compile seconds are a first-class
+        # metric: Mosaic compilation of a big kstep config can dominate a
+        # user's first run (~minutes) and must be visible/attributable
+        # (the persistent jax compilation cache makes repeats ~free)
+        if fresh_fn:
+            t0 = _time.time()
+            self._run_fn = run_fn = run_fn.lower(
+                *self._consts_dev).compile()
+            self.compile_time = _time.time() - t0
+        else:
+            self.compile_time = getattr(self, "compile_time", 0.0)
+
         start_time = _time.time()
         mon_out, stats = run_fn(*self._consts_dev)
         stats_np = np.asarray(jax.device_get(stats))
         self.wall_time = _time.time() - start_time
-        self.compile_time = 0.0
 
         chunks_run = int(stats_np[0])
         max_ever = float(stats_np[1])

@@ -146,6 +146,16 @@ class PallasKStepper:
         # runs. (float16 storage crashes Mosaic on v5e; not offered.)
         self.psi_dtype = jnp.bfloat16 if _psi_env == "bfloat16" \
             else self.dtype
+        # reduced-precision ADE pole-state STORAGE (compute stays f32):
+        # halves the Q piece VMEM windows AND HBM traffic — the VMEM
+        # relief lets the config search keep large by blocks on multi-
+        # pole metals (7-pole Au at 257^3 otherwise drops to by<=32,
+        # tripling the halo-recompute overhead). Group-boundary rounding
+        # at bf16 (~4e-3 relative) feeds back through a contracting
+        # recursion; measured end-to-end monitor error ~1e-3 — opt-in
+        # for speed-over-accuracy runs via TIDY3D_TPU_Q_DTYPE=bfloat16.
+        _q_env = _os.environ.get("TIDY3D_TPU_Q_DTYPE", "")
+        self.q_dtype = jnp.bfloat16 if _q_env == "bfloat16" else self.dtype
         self.pole_metas, (self.q_z0, self.q_zn) = self._pole_layout(runner)
         self._build_kconsts()
 
@@ -167,7 +177,18 @@ class PallasKStepper:
         dense). 'dense' comps reference re/im channel pairs. (z0, zn) is
         the z-support of the union of all residues: all Q state, B
         channels, and the E-coupling are restricted to this slab
-        (semantics spec: fdtd._update_poles)."""
+        (semantics spec: fdtd._update_poles).
+
+        su-FORM: the in-kernel state is NOT the raw pole current Q but
+        its pre-scaled coupling image (s, u) = (Re(Gc Q), Im(Gc Q)) —
+        mathematically exact (multiply the linear recursion by the
+        constant Gc: B0 here is the TRANSFORMED Gc*B0). The E-coupling
+        then needs only channel SUMS (no Gc multiplies): ~30 fewer
+        window multiplies per substep on a 7-pole metal whose pole math
+        is VPU-arithmetic-bound (pole_lab: the mix runs at ~1.3 Tflop/s
+        against a ~1.6 Tflop/s curl-mix ceiling, so op-count IS time).
+        The XLA path keeps the raw-Q form; the two never exchange
+        state."""
         if not runner.pole_scalars:
             return [], (0, 0)
         plan = runner.plan
@@ -202,28 +223,42 @@ class PallasKStepper:
                     sp = mask_zspan[mid]
                     if sp:
                         z_lo, z_hi = min(z_lo, sp[0]), max(z_hi, sp[1])
-                    B0.append(m["B0"])
+                    # su-form: ship the TRANSFORMED Gc*B0 (state = Gc Q)
+                    Bp = complex(Gc) * complex(m["B0"][0], m["B0"][1])
+                    B0.append((Bp.real, Bp.imag))
                     chans.append(("m", mid) if sp else None)
                 else:
                     B0.append((0.0, 0.0))
                     chans.append(None)
             # purely-real poles (Drude / relaxation terms — e.g. 4 of the
             # 7 poles of the library's Au Rakic/Brendel-Bormann fit) keep
-            # Q real forever: qi' = A.re*qi + B0i*E with A.im = B0i = 0
-            # and qi(0) = 0. They occupy 3 packed channels instead of 6,
-            # cutting Q VMEM windows and HBM traffic by the same ratio.
-            is_real = (A.imag == 0.0) and all(b[1] == 0.0 for b in B0)
+            # the state real forever: u' = A.re*u + Im(Gc B0)*E with
+            # A.im = Im(Gc B0) = 0 and u(0) = 0. They occupy 3 packed
+            # channels instead of 6, cutting Q VMEM windows and HBM
+            # traffic by the same ratio.
+            is_real = (A.imag == 0.0) and all(abs(b[1]) < 1e-300
+                                              for b in B0)
             if is_real:
                 for ci, m in enumerate(comp_metas):
                     if m["kind"] == "dense":
-                        _, bi = runner.consts["pole_B_dense"][f"{pi}_{ci}"]
-                        if np.any(bi):
+                        br, bi = runner.consts["pole_B_dense"][f"{pi}_{ci}"]
+                        if np.any(complex(Gc).real * bi
+                                  + complex(Gc).imag * br):
                             is_real = False
                             break
             metas.append(dict(A=complex(A), Gc=complex(Gc), mode=mode,
                               B0=B0, chans=chans, real=is_real))
         if z_hi <= z_lo:
             return [], (0, 0)  # all maps zero: poles are inert
+        # lane-tile-align the support slab START (and keep the exact end):
+        # a misaligned z0 makes every per-substep esum slice and coupling
+        # splice a lane-relayout op on the full window. Widening down to
+        # the 128 boundary costs only extra zero-B rows whose state stays
+        # identically zero (self-neutralizing), and the op tile count
+        # ceil((z0 % 128 + zn)/128) never grows by the alignment.
+        z_lo_a = (z_lo // 128) * 128
+        if -(-(z_hi - z_lo_a) // 128) <= -(-(z_hi - z_lo) // 128):
+            z_lo = z_lo_a
         ch0 = 0
         for m in metas:
             m["ch0"] = ch0
@@ -442,10 +477,16 @@ class PallasKStepper:
                             np.float32)[:, :, z0q:z0q + zqn]
                 else:
                     br, bi = runner.consts["pole_B_dense"][f"{pi}_{ci}"]
-                    chans[ch + (0,)] = np.asarray(
-                        br, np.float32)[:, :, z0q:z0q + zqn]
-                    chans[ch + (1,)] = np.asarray(
-                        bi, np.float32)[:, :, z0q:z0q + zqn]
+                    # su-form: ship Gc*B (the state is Gc Q; _pole_layout)
+                    Gc = complex(runner.pole_scalars[pi][1])
+                    brp = Gc.real * np.asarray(br, np.float64) \
+                        - Gc.imag * np.asarray(bi, np.float64)
+                    bip = Gc.real * np.asarray(bi, np.float64) \
+                        + Gc.imag * np.asarray(br, np.float64)
+                    chans[ch + (0,)] = brp.astype(
+                        np.float32)[:, :, z0q:z0q + zqn]
+                    chans[ch + (1,)] = bip.astype(
+                        np.float32)[:, :, z0q:z0q + zqn]
         vec_specs, packed = {}, []
         bnd = runner.plan.boundaries
         for ch in sorted(chans, key=str):
@@ -494,7 +535,9 @@ class PallasKStepper:
                 cv = np.asarray(pml_c[f"c_{side}"]).reshape(-1)
                 nzs = np.nonzero((bv != 0) | (cv != 0))[0]
                 if len(nzs):
-                    off = w_max - w_f  # family slab offset within [s0, .)
+                    # lo slabs pack left-aligned (b[0, ci, :w_f]); only hi
+                    # slabs anchor at the far edge with offset w_max - w_f
+                    off = 0 if side == "lo" else w_max - w_f
                     end = max(end, off + int(nzs[-1]) + 1)
             w_act = min(-(-end // 8) * 8, w_max)
             s0 = 0 if side == "lo" else ny - w_max
@@ -578,7 +621,11 @@ class PallasKStepper:
                     rows_used.add(j_row)
                 if not ok_slabs:
                     continue
-                if len(rows_used) < len(psiy_geom) and not allow_collide:
+                if len(rows_used) < len(psiy_geom) \
+                        and (not allow_collide or shard is not None):
+                    # colliding slabs need the single-program manual path,
+                    # which the sharded kernel never runs (its program
+                    # must be the SPMD-uniform split-region form)
                     continue
                 if shard is not None and psiy_geom \
                         and ny // by - len(rows_used) < 1:
@@ -605,11 +652,13 @@ class PallasKStepper:
                     # in 128-wide tiles, so a 129-deep Q support slab
                     # costs 256 lanes per window (observed: 7-pole Au at
                     # 256^3 compiled to 131M against an 81M estimate)
+                    q_esize = 2 if os.environ.get(
+                        "TIDY3D_TPU_Q_DTYPE", "") == "bfloat16" else esize
                     lq = -(-q_zn // 128) * 128
                     winq = Wx * Wy * lq
-                    vmem += n_qch * winq * esize * 2      # Q piece in, 2-buf
+                    vmem += n_qch * winq * q_esize * 2    # Q piece in, 2-buf
                     vmem += n_qch * winq * 4              # assembled Q values
-                    vmem += n_qch * bx * by * lq * esize * 2  # Q outputs
+                    vmem += n_qch * bx * by * lq * q_esize * 2  # Q outputs
                     vmem += n_bch * winq * 4 * 2          # B piece in, 2-buf
                     vmem += n_bch * winq * 4              # assembled B values
                     vmem += 15 * winq * 4                 # oldE/esum/pt temps
@@ -1530,7 +1579,7 @@ class PallasKStepper:
         N_FIELD_OUT = 2
         if have_q:
             out_shapes.append(jax.ShapeDtypeStruct(
-                (nx_arr, self.n_qch, ny, self.q_zn), dtype))
+                (nx_arr, self.n_qch, ny, self.q_zn), self.q_dtype))
             out_specs.append(pl.BlockSpec(
                 (bx, self.n_qch, by, self.q_zn),
                 lambda b_i, b_j: (b_i + i0 + xpb, 0, b_j + j0, 0),
@@ -2179,17 +2228,15 @@ class PallasKStepper:
                     + coeff(comp, "b") * (d1 - d2)
                 if have_q:
                     # pole coupling -cb * Re(Gc Q), spliced into the
-                    # support slab (semantics: pallas_fused pole_term)
+                    # support slab (semantics: pallas_fused pole_term).
+                    # su-form state holds s = Re(Gc Q) directly, so the
+                    # coupling is a pure channel SUM — no Gc multiplies
+                    # (the VPU-bound pole path saves ~2 ops per pole per
+                    # comp per substep; see _pole_layout)
                     pt = None
-                    for pi, meta in enumerate(self.pole_metas):
-                        Gc = meta["Gc"]
-                        ch0 = meta["ch0"]
-                        t = Gc.real * qs[ch0 + ci] if Gc.real else None
-                        if Gc.imag and not meta["real"]:
-                            ti = Gc.imag * qs[ch0 + 3 + ci]
-                            t = -ti if t is None else t - ti
-                        if t is not None:
-                            pt = t if pt is None else pt + t
+                    for meta in self.pole_metas:
+                        t = qs[meta["ch0"] + ci]
+                        pt = t if pt is None else pt + t
                     if pt is not None:
                         cbv = coeff(comp, "b")
                         cb_sl = bcast_slice(cbv, 2, z0q, zqn)
@@ -2280,7 +2327,7 @@ class PallasKStepper:
         if have_q:
             r["out_Q"][:] = jnp.stack(
                 [qs[ch][hwx:hwx + bx, hwy:hwy + by, :]
-                 for ch in range(self.n_qch)], axis=1).astype(dtype)
+                 for ch in range(self.n_qch)], axis=1).astype(self.q_dtype)
         if use_psiz_body:
             oref = r["opsizp"]
             oref[:] = jnp.concatenate(

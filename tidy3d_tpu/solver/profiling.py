@@ -26,6 +26,7 @@ class RunMetrics:
     steps_run: int = 0
     wall_time: float = 0.0
     transfer_time: float = 0.0
+    compile_time: float = 0.0
     final_decay: float = 1.0
 
     @property
@@ -45,7 +46,8 @@ class RunMetrics:
             f"throughput: {self.gcell_steps_per_s:.3f} Gcell*steps/s",
             f"steps: {self.steps_run} ({self.ms_per_step:.3f} ms/step)",
             f"wall time: {self.wall_time:.3f} s "
-            f"(+{self.transfer_time:.3f} s result transfer)",
+            f"(+{self.transfer_time:.3f} s result transfer, "
+            f"+{self.compile_time:.3f} s compile)",
             f"final field decay: {self.final_decay:.2e}",
         ]
 
@@ -58,6 +60,7 @@ class RunMetrics:
             steps_run=getattr(runner, "steps_run", 0),
             wall_time=getattr(runner, "wall_time", 0.0),
             transfer_time=getattr(runner, "transfer_time", 0.0),
+            compile_time=getattr(runner, "compile_time", 0.0),
             final_decay=getattr(runner, "final_decay", 1.0),
         )
 
