@@ -62,6 +62,17 @@ def _build(case, monitors=()):
             center=(0, 0, -0.3), size=(td.inf, td.inf, 0),
             source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
             direction="+")
+    if case == "bloch":
+        # complex dual-copy run: Bloch x/y + PML z (bandstructure shape);
+        # a dielectric box makes the copies couple through real physics
+        bspec = td.BoundarySpec(
+            x=td.Boundary.bloch(bloch_vec=0.31),
+            y=td.Boundary.bloch(bloch_vec=-0.17),
+            z=td.Boundary.pml(num_layers=8),
+        )
+        structures = [td.Structure(
+            geometry=td.Box(center=(0.2, -0.1, 0), size=(0.7, 0.6, 0.5)),
+            medium=td.Medium(permittivity=4.0))]
     return td.Simulation(
         center=(0, 0, 0), size=(n * dl,) * 3,
         run_time=8e-14 if monitors else 2.2e-14,
@@ -93,10 +104,20 @@ def _run_fields(sim, kernel, nsteps=40, k="2"):
             out = {c: np.asarray(state["E"][c]) for c in ("Ex", "Ey", "Ez")}
             out.update(
                 {c: np.asarray(state["H"][c]) for c in ("Hx", "Hy", "Hz")})
-        else:  # kstep path: component-packed (nx, 3, ny, nz) arrays
+            if "E1" in state:  # complex (Bloch) imaginary copy
+                out.update({c + "#": np.asarray(state["E1"][c])
+                            for c in ("Ex", "Ey", "Ez")})
+                out.update({c + "#": np.asarray(state["H1"][c])
+                            for c in ("Hx", "Hy", "Hz")})
+        else:  # kstep path: component-packed (nx, 3*ncop, ny, nz) arrays
             E, H = np.asarray(state["E"]), np.asarray(state["H"])
             out = {c: E[:, i] for i, c in enumerate(("Ex", "Ey", "Ez"))}
             out.update({c: H[:, i] for i, c in enumerate(("Hx", "Hy", "Hz"))})
+            if E.shape[1] == 6:
+                out.update({c + "#": E[:, 3 + i]
+                            for i, c in enumerate(("Ex", "Ey", "Ez"))})
+                out.update({c + "#": H[:, 3 + i]
+                            for i, c in enumerate(("Hx", "Hy", "Hz"))})
         return out
     finally:
         os.environ.pop("TIDY3D_TPU_KERNEL", None)
@@ -360,3 +381,21 @@ def test_memory_budget_gate(monkeypatch):
     # explicit opt-out
     monkeypatch.setenv("TIDY3D_TPU_MEM_CHECK", "0")
     runner.check_memory_budget()
+
+
+@pytest.mark.parametrize("k", ["2", "4"])
+def test_kstep_bloch_matches_xla(k):
+    """Bloch (complex dual-copy) runs on the k-step kernel: wrapped halo
+    phase rotation at window assembly (x/y) + per-roll z mixing must
+    reproduce the XLA dual-copy path (ref Bloch semantics:
+    /root/reference/tidy3d/components/boundary.py:55-84)."""
+    sim = _build("bloch")
+    ref = _run_fields(sim, "xla")
+    got = _run_fields(sim, "kstep_interpret", k=k)
+    assert set(got) == set(ref)
+    assert any(c.endswith("#") for c in got), "complex copy missing"
+    scale = max(np.max(np.abs(ref[c])) for c in ref) + 1e-30
+    for c in ref:
+        assert np.all(np.isfinite(got[c])), f"{c} has non-finite values"
+        err = np.max(np.abs(ref[c] - got[c])) / scale
+        assert err < TOL, f"{c}: rel err {err:.2e}"

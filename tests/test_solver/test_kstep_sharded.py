@@ -30,13 +30,15 @@ FREQ0 = C_0 / 1.55
 TOL = 2e-5
 
 
-def _build_sim(case="pml"):
+def _build_sim(case="pml", dims=(208, 80, 24)):
     # totals incl. 8-layer PML (slabs lower to width 16 after staggered
     # extension + quanta padding): x = 208+16 = 224 (4 shards x 7 bx=8
     # blocks: 3+3 strip blocks + interior), y = 80+16 = 96 (by=32, nj=3:
-    # psiy strips + interior), z = 24+16 = 40 (psiz lanes 2*32 <= 128)
+    # psiy strips + interior), z = 24+16 = 40 (psiz lanes 2*32 <= 128).
+    # `dims` permutes the roles so y/z-decomposed runs keep >= 224 cells
+    # along the decomposed axis (the axis-rotation fast path).
     dl = 0.0625  # exact binary: n*dl/dl round-trips without ceil slop
-    nx, ny, nz = 208, 80, 24
+    nx, ny, nz = dims
     boundary = td.BoundarySpec.all_sides(td.PML(num_layers=8))
     if case == "periodic":
         nx, ny = 192, 96
@@ -77,7 +79,7 @@ def _build_sim(case="pml"):
     )
 
 
-def _run(sim, ndev=None, kernel=None, k=None):
+def _run(sim, ndev=None, kernel=None, k=None, decomp=None):
     env = {}
     if kernel is not None:
         env["TIDY3D_TPU_KERNEL"] = kernel
@@ -89,7 +91,8 @@ def _run(sim, ndev=None, kernel=None, k=None):
         plan = lower(sim)
         sp = None
         if ndev is not None:
-            mesh, _ = make_mesh(ndev, decomp=(ndev, 1, 1))
+            decomp = decomp or (ndev, 1, 1)
+            mesh, _ = make_mesh(ndev, decomp=decomp)
             sp = ShardingPlan(mesh, plan.shape)
         runner = FDTDRunner(plan, sharding_plan=sp)
         if kernel == "kstep_interpret":
@@ -132,15 +135,54 @@ def test_sharded_kstep_matches_single_device(case, k):
             assert err < TOL, f"monitor {idx} comp {comp}: rel err {err:.2e}"
 
 
-def test_sharded_kstep_gate_rejects_bad_decomp():
-    """y/z decompositions fall back to the GSPMD XLA path."""
+@pytest.mark.parametrize("case,decomp,rot", [
+    ("pml", (1, 2, 1), 1), ("pml", (1, 1, 2), 2),
+    ("dispersive", (1, 2, 1), 1)])
+def test_sharded_kstep_axis_rotation(case, decomp, rot):
+    """Single-axis y/z decompositions ride the SAME x-ring fast path via
+    a cyclic plan rotation (solver/plan_rotate.py); monitor data comes
+    back in original coordinates and matches the unsharded k-step run.
+
+    2-device mesh + the smallest decomposed-axis extent the SPMD-uniform
+    strip layout admits (112 interior rows) to bound interpret runtime."""
+    dims = (80, 112, 24) if rot == 1 else (80, 24, 112)
+    sim = _build_sim(case, dims=dims)
+    ref = _run(sim, kernel="kstep_interpret", k=4)
+    os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"
+    os.environ["TIDY3D_TPU_KSTEP"] = "4"
+    try:
+        plan = lower(sim)
+        mesh, _ = make_mesh(2, decomp=decomp)
+        runner = FDTDRunner(plan, sharding_plan=ShardingPlan(
+            mesh, plan.shape))
+        assert runner._plan_rot == rot
+        assert runner.kstep is not None and runner.kstep.shard is not None
+        got = runner.run()
+    finally:
+        os.environ.pop("TIDY3D_TPU_KERNEL", None)
+        os.environ.pop("TIDY3D_TPU_KSTEP", None)
+    assert set(got) == set(ref)
+    for idx in ref:
+        scale = max(np.max(np.abs(r)) for r in ref[idx].values()) + 1e-30
+        for comp, r in ref[idx].items():
+            g = got[idx][comp]
+            assert g.shape == r.shape, \
+                f"monitor {idx} comp {comp}: {g.shape} vs {r.shape}"
+            err = np.max(np.abs(g - r)) / scale
+            assert err < TOL, f"monitor {idx} comp {comp}: rel err {err:.2e}"
+
+
+def test_sharded_kstep_gate_rejects_2d_decomp():
+    """Mixed 2D decompositions still fall back to the GSPMD XLA path
+    (only a single decomposed axis maps onto the x-ring kernel)."""
     sim = _build_sim("pml")
     plan = lower(sim)
-    mesh, _ = make_mesh(4, decomp=(1, 4, 1))
+    mesh, _ = make_mesh(4, decomp=(2, 2, 1))
     os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"
     try:
         runner = FDTDRunner(plan, sharding_plan=ShardingPlan(
             mesh, plan.shape))
         assert runner.kstep is None
+        assert runner._plan_rot == 0
     finally:
         os.environ.pop("TIDY3D_TPU_KERNEL", None)

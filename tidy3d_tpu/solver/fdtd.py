@@ -79,6 +79,25 @@ class FDTDRunner:
 
     def __init__(self, plan: SimulationPlan, precision: str = None,
                  sharding_plan=None):
+        # single-axis y/z decompositions rotate onto the x-only fast
+        # path (cyclic axis permutation of the whole lowered problem —
+        # solver/plan_rotate.py); monitor outputs rotate back in run().
+        # Mixed 2D/3D layouts stay in original axes (GSPMD fallback).
+        self._plan_rot = 0
+        if sharding_plan is not None and not plan.is_complex:
+            d = sharding_plan.decomp
+            if d[0] == 1 and ((d[1] > 1) != (d[2] > 1)):
+                from jax.sharding import Mesh
+
+                from .plan_rotate import perm_for_rot, rotate_plan
+                from .sharding import AXIS_NAMES, ShardingPlan
+
+                self._plan_rot = 1 if d[1] > 1 else 2
+                p = perm_for_rot(self._plan_rot)
+                plan = rotate_plan(plan, self._plan_rot)
+                mesh = Mesh(np.transpose(sharding_plan.mesh.devices, p),
+                            AXIS_NAMES)
+                sharding_plan = ShardingPlan(mesh, plan.shape)
         self.plan = plan
         self.shape = plan.shape           # interior (physical) shape
         self.gshape = tuple(n + 2 * G for n in plan.shape)
@@ -188,7 +207,7 @@ class FDTDRunner:
                             jax.devices()[0].platform == "tpu"
                     except Exception:
                         self._shard_kstep_try = False
-        if kern == "xla" or self.plan.is_complex or self.sharding is not None:
+        if kern == "xla" or self.sharding is not None:
             self._want_pallas = False
         elif kern == "auto":
             try:
@@ -274,6 +293,10 @@ class FDTDRunner:
                     except ValueError:
                         self.kstep = None
         if self.kstep is not None:
+            return
+        if self.plan.is_complex:
+            # Bloch dual-copy runs ride kstep or the XLA path only (the
+            # 1-step fused/pallas kernels have no copy machinery)
             return
 
         interp = self._pallas_interpret
@@ -1421,10 +1444,16 @@ class FDTDRunner:
                 newH_c = newH[bxk:bxk + nxl]
             else:
                 newE_c, newH_c = newE, newH
-            newE_d = {c: newE_c[:, ci] for ci, c in enumerate(E_COMPS)}
-            newH_d = {c: newH_c[:, ci] for ci, c in enumerate(H_COMPS)}
+            newE_l = [{c: newE_c[:, ci] for ci, c in enumerate(E_COMPS)}]
+            newH_l = [{c: newH_c[:, ci] for ci, c in enumerate(H_COMPS)}]
+            if self.is_complex:
+                # Bloch runs: imaginary copy packed as channels 3-5
+                newE_l.append({c: newE_c[:, 3 + ci]
+                               for ci, c in enumerate(E_COMPS)})
+                newH_l.append({c: newH_c[:, 3 + ci]
+                               for ci, c in enumerate(H_COMPS)})
             new_mon = self._accumulate_monitors(
-                t0 + k - 1, [newE_d], [newH_d], state, consts)
+                t0 + k - 1, newE_l, newH_l, state, consts)
         else:
             new_mon = state["mon"]
         out = {"E": newE, "H": newH, "psi": new_psi, "Q": state["Q"],
@@ -2027,6 +2056,10 @@ class FDTDRunner:
                 else:
                     mon[comp] = np.asarray(jax.device_get(arr))
             out[idx] = mon
+        if self._plan_rot:
+            from .plan_rotate import unrotate_raw
+
+            out = unrotate_raw(out, self.plan, self._plan_rot)
         self.transfer_time = 0.0
         return out
 
@@ -2095,6 +2128,17 @@ class FDTDRunner:
         mon_out, stats = run_fn(*self._consts_dev)
         stats_np = np.asarray(jax.device_get(stats))
         self.wall_time = _time.time() - start_time
+        # actual HBM highwater, recorded so the estimate_device_memory
+        # gate can be validated against reality (scripts/mem_check.py
+        # asserts estimate/actual within [0.7, 2.0]; an optimistic
+        # estimate reintroduces raw OOMs, a pessimistic one refuses
+        # runnable sims). Process-lifetime peak: attribute per-case by
+        # running one case per process.
+        try:
+            dstats = jax.devices()[0].memory_stats() or {}
+            self.hbm_peak_bytes = int(dstats.get("peak_bytes_in_use", 0))
+        except Exception:  # noqa: BLE001 — platform without memory_stats
+            self.hbm_peak_bytes = 0
 
         chunks_run = int(stats_np[0])
         max_ever = float(stats_np[1])
@@ -2126,6 +2170,10 @@ class FDTDRunner:
                 else:
                     mon[comp] = vals
             out[idx] = mon
+        if self._plan_rot:
+            from .plan_rotate import unrotate_raw
+
+            out = unrotate_raw(out, self.plan, self._plan_rot)
         self.transfer_time = _time.time() - start_time - self.wall_time
         return out
 

@@ -132,6 +132,23 @@ class PallasKStepper:
         self.dtype = runner.dtype
         self.interpret = interpret
         self.k = k
+        # Bloch (complex) runs step TWO real copies packed on the channel
+        # dim; they couple ONLY through phase rotation of wrapped halo
+        # data (applied once at window assembly for x/y, per-roll for z)
+        # and through source injection — away from the wrap the updates
+        # are copy-independent, so the whole piece machinery just runs
+        # with doubled channel counts. Copy-1 components are named with
+        # a '#' suffix (e.g. "Ex#").
+        self.n_copies = 2 if self.plan.is_complex else 1
+        self.e_comps = E_COMPS if self.n_copies == 1 else \
+            E_COMPS + tuple(c + "#" for c in E_COMPS)
+        self.h_comps = H_COMPS if self.n_copies == 1 else \
+            H_COMPS + tuple(c + "#" for c in H_COMPS)
+        self.bloch_cs = [None, None, None]
+        for ax, ph in enumerate(self.plan.bloch_phases):
+            if abs(ph - 1.0) > 1e-12:
+                self.bloch_cs[ax] = (float(np.real(ph)),
+                                     float(np.imag(ph)))
         cfg = self._pick_config_static(runner, k, shard=shard)
         if cfg is None:
             raise ValueError("no feasible (bx, by) for this grid")
@@ -268,7 +285,10 @@ class PallasKStepper:
     @classmethod
     def supported(cls, runner, k: int) -> bool:
         plan = runner.plan
-        if plan.is_complex or runner.sharding is not None:
+        if runner.sharding is not None:
+            return False
+        if plan.is_complex and runner.pole_scalars:
+            # Bloch dual-copy + dispersive poles: not yet on this kernel
             return False
         if plan.nonlinear is not None or plan.modulation:
             return False
@@ -302,9 +322,10 @@ class PallasKStepper:
         if len(cls._coeff_layout(runner)[0]) > 12:
             return False
         # packed z-psi lanes per family must fit one vreg row
+        ncop_g = 2 if plan.is_complex else 1
         for fam in ("dual", "primal"):
             w_lo, w_hi = runner.pml_meta[(fam, 2)]
-            if 2 * (w_lo + w_hi) > 128:
+            if 2 * (w_lo + w_hi) * ncop_g > 128:
                 return False
         return cls._pick_config_static(runner, k) is not None
 
@@ -633,13 +654,14 @@ class PallasKStepper:
                     continue
                 Wx, Wy = bx + 2 * hwx, by + 2 * hwy
                 win = Wx * Wy * nz
-                vmem = 6 * win * esize * 2           # field windows, 2-buf
-                vmem += 6 * bx * by * nz * esize * 2  # outputs, 2-buf
+                ncop = 2 if runner.plan.is_complex else 1  # Bloch copies
+                vmem = 6 * ncop * win * esize * 2    # field windows, 2-buf
+                vmem += 6 * ncop * bx * by * nz * esize * 2  # outputs, 2-buf
                 # f32 live temporaries: 16 windows measured (10 under-
                 # predicted by ~40 MB at k=4: (16,64) compiled to 139.9M
                 # against the 128M budget)
-                vmem += 16 * win * 4
-                vmem += n_psi_x * win * esize         # psi_x scratch
+                vmem += 16 * ncop * win * 4
+                vmem += n_psi_x * ncop * win * esize  # psi_x scratch
                 # coeff pieces: double-buffered inputs + assembled window
                 vmem += n_var * win * 4 * 3
                 if n_qch:
@@ -750,8 +772,23 @@ class PallasKStepper:
         # vectors live in the same (row, comp) space with zeros on
         # pad/off-slab rows (self-neutralizing recursion). Packing cuts
         # the per-program psi DMA+semaphore count from 16 to 2.
-        PX_COMPS = [("Ey", "dual", -1.0), ("Ez", "dual", 1.0),
-                    ("Hy", "primal", -1.0), ("Hz", "primal", 1.0)]
+        # Bloch runs double the channel dim (copy-1 slots after copy-0,
+        # same b/c values).
+        nc = self.n_copies
+
+        def _tile_copies(tbl, ch_axis=1):
+            """Repeat a psi b/c table's channel dim for the Bloch copy."""
+            if nc == 1:
+                return tbl
+            return np.concatenate([tbl, tbl], axis=ch_axis)
+
+        def _ext_comps(comps):
+            if nc == 1:
+                return comps
+            return comps + [(c + "#", fam, sgn) for c, fam, sgn in comps]
+
+        PX_COMPS = _ext_comps([("Ey", "dual", -1.0), ("Ez", "dual", 1.0),
+                               ("Hy", "primal", -1.0), ("Hz", "primal", 1.0)])
         w_lo_x = max(runner.pml_meta[("dual", 0)][0],
                      runner.pml_meta[("primal", 0)][0])
         w_hi_x = max(runner.pml_meta[("dual", 0)][1],
@@ -770,8 +807,8 @@ class PallasKStepper:
                 xpad_hi = (nx - bx - s_min_hi) + Wx
             rows = xpad_lo + xpad_hi
             if shard is None:
-                b = np.zeros((rows, 4, 1, 1), f32)
-                c = np.zeros((rows, 4, 1, 1), f32)
+                b = np.zeros((rows, len(PX_COMPS), 1, 1), f32)
+                c = np.zeros((rows, len(PX_COMPS), 1, 1), f32)
                 for ci, (comp, fam, sgn) in enumerate(PX_COMPS):
                     wl, wh = runner.pml_meta[(fam, 0)]
                     pml_c = runner.consts["pml"].get(f"{fam}0")
@@ -794,8 +831,8 @@ class PallasKStepper:
         # y-axis psi: one 4D-packed state array per side, components
         # [Ex, Ez, Hx, Hz] on dim1, slab width = max over families with
         # zero-padded b/c (lo slabs left-aligned, hi slabs right-aligned)
-        PY_COMPS = [("Ex", "dual", 1.0), ("Ez", "dual", -1.0),
-                    ("Hx", "primal", 1.0), ("Hz", "primal", -1.0)]
+        PY_COMPS = _ext_comps([("Ex", "dual", 1.0), ("Ez", "dual", -1.0),
+                               ("Hx", "primal", 1.0), ("Hz", "primal", -1.0)])
         self.psiy_pack: Dict[str, dict] = {}
         for side in ("lo", "hi"):
             si = 0 if side == "lo" else 1
@@ -803,8 +840,8 @@ class PallasKStepper:
                         runner.pml_meta[("primal", 1)][si])
             if not w_max:
                 continue
-            b = np.zeros((1, 4, w_max, 1), f32)
-            c = np.zeros((1, 4, w_max, 1), f32)
+            b = np.zeros((1, len(PY_COMPS), w_max, 1), f32)
+            c = np.zeros((1, len(PY_COMPS), w_max, 1), f32)
             for ci, (comp, fam, sgn) in enumerate(PY_COMPS):
                 w_f = runner.pml_meta[(fam, 1)][si]
                 if not w_f:
@@ -834,7 +871,7 @@ class PallasKStepper:
         # layout). b/c become (1, 1, L) lane vectors; the recursion for a
         # whole family is two fused VPU ops.
         self.psiz_meta: Dict[str, list] = {"dual": [], "primal": []}
-        for fam, comps in (("dual", E_COMPS), ("primal", H_COMPS)):
+        for fam, comps in (("dual", self.e_comps), ("primal", self.h_comps)):
             w_lo, w_hi = runner.pml_meta[(fam, 2)]
             pml_c = runner.consts["pml"].get(f"{fam}2")
             lane = 0
@@ -995,64 +1032,99 @@ class PallasKStepper:
                     kc["poleB_pk"] = Bg
 
         # source profiles in window-aligned layouts (built in GLOBAL x
-        # coordinates; shard mode slices per shard afterwards)
+        # coordinates; shard mode slices per shard afterwards).
+        # Complex (Bloch) runs: lowering splits a complex profile into a
+        # (re, im) plan PAIR sharing slices (the im plan's waveform_key_im
+        # equals the re plan's waveform_key); the kernel regroups the pair
+        # into ONE complex profile so wrap pads on Bloch axes can carry
+        # the phase factor (virtual profile e^{-i phi} P at the lo pads,
+        # e^{+i phi} at the hi pads). Injection drives both copies:
+        #   copy0 -= cb (Pr wf[kr] - Pi wf[ki]);  copy1 -= cb (Pr wf[ki]
+        #   + Pi wf[kr])  — exactly Re/Im of P w(t).
         nxg = self.gshape[0]
         self.src_meta = []
-        for si, sp in enumerate(plan.sources):
-            prof = np.asarray(runner.consts["src_profiles"][si], f32)
+        groups = []
+        si = 0
+        n_src = len(plan.sources)
+        while si < n_src:
+            sp = plan.sources[si]
+            if self.n_copies == 2 and si + 1 < n_src:
+                nxt = plan.sources[si + 1]
+                if nxt.comp == sp.comp and nxt.slices == sp.slices \
+                        and nxt.waveform_key_im == sp.waveform_key:
+                    groups.append((si, si + 1))
+                    si += 2
+                    continue
+            groups.append((si, None))
+            si += 1
+
+        cdtype = np.complex64 if self.n_copies == 2 else f32
+        for gi, (i_re, i_im) in enumerate(groups):
+            sp = plan.sources[i_re]
+            prof = np.asarray(runner.consts["src_profiles"][i_re], cdtype)
+            if i_im is not None:
+                prof = prof + 1j * np.asarray(
+                    runner.consts["src_profiles"][i_im], f32)
             box = tuple((s.stop if s.stop is not None else n) - (s.start or 0)
                         for s, n in zip(sp.slices, self.gshape))
             prof = np.broadcast_to(prof, box)
             xs, ys, zs = sp.slices
             x0, y0, z0 = (xs.start or 0), (ys.start or 0), (zs.start or 0)
             xe, ye, ze = prof.shape
+
             def wrap_pads(padded, axes):
                 """Fill pads from the opposite core edge on periodic
-                axes (halo cells are real wrapped cells)."""
-                for ax, n_core, pad, per in axes:
+                axes (halo cells are real wrapped cells); on Bloch axes
+                the pads carry the phase factor (virtual profile)."""
+                for ax, grid_ax, n_core, pad, per in axes:
                     if not per:
                         continue
+                    cs = self.bloch_cs[grid_ax]
+                    e_lo = complex(cs[0], -cs[1]) if cs is not None else 1.0
+                    e_hi = complex(cs[0], cs[1]) if cs is not None else 1.0
                     sl_lo = [slice(None)] * 3
                     sl_lo[ax] = slice(0, pad)
                     sl_lo_src = [slice(None)] * 3
                     sl_lo_src[ax] = slice(n_core, n_core + pad)
-                    padded[tuple(sl_lo)] = padded[tuple(sl_lo_src)]
+                    padded[tuple(sl_lo)] = e_lo * padded[tuple(sl_lo_src)]
                     sl_hi = [slice(None)] * 3
                     sl_hi[ax] = slice(n_core + pad, n_core + 2 * pad)
                     sl_hi_src = [slice(None)] * 3
                     sl_hi_src[ax] = slice(pad, 2 * pad)
-                    padded[tuple(sl_hi)] = padded[tuple(sl_hi_src)]
+                    padded[tuple(sl_hi)] = e_hi * padded[tuple(sl_hi_src)]
                 return padded
 
             if xe <= 8:
-                padded = np.zeros((xe, ny + 2 * hwy, nz), f32)
+                padded = np.zeros((xe, ny + 2 * hwy, nz), cdtype)
                 padded[:, y0 + hwy:y0 + hwy + ye, z0:z0 + ze] = prof
-                padded = wrap_pads(padded, [(1, ny, hwy, y_mode == "wrap")])
-                self.src_meta.append(dict(kind="thin_x", x0=x0, xe=xe,
-                                          comp=sp.comp, wf=sp.waveform_key))
+                padded = wrap_pads(padded,
+                                   [(1, 1, ny, hwy, y_mode == "wrap")])
+                meta = dict(kind="thin_x", x0=x0, xe=xe, comp=sp.comp,
+                            wf=sp.waveform_key)
             elif ye <= 8:
                 xpad = (bx + hwx) if shard is not None else hwx
-                padded = np.zeros((nxg + 2 * xpad, ye, nz), f32)
+                padded = np.zeros((nxg + 2 * xpad, ye, nz), cdtype)
                 padded[x0 + xpad:x0 + xpad + xe, :, z0:z0 + ze] = prof
-                padded = wrap_pads(padded, [(0, nxg, xpad,
+                padded = wrap_pads(padded, [(0, 0, nxg, xpad,
                                              x_mode == "wrap")])
                 if shard is not None:
                     padded = _xslice_stack(padded, xpad)
-                    self.sharded_keys.add(f"src_{si}")
-                self.src_meta.append(dict(kind="wide_x", y0=y0, ye=ye,
-                                          comp=sp.comp, wf=sp.waveform_key))
+                    self.sharded_keys.add(f"src_{gi}")
+                meta = dict(kind="wide_x", y0=y0, ye=ye, comp=sp.comp,
+                            wf=sp.waveform_key)
             else:
                 # thin in z (e.g. z-normal plane waves): Mosaic cannot
                 # load a dynamic lane window, so pre-tile the per-program
                 # (Wx, ze, Wy) windows host-side into a grid-indexed array
-                padded = np.zeros((nxg + 2 * hwx, ze, ny + 2 * hwy), f32)
+                padded = np.zeros((nxg + 2 * hwx, ze, ny + 2 * hwy), cdtype)
                 padded[x0 + hwx:x0 + hwx + xe, :, y0 + hwy:y0 + hwy + ye] = \
                     np.transpose(prof, (0, 2, 1))
-                padded = wrap_pads(padded, [(0, nxg, hwx, x_mode == "wrap"),
-                                            (2, ny, hwy, y_mode == "wrap")])
+                padded = wrap_pads(
+                    padded, [(0, 0, nxg, hwx, x_mode == "wrap"),
+                             (2, 1, ny, hwy, y_mode == "wrap")])
                 ni, nj = nxg // bx, ny // by
                 Wy = self.Wy
-                tiled = np.zeros((ni, nj, Wx, ze, Wy), f32)
+                tiled = np.zeros((ni, nj, Wx, ze, Wy), cdtype)
                 for ti in range(ni):
                     for tj in range(nj):
                         tiled[ti, tj] = padded[ti * bx:ti * bx + Wx, :,
@@ -1063,20 +1135,34 @@ class PallasKStepper:
                     padded = np.stack(
                         [tiled[s * ni_loc:(s + 1) * ni_loc]
                          for s in range(ndev)])
-                    self.sharded_keys.add(f"src_{si}")
-                self.src_meta.append(dict(kind="thin_z", z0=z0, ze=ze,
-                                          comp=sp.comp, wf=sp.waveform_key))
-            kc[f"src_{si}"] = padded
+                    self.sharded_keys.add(f"src_{gi}")
+                meta = dict(kind="thin_z", z0=z0, ze=ze, comp=sp.comp,
+                            wf=sp.waveform_key)
+            if self.n_copies == 2:
+                meta["wf_im"] = sp.waveform_key_im
+                pim = np.ascontiguousarray(np.imag(padded)).astype(f32)
+                meta["has_im"] = bool(np.any(pim))
+                if meta["has_im"]:
+                    kc[f"src_{gi}_im"] = pim
+                    if f"src_{gi}" in self.sharded_keys:
+                        self.sharded_keys.add(f"src_{gi}_im")
+                kc[f"src_{gi}"] = np.ascontiguousarray(
+                    np.real(padded)).astype(f32)
+            else:
+                kc[f"src_{gi}"] = np.asarray(padded, f32)
+            self.src_meta.append(meta)
 
         # split-mode b/c tables for the piece-plumbed psi x layout: per
         # side, rows = strip x-extent plus hwx zero pads on both ends so
         # the kernel slices [b_i*bx, +Wx) windows without clamping
         PXS = [("Ey", "dual"), ("Ez", "dual"), ("Hy", "primal"),
                ("Hz", "primal")]
+        if nc == 2:
+            PXS = PXS + [(c + "#", fam) for c, fam in PXS]
         for side, kx_blocks in self._psix_strip_blocks().items():
             rows = kx_blocks * bx + 2 * hwx
-            b = np.zeros((rows, 4, 1, 1), f32)
-            c = np.zeros((rows, 4, 1, 1), f32)
+            b = np.zeros((rows, len(PXS), 1, 1), f32)
+            c = np.zeros((rows, len(PXS), 1, 1), f32)
             x_base = 0 if side == "lo" else nx - kx_blocks * bx
             for ci, (comp, fam) in enumerate(PXS):
                 wl, wh = runner.pml_meta[(fam, 0)]
@@ -1111,11 +1197,12 @@ class PallasKStepper:
 
     def field_shape(self) -> Tuple[int, ...]:
         """Shape of one component-packed field state array (per shard in
-        shard mode: padded local rows)."""
+        shard mode: padded local rows; Bloch runs pack the imaginary
+        copy as channels 3-5)."""
         nx, ny, nz = self.shape
         if self.shard is not None:
             nx += 2 * self.bx
-        return (nx, 3, ny, nz)
+        return (nx, 3 * self.n_copies, ny, nz)
 
     def q_shape(self) -> Optional[Tuple[int, ...]]:
         """Shape of the packed ADE pole-current state array (None when
@@ -1144,27 +1231,28 @@ class PallasKStepper:
         nx, ny, nz = self.shape
         hwx, hwy = self.hwx, self.hwy
         shapes = {}
+        nch = 4 * self.n_copies
         if self.shard is not None:
             nx_pad = nx + 2 * self.bx
             for side, kx in self._psix_strip_blocks().items():
-                shapes[f"psix_{side}"] = (kx * self.bx, 4, ny, nz)
+                shapes[f"psix_{side}"] = (kx * self.bx, nch, ny, nz)
             for side, pk in self.psiy_pack.items():
-                shapes[f"psiy_{side}"] = (nx_pad, 4, pk["w"], nz)
+                shapes[f"psiy_{side}"] = (nx_pad, nch, pk["w"], nz)
             if self.psiz_Ltot:
                 shapes["psizp"] = (nx_pad, ny, self.psiz_Ltot)
             return shapes
         if len(self._regions()) > 1:
             for side, kx in self._psix_strip_blocks().items():
-                shapes[f"psix_{side}"] = (kx * self.bx, 4, ny, nz)
+                shapes[f"psix_{side}"] = (kx * self.bx, nch, ny, nz)
             for side, pk in self.psiy_pack.items():
-                shapes[f"psiy_{side}"] = (nx, 4, pk["w"], nz)
+                shapes[f"psiy_{side}"] = (nx, nch, pk["w"], nz)
         else:
             if self.psix_pack is not None:
                 px = self.psix_pack
-                shapes["psix"] = (px["xpad_lo"] + px["xpad_hi"], 4,
+                shapes["psix"] = (px["xpad_lo"] + px["xpad_hi"], nch,
                                   ny + 2 * hwy, self.nz_p)
             for side, pk in self.psiy_pack.items():
-                shapes[f"psiy_{side}"] = (nx + 2 * hwx, 4, pk["w"],
+                shapes[f"psiy_{side}"] = (nx + 2 * hwx, nch, pk["w"],
                                           self.nz_p)
         if self.psiz_Ltot:
             shapes["psizp"] = (nx, ny, self.psiz_Ltot)
@@ -1432,11 +1520,13 @@ class PallasKStepper:
                 lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), 0, ym(b_j), 0),
                 memory_space=pltpu.VMEM)
 
+        ncop = self.n_copies
         for famk in ("E", "H"):
             arr = view[famk]
             for xk in "lmh":
                 for yk in "lmh":
-                    add(f"{famk}pk_{xk}{yk}", arr, piece_spec4(xk, yk))
+                    add(f"{famk}pk_{xk}{yk}", arr,
+                        piece_spec4(xk, yk, C=3 * ncop))
 
         # packed ADE pole state + residue channels through the same
         # piece machinery (z-restricted to the support slab)
@@ -1491,14 +1581,18 @@ class PallasKStepper:
             if key.startswith(("bx_", "cx_", "by_", "cy_", "bz_", "cz_")):
                 add(key, kc[key], full)
         for si, sm in enumerate(self.src_meta):
-            if sm["kind"] == "thin_z":
-                ze = sm["ze"]
-                add(f"src_{si}", kc[f"src_{si}"], pl.BlockSpec(
-                    (1, 1, Wx, ze, Wy),
-                    lambda b_i, b_j: (b_i + i0, b_j + j0, 0, 0, 0),
-                    memory_space=pltpu.VMEM))
-            else:
-                add(f"src_{si}", kc[f"src_{si}"], full)
+            keys = [f"src_{si}"]
+            if sm.get("has_im"):
+                keys.append(f"src_{si}_im")
+            for key in keys:
+                if sm["kind"] == "thin_z":
+                    ze = sm["ze"]
+                    add(key, kc[key], pl.BlockSpec(
+                        (1, 1, Wx, ze, Wy),
+                        lambda b_i, b_j: (b_i + i0, b_j + j0, 0, 0, 0),
+                        memory_space=pltpu.VMEM))
+                else:
+                    add(key, kc[key], full)
         if self.var_coeffs and "coef" not in _sk:
             for xk in "lmh":
                 for yk in "lmh":
@@ -1528,7 +1622,7 @@ class PallasKStepper:
                 if side in region["psiy_sides"]:
                     pack_keys.append(f"psiy_{side}")
         for key in pack_keys:
-            add(key, view["psi"][key], pl.BlockSpec(memory_space=pltpu.ANY))
+            add(key, view["psi"][key], pl.BlockSpec(memory_space=pl.ANY))
 
         if piece_psix:
             xside = psix_mode
@@ -1551,7 +1645,7 @@ class PallasKStepper:
                     bsy = hwy if yk in "lh" else by
                     xm, ym = xmap_ps(xk), ymap(yk)
                     add(f"psixp_{xk}{yk}", arr_x, pl.BlockSpec(
-                        (bsx, 4, bsy, nz),
+                        (bsx, 4 * ncop, bsy, nz),
                         lambda b_i, b_j, xm=xm, ym=ym: (xm(b_i), 0,
                                                         ym(b_j), 0),
                         memory_space=pltpu.VMEM))
@@ -1564,15 +1658,15 @@ class PallasKStepper:
                 bsx = hwx if xk in "lh" else bx
                 xm = xmap(xk)
                 add(f"psiyp_{sd}_{xk}", arr_y, pl.BlockSpec(
-                    (bsx, 4, w_sd, nz),
+                    (bsx, 4 * ncop, w_sd, nz),
                     lambda b_i, b_j, xm=xm: (xm(b_i), 0, 0, 0),
                     memory_space=pltpu.VMEM))
 
         nx_arr = nx + 2 * bx * xpb  # padded local rows in shard mode
-        out_shapes = [jax.ShapeDtypeStruct((nx_arr, 3, ny, nz), dtype)
-                      for _ in range(2)]
+        out_shapes = [jax.ShapeDtypeStruct((nx_arr, 3 * ncop, ny, nz),
+                                           dtype) for _ in range(2)]
         out_specs = [pl.BlockSpec(
-            (bx, 3, by, nz),
+            (bx, 3 * ncop, by, nz),
             lambda b_i, b_j: (b_i + i0 + xpb, 0, b_j + j0, 0),
             memory_space=pltpu.VMEM) for _ in range(2)]
         out_names = ["out_E", "out_H"]
@@ -1590,14 +1684,14 @@ class PallasKStepper:
         for key in pack_keys:
             arr = view["psi"][key]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
-            out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             out_names.append(f"o_{key}")
             out_psi_keys.append(key)
         if piece_psix:
             arr = view["psi"][f"psix_{psix_mode}"]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(
-                (bx, 4, by, nz),
+                (bx, 4 * ncop, by, nz),
                 lambda b_i, b_j: (b_i, 0, b_j + j0, 0),
                 memory_space=pltpu.VMEM))
             out_names.append("o_psixp")
@@ -1606,7 +1700,7 @@ class PallasKStepper:
             arr = view["psi"][f"psiy_{sd}"]
             out_shapes.append(jax.ShapeDtypeStruct(arr.shape, arr.dtype))
             out_specs.append(pl.BlockSpec(
-                (bx, 4, arr.shape[2], nz),
+                (bx, 4 * ncop, arr.shape[2], nz),
                 lambda b_i, b_j: (b_i + i0 + xpb, 0, 0, 0),
                 memory_space=pltpu.VMEM))
             out_names.append(f"o_psiyp_{sd}")
@@ -1623,7 +1717,7 @@ class PallasKStepper:
 
         io_aliases = {}
         if alt is not None:
-            anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+            anyspec = pl.BlockSpec(memory_space=pl.ANY)
             for oi, famk in enumerate(("E", "H")):
                 io_aliases[len(arrays)] = oi
                 add(f"alias_{famk}", alt[famk], anyspec)
@@ -1638,9 +1732,10 @@ class PallasKStepper:
         scratch_names = []
         for key in pack_keys:
             if key == "psix":
-                shp = (Wx, 4, Wy, self.nz_p)
+                shp = (Wx, 4 * ncop, Wy, self.nz_p)
             else:
-                shp = (Wx, 4, self.psiy_pack[key[5:]]["w"], self.nz_p)
+                shp = (Wx, 4 * ncop, self.psiy_pack[key[5:]]["w"],
+                       self.nz_p)
             scratch_names.append(f"s_{key}")
             scratch_shapes.append(pltpu.VMEM(shp, self.psi_dtype))
         n_dma = 4 * len(pack_keys)
@@ -1804,10 +1899,58 @@ class PallasKStepper:
                 rows.append(jnp.concatenate(cols, axis=2))
             return _f32(jnp.concatenate(rows, axis=0))
 
-        Ewin = ext4("Epk")
-        Hwin = ext4("Hpk")
-        fE = {c: Ewin[:, ci] for ci, c in enumerate(E_COMPS)}
-        fH = {c: Hwin[:, ci] for ci, c in enumerate(H_COMPS)}
+        # Bloch halo rotation: wrapped halo data (piece index maps read
+        # the opposite global edge on periodic axes) represents the
+        # VIRTUAL field e^{-i phi} F(wrap) (lo side; e^{+i phi} hi). The
+        # phase is constant, so rotating the two real copies ONCE at
+        # window assembly makes every subsequent in-window substep
+        # correct — the virtual field satisfies the same update
+        # equations. Applies to all field-like windows (fields, psi);
+        # coefficient windows are unphased wrapped values and stay as-is.
+        ncop = self.n_copies
+
+        def bloch_rot(re_b, im_b, skip_x=False, skip_y=False):
+            """Rotate wrapped-halo rows/cols between the two copies.
+
+            re_b/im_b: equally-shaped blocks whose dim0 is the x window
+            and whose y window (if any) sits at dim -2 for 4D blocks /
+            dim 1 for 3D blocks."""
+            for ax in (0, 1):
+                cs = self.bloch_cs[ax]
+                if cs is None or (ax == 0 and skip_x) \
+                        or (ax == 1 and skip_y):
+                    continue
+                c, sph = cs
+                nd = re_b.ndim
+                if ax == 0:
+                    gm = jnp.reshape(gx, (-1,) + (1,) * (nd - 1))
+                    lim = nxg
+                else:
+                    yd = nd - 2 if nd >= 3 else 1
+                    shp = [1] * nd
+                    shp[yd] = -1
+                    gm = jnp.reshape(gy, shp)
+                    lim = ny
+                lo = gm < 0
+                hi = gm >= lim
+                re2 = jnp.where(lo, c * re_b + sph * im_b,
+                                jnp.where(hi, c * re_b - sph * im_b, re_b))
+                im2 = jnp.where(lo, c * im_b - sph * re_b,
+                                jnp.where(hi, c * im_b + sph * re_b, im_b))
+                re_b, im_b = re2, im2
+            return re_b, im_b
+
+        def rot_win4(win, m):
+            """Rotate a (Wx, 2m, Wy, nz) channel-packed window."""
+            if ncop == 1 or all(c is None for c in self.bloch_cs[:2]):
+                return win
+            re_b, im_b = bloch_rot(win[:, :m], win[:, m:])
+            return jnp.concatenate([re_b, im_b], axis=1)
+
+        Ewin = rot_win4(ext4("Epk"), 3)
+        Hwin = rot_win4(ext4("Hpk"), 3)
+        fE = {c: Ewin[:, ci] for ci, c in enumerate(self.e_comps)}
+        fH = {c: Hwin[:, ci] for ci, c in enumerate(self.h_comps)}
 
         # ADE pole state/coefficient windows (z-restricted): qs holds the
         # live per-channel Q values across substeps, exactly like fields
@@ -1848,7 +1991,14 @@ class PallasKStepper:
             zall = ext("psizp")
             for fam in packed_fams:
                 ofs = self.psiz_off[fam]
-                psizw[fam] = zall[:, :, ofs:ofs + self.psiz_L[fam]]
+                w = zall[:, :, ofs:ofs + self.psiz_L[fam]]
+                if ncop == 2:
+                    # family lanes = [copy-0 slabs | copy-1 slabs]
+                    # (psiz_meta iterates base comps then '#' comps)
+                    half = self.psiz_L[fam] // 2
+                    re_b, im_b = bloch_rot(w[:, :, :half], w[:, :, half:])
+                    w = jnp.concatenate([re_b, im_b], axis=2)
+                psizw[fam] = w
 
         # piece-plumbed psi x/y windows (split mode): per-component
         # (window, ...) values updated in place each substep, written back
@@ -1862,13 +2012,22 @@ class PallasKStepper:
                 cols = [r[f"psixp_{xk}{yk}"][:] for yk in "lmh"]
                 rows.append(jnp.concatenate(cols, axis=2))
             psixw_full = _f32(jnp.concatenate(rows, axis=0))
-            for ci in range(4):
+            # x-psi rows are strip-local (never wrap); only y halos can
+            # cross a Bloch-y boundary
+            psixw_full = rot_win4(psixw_full, 4) if ncop == 2 else \
+                psixw_full
+            for ci in range(4 * ncop):
                 psix_state[ci] = psixw_full[:, ci]
         psiy_state = {}
         for sd in pieces_info["psiy_sides"]:
             win = _f32(jnp.concatenate(
                 [r[f"psiyp_{sd}_{xk}"][:] for xk in "lmh"], axis=0))
-            for ci in range(4):
+            if ncop == 2:
+                # y-psi slab cols are slab-local; only x halos wrap
+                re_b, im_b = bloch_rot(win[:, :4], win[:, 4:],
+                                       skip_y=True)
+                win = jnp.concatenate([re_b, im_b], axis=1)
+            for ci in range(4 * ncop):
                 psiy_state[(sd, ci)] = win[:, ci]
 
         for dma, cond in read_waits:
@@ -1911,6 +2070,23 @@ class PallasKStepper:
                     valid, jnp.reshape(gx_in, (Wx, 1, 1, 1)))
             sref[:] = jnp.where(valid, sref[:],
                                 jnp.zeros((), sref.dtype))
+        if ncop == 2:
+            # manual-mode scratch: rotate the wrap halos between copies
+            # (write-back refreshes wrap pads UNrotated edge data)
+            if "psix" in pack_keys and self.bloch_cs[1] is not None:
+                sref = r["s_psix"]
+                v = _f32(sref[:])
+                sref[:] = rot_win4(v, 4).astype(sref.dtype)
+            if self.bloch_cs[0] is not None:
+                for side in ("lo", "hi"):
+                    key = f"psiy_{side}"
+                    if key not in pack_keys:
+                        continue
+                    sref = r[f"s_{key}"]
+                    v = _f32(sref[:])
+                    re_b, im_b = bloch_rot(v[:, :4], v[:, 4:], skip_y=True)
+                    sref[:] = jnp.concatenate([re_b, im_b],
+                                              axis=1).astype(sref.dtype)
 
         def psi_get(key, ci):
             return _f32(r[f"s_{key}"][:, ci])[:, :, :nz]
@@ -1932,6 +2108,7 @@ class PallasKStepper:
         _skip_coef = bool({"coef", "coefc"} & _skip)
 
         def coeff(c, which):
+            c = c[:2]  # Bloch copy-1 comps share the base coefficients
             a_s, b_s = self.static_coeffs[c]
             v = a_s if which == "a" else b_s
             if v is not None:
@@ -1995,22 +2172,40 @@ class PallasKStepper:
                 return jnp.concatenate([f[1:], f[-1:]], axis=0)
             return pltpu.roll(f, (Wy if axis == 1 else nz) - 1, axis)
 
-        def bwd(f, axis):
+        def bwd(f, axis, fp=None, copy=0):
             kind = "per" if "mask" in _skip else boundaries[axis][0]
             prev = shift_m(f, axis)
             if kind == "pec":
                 return f - mask(axis, True) * prev
             if kind == "pmc":
                 return mask(axis, True) * (f - prev)
+            if axis == 2 and fp is not None \
+                    and self.bloch_cs[2] is not None:
+                # z wrap happens per-roll (no pre-rotated halo): the
+                # rolled-in z=0 column is F(N-1); the virtual operand is
+                # e^{-i phi} F(N-1), mixing the copies
+                c, sph = self.bloch_cs[2]
+                sgn = sph if copy == 0 else -sph
+                prev_p = shift_m(fp, axis)
+                prev = jnp.where(iota_z == 0,
+                                 c * prev + sgn * prev_p, prev)
             return f - prev
 
-        def fwd(f, axis):
+        def fwd(f, axis, fp=None, copy=0):
             kind = "per" if "mask" in _skip else boundaries[axis][1]
             nxt = shift_p(f, axis)
             if kind == "pec":
                 return mask(axis, False) * nxt - f
             if kind == "pmc":
                 return mask(axis, False) * (nxt - f)
+            if axis == 2 and fp is not None \
+                    and self.bloch_cs[2] is not None:
+                # rolled-in z=N-1 column is F(0); virtual = e^{+i phi} F(0)
+                c, sph = self.bloch_cs[2]
+                sgn = -sph if copy == 0 else sph
+                nxt_p = shift_p(fp, axis)
+                nxt = jnp.where(iota_z == nz - 1,
+                                c * nxt + sgn * nxt_p, nxt)
             return nxt - f
 
         wall_mask = {}
@@ -2025,7 +2220,7 @@ class PallasKStepper:
                     wall_mask[comp] = m
 
         def wall(comp, out):
-            m = None if "mask" in _skip else wall_mask.get(comp)
+            m = None if "mask" in _skip else wall_mask.get(comp[:2])
             return out if m is None else out * m
 
         def seg_merge(out, items, axis):
@@ -2170,9 +2365,8 @@ class PallasKStepper:
         # on time); each substep is one fused mul-sub per (comp, waveform)
         inj_terms = {"E": [], "H": []}
         _acc = {}
-        for si, sm in enumerate(self.src_meta):
-            comp = sm["comp"]
-            prof_ref = r[f"src_{si}"]
+
+        def _src_window(sm, prof_ref):
             add = None
             if sm["kind"] == "thin_x":
                 for rx in range(sm["xe"]):
@@ -2195,11 +2389,35 @@ class PallasKStepper:
                                           (0, 2, 1))
                     term = jnp.where(iota_z == g_src, sheet, 0.0)
                     add = term if add is None else add + term
-            val = coeff(comp, "b") * add
-            keyt = (comp, sm["wf"])
+            return add
+
+        def _acc_add(comp, wfk, val):
+            if wfk is None or val is None:
+                return
+            keyt = (comp, wfk)
             _acc[keyt] = val if keyt not in _acc else _acc[keyt] + val
+
+        for si, sm in enumerate(self.src_meta):
+            comp = sm["comp"]
+            cb = coeff(comp, "b")
+            add_re = _src_window(sm, r[f"src_{si}"])
+            val_re = cb * add_re
+            if ncop == 1:
+                _acc_add(comp, sm["wf"], val_re)
+                continue
+            # complex run: drive both copies (Re/Im of P * w(t))
+            kr, ki = sm["wf"], sm.get("wf_im")
+            val_im = None
+            if sm.get("has_im"):
+                val_im = cb * _src_window(sm, r[f"src_{si}_im"])
+            _acc_add(comp, kr, val_re)
+            if val_im is not None:
+                _acc_add(comp, ki, -val_im)
+            _acc_add(comp + "#", ki, val_re)
+            if val_im is not None:
+                _acc_add(comp + "#", kr, val_im)
         for (comp, wfk), val in _acc.items():
-            fam_k = "E" if comp in E_COMPS else "H"
+            fam_k = "E" if comp[:2] in E_COMPS else "H"
             inj_terms[fam_k].append((comp, wfk, val))
 
         def inject(family, fields, jstep):
@@ -2220,10 +2438,18 @@ class PallasKStepper:
                 oldE_z = {c: fE[c][:, :, z0q:z0q + zqn] for c in E_COMPS}
             newE = {}
             dz_map = {}
-            for ci, comp in enumerate(E_COMPS):
+            for cc, comp in enumerate(self.e_comps):
+                ci, cp = cc % 3, cc // 3
                 jx, kx = (ci + 1) % 3, (ci + 2) % 3
-                d1 = bwd(fH[H_COMPS[kx]], jx) * inv_e[jx]
-                d2 = bwd(fH[H_COMPS[jx]], kx) * inv_e[kx]
+                hk = self.h_comps[cp * 3 + kx]
+                hj = self.h_comps[cp * 3 + jx]
+                # z-Bloch partner fields (other copy) for roll mixing
+                hk_p = fH[self.h_comps[(1 - cp) * 3 + kx]] \
+                    if ncop == 2 and self.bloch_cs[2] is not None else None
+                hj_p = fH[self.h_comps[(1 - cp) * 3 + jx]] \
+                    if ncop == 2 and self.bloch_cs[2] is not None else None
+                d1 = bwd(fH[hk], jx, fp=hk_p, copy=cp) * inv_e[jx]
+                d2 = bwd(fH[hj], kx, fp=hj_p, copy=cp) * inv_e[kx]
                 out = base_term(coeff(comp, "a"), fE[comp]) \
                     + coeff(comp, "b") * (d1 - d2)
                 if have_q:
@@ -2299,10 +2525,17 @@ class PallasKStepper:
 
             newH = {}
             dz_map = {}
-            for ci, comp in enumerate(H_COMPS):
+            for cc, comp in enumerate(self.h_comps):
+                ci, cp = cc % 3, cc // 3
                 jx, kx = (ci + 1) % 3, (ci + 2) % 3
-                d1 = fwd(fE[E_COMPS[kx]], jx) * inv_h[jx]
-                d2 = fwd(fE[E_COMPS[jx]], kx) * inv_h[kx]
+                ek = self.e_comps[cp * 3 + kx]
+                ej = self.e_comps[cp * 3 + jx]
+                ek_p = fE[self.e_comps[(1 - cp) * 3 + kx]] \
+                    if ncop == 2 and self.bloch_cs[2] is not None else None
+                ej_p = fE[self.e_comps[(1 - cp) * 3 + jx]] \
+                    if ncop == 2 and self.bloch_cs[2] is not None else None
+                d1 = fwd(fE[ek], jx, fp=ek_p, copy=cp) * inv_h[jx]
+                d2 = fwd(fE[ej], kx, fp=ej_p, copy=cp) * inv_h[kx]
                 out = base_term(coeff(comp, "a"), fH[comp]) \
                     - coeff(comp, "b") * (d1 - d2)
                 yitems = []
@@ -2319,10 +2552,10 @@ class PallasKStepper:
 
         # ---- write back (re-packed on dim1) ---- #
         r["out_E"][:] = jnp.stack(
-            [fE[c][hwx:hwx + bx, hwy:hwy + by, :] for c in E_COMPS],
+            [fE[c][hwx:hwx + bx, hwy:hwy + by, :] for c in self.e_comps],
             axis=1).astype(dtype)
         r["out_H"][:] = jnp.stack(
-            [fH[c][hwx:hwx + bx, hwy:hwy + by, :] for c in H_COMPS],
+            [fH[c][hwx:hwx + bx, hwy:hwy + by, :] for c in self.h_comps],
             axis=1).astype(dtype)
         if have_q:
             r["out_Q"][:] = jnp.stack(
@@ -2337,13 +2570,14 @@ class PallasKStepper:
         # piece-psi write-back: plain blocked output stores (pipelined)
         if psix_side is not None:
             oref = r["o_psixp"]
-            vals = jnp.stack([psix_state[ci] for ci in range(4)], axis=1)
+            vals = jnp.stack([psix_state[ci] for ci in range(4 * ncop)],
+                             axis=1)
             oref[:] = vals[hwx:hwx + bx, :, hwy:hwy + by, :].astype(
                 oref.dtype)
         for sd in pieces_info["psiy_sides"]:
             oref = r[f"o_psiyp_{sd}"]
-            vals = jnp.stack([psiy_state[(sd, ci)] for ci in range(4)],
-                             axis=1)
+            vals = jnp.stack([psiy_state[(sd, ci)]
+                              for ci in range(4 * ncop)], axis=1)
             oref[:] = vals[hwx:hwx + bx].astype(oref.dtype)
 
         # psi write-back: CORE-ONLY (cores tile the domain, so every
