@@ -144,8 +144,12 @@ def test_sharded_kstep_axis_rotation(case, decomp, rot):
     back in original coordinates and matches the unsharded k-step run.
 
     2-device mesh + the smallest decomposed-axis extent the SPMD-uniform
-    strip layout admits (112 interior rows) to bound interpret runtime."""
-    dims = (80, 112, 24) if rot == 1 else (80, 24, 112)
+    strip layout admits (112 interior rows) to bound interpret runtime.
+    The non-decomposed axes keep one roomy axis (80+16 rows) for the
+    rotated psi-y slabs — a rotated y-extent of 40 cells cannot hold two
+    16-wide CPML slabs in distinct block rows (real sims decompose their
+    LONG axis, so the rotated cross-section is roomy)."""
+    dims = (24, 112, 80) if rot == 1 else (80, 24, 112)
     sim = _build_sim(case, dims=dims)
     ref = _run(sim, kernel="kstep_interpret", k=4)
     os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"

@@ -871,9 +871,17 @@ class Simulation(Box):
         ranges = [src.source_time.frequency_range() for src in self.sources]
         return (min(r[0] for r in ranges), max(r[1] for r in ranges))
 
-    def nyquist_step(self, freqs) -> int:
+    def nyquist_step(self, freqs=None) -> int:
         """Maximum DFT accumulation stride given the monitor frequencies
-        (reference: simulation.py:4414)."""
+        (``freqs=None`` collects them from the monitors, matching the
+        reference's argument-free property; reference: simulation.py:4414)."""
+        if freqs is None:
+            freqs = [f for m in self.monitors
+                     for f in np.atleast_1d(np.asarray(
+                         getattr(m, "freqs", None)
+                         if getattr(m, "freqs", None) is not None else []))]
+            if not len(freqs):
+                freqs = [0.0]
         freq_max = max(float(np.max(np.asarray(freqs))), fp_eps)
         # also bound by the source spectrum extent
         fwidth_max = max((src.source_time.fwidth for src in self.sources), default=0.0)

@@ -1461,10 +1461,14 @@ class FDTDRunner:
         if "Qpk" in state:
             out["Qpk"] = newQ
         if "alt" in state:
-            out["alt"] = {"E": state["E"], "H": state["H"],
-                          "psi": state["psi"]}
+            # chain the EXCHANGED buffers (kstep._last_view) as the next
+            # alt in shard mode: chaining the pre-exchange state keeps it
+            # live and forces XLA to copy the full arrays at every halo
+            # update (see PallasKStepper.step_group)
+            lv = getattr(self.kstep, "_last_view", None) or view
+            out["alt"] = {"E": lv["E"], "H": lv["H"], "psi": lv["psi"]}
             if "Qpk" in state:
-                out["alt"]["Qpk"] = state["Qpk"]
+                out["alt"]["Qpk"] = lv.get("Q", state["Qpk"])
         return self._cast_state(out)
 
     def _run_chunk(self, start, chunk_size, st, consts):

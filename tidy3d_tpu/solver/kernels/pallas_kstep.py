@@ -625,6 +625,12 @@ class PallasKStepper:
                     continue
             by_order = (48, 64, 32, 24, 96, 128, 192, 256, 16) if k >= 4 \
                 else (64, 48, 96, 128, 192, 256, 32, 24, 16)
+            # fallback: any other divisor of ny (descending, hwy-aligned)
+            # — grids whose ny has no divisor in the preference list
+            # (e.g. ny=40 after an axis rotation) still get a config
+            extra = tuple(b for b in range(min(ny, 256), hwy - 1, -hwy)
+                          if ny % b == 0 and b not in by_order)
+            by_order = by_order + extra
             for by in by_order:
                 if ny % by or by % hwy or ny % hwy:
                     continue
@@ -1402,6 +1408,8 @@ class PallasKStepper:
         out["psi"] = new_psi
         return out
 
+    _SKIP_EXCH = False  # profiling knob (scripts/shard_probe.py)
+
     def step_group(self, t0, view: dict, consts: dict, alt=None):
         """Advance (E, H, psi) by k steps starting at global step t0.
 
@@ -1414,12 +1422,21 @@ class PallasKStepper:
         donation targets (each call overwrites only its region's blocks).
         """
         regions = self._regions()
-        if self.shard is not None:
+        if self.shard is not None and not PallasKStepper._SKIP_EXCH:
             # refresh this buffer set's halo rows from the neighbours'
             # fresh core edges (the kernel writes core blocks only; each
             # group exchanges its own input buffers, so the ping-pong
             # partner is refreshed when its turn comes)
             view = dict(view, **self._exchange_halos(view))
+            # the caller must chain THESE (exchanged) arrays as the next
+            # ping-pong alt — carrying the pre-exchange buffers keeps
+            # them live past the halo update, so XLA cannot apply the
+            # dynamic-update-slices in place and copies the FULL field
+            # arrays every group (measured on v5e 384^3: 11.9 vs 24.8
+            # Gcell*steps/s with the exchange skipped; scripts/
+            # shard_probe.py). Halo rows of the alt are don't-care:
+            # every group re-exchanges before reading.
+        self._last_view = view
         # host-side per-group scalars are shared by every region call
         t0_arr = jnp.reshape(jnp.asarray(t0, jnp.int32), (1, 1))
         wf_all = _f32(jnp.asarray(consts["waveforms"]))
