@@ -189,6 +189,41 @@ def case_metal(n, steps):
     _emit("fdtd_metal" if n <= 240 else "fdtd_metal_384", rate, extra)
 
 
+def case_bloch(n, steps):
+    """Bandstructure-style complex run: Bloch x/y + PML z, dielectric
+    slab — dual real copies packed on the kstep kernel's channel dim.
+
+    Grid fixed at 256^3 (binary-exact dl, z incl. the 24 PML cells):
+    a lane-UNALIGNED nz (e.g. 280) trips a Mosaic compiler bug on
+    sliced-z-vector broadcasts into the padded lane tail (the crash in
+    /tmp mosaic logs: vector.broadcast with vpad offset 264)."""
+    import tidy3d_tpu as td
+    from tidy3d_tpu.constants import C_0
+
+    freq0 = C_0 / 1.55
+    dl = 0.0625
+    nz_int = 232  # + 24 PML = 256 lanes (aligned)
+    size = (256 * dl, 256 * dl, nz_int * dl)
+    gp = td.GaussianPulse(freq0=freq0, fwidth=freq0 / 8)
+    sim = td.Simulation(
+        center=(0, 0, 0), size=size, run_time=1e-11,
+        sources=[td.PointDipole(center=(0.12, -0.08, -size[2] / 5),
+                                source_time=gp, polarization="Ez")],
+        structures=[td.Structure(
+            geometry=td.Box(center=(0, 0, 0),
+                            size=(td.inf, td.inf, size[2] / 4)),
+            medium=td.Medium(permittivity=8.0))],
+        monitors=[],
+        boundary_spec=td.BoundarySpec(
+            x=td.Boundary.bloch(bloch_vec=0.27),
+            y=td.Boundary.bloch(bloch_vec=-0.13),
+            z=td.Boundary.pml()),
+        grid_spec=td.GridSpec.uniform(dl=dl), shutoff=0.0)
+    rate, extra = _run_case(sim, steps, "fdtd_bloch")
+    extra["grid"] = 256
+    _emit("fdtd_bloch", rate, extra)
+
+
 def case_sharded(n, steps):
     """kstep under shard_map on a 1-device mesh: bounds the shard_map +
     ring-halo-exchange overhead vs the unsharded kernel on real HW."""
@@ -219,6 +254,7 @@ def main():
             ("fdtd_metal", lambda: case_metal(
                 int(os.environ.get("BENCH_METAL_GRID", "232")),
                 metal_steps)),
+            ("fdtd_bloch", lambda: case_bloch(n, steps)),
             ("fdtd_sharded", lambda: case_sharded(n, steps)),
         ]
     for label, fn in cases:

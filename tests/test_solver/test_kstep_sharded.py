@@ -30,7 +30,7 @@ FREQ0 = C_0 / 1.55
 TOL = 2e-5
 
 
-def _build_sim(case="pml", dims=(208, 80, 24)):
+def _build_sim(case="pml", dims=(208, 80, 24), run_time=6e-15):
     # totals incl. 8-layer PML (slabs lower to width 16 after staggered
     # extension + quanta padding): x = 208+16 = 224 (4 shards x 7 bx=8
     # blocks: 3+3 strip blocks + interior), y = 80+16 = 96 (by=32, nj=3:
@@ -61,7 +61,7 @@ def _build_sim(case="pml", dims=(208, 80, 24)):
     return td.Simulation(
         center=(0, 0, 0),
         size=(nx * dl, ny * dl, nz * dl),
-        run_time=6e-15,
+        run_time=run_time,
         sources=[td.PointDipole(
             center=(0, 0, 0),
             source_time=td.GaussianPulse(freq0=FREQ0, fwidth=FREQ0 / 5),
@@ -149,8 +149,12 @@ def test_sharded_kstep_axis_rotation(case, decomp, rot):
     rotated psi-y slabs — a rotated y-extent of 40 cells cannot hold two
     16-wide CPML slabs in distinct block rows (real sims decompose their
     LONG axis, so the rotated cross-section is roomy)."""
-    dims = (24, 112, 80) if rot == 1 else (80, 24, 112)
-    sim = _build_sim(case, dims=dims)
+    if rot == 1:
+        # the dispersive y-case shrinks further (interpret-mode cost)
+        dims = (32, 112, 48) if case == "dispersive" else (32, 112, 80)
+    else:
+        dims = (80, 32, 112)
+    sim = _build_sim(case, dims=dims, run_time=4e-15)
     ref = _run(sim, kernel="kstep_interpret", k=4)
     os.environ["TIDY3D_TPU_KERNEL"] = "kstep_interpret"
     os.environ["TIDY3D_TPU_KSTEP"] = "4"

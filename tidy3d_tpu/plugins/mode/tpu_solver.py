@@ -349,10 +349,19 @@ def _rational_refine(m_host, sigma, v_start, theta0, num_modes, lam_hi,
         sigma = complex(np.mean(anchors))
     a_shift = (m_host - sigma * sp.identity(n, dtype=complex,
                                             format="csr")).tocsc()
-    lu = spl.splu(a_shift)
+    # TIDY3D_TPU_MODE_LU64=0 opts into a COMPLEX64 factorization: ~2x
+    # faster per factor/solve, but measured at 316^2 it FLOORS the c64
+    # Krylov span quality so the sweep loop stalls below tol and runs to
+    # its cap (warm end-to-end 78 -> 140 s, max |dneff| 1.0e-5 ->
+    # 6.3e-5) — double precision stays the default.
+    import os as _os
+
+    _lu64 = _os.environ.get("TIDY3D_TPU_MODE_LU64", "1") == "1"
+    lu = spl.splu(a_shift if _lu64 else a_shift.astype(np.complex64))
     if debug:
         print(f"rational refine: LU {time.time() - t_lu0:.1f}s "
-              f"(shift {sigma:.4g})")
+              f"(shift {sigma:.4g}, "
+              f"{'c128' if _lu64 else 'c64'})")
     scale_floor = 0.05 * abs(float(lam_hi))
     v = v_start
     theta = np.asarray(theta0, dtype=complex).copy()
@@ -363,7 +372,10 @@ def _rational_refine(m_host, sigma, v_start, theta0, num_modes, lam_hi,
     mw = m_host @ w_basis
     for sweep in range(6):
         t_sw = time.time()
-        v = lu.solve(np.ascontiguousarray(v))
+        v_in = np.ascontiguousarray(v)
+        if not _lu64:
+            v_in = v_in.astype(np.complex64)
+        v = lu.solve(v_in).astype(complex)
         v = v / np.maximum(np.linalg.norm(v, axis=0, keepdims=True), 1e-300)
         n_old = w_basis.shape[1]
         w_basis = _extend_orthonormal(w_basis, v)

@@ -1308,6 +1308,18 @@ class PallasKStepper:
         import os as _os
         force_single = _os.environ.get("TIDY3D_TPU_KSTEP_SPLIT", "1") == "0" \
             and self.shard is None
+        if self.n_copies == 2 and self.shard is None \
+                and _os.environ.get("TIDY3D_TPU_BLOCH_SPLIT", "0") != "1":
+            # Bloch dual-copy runs default to the single-program
+            # (manual-psi) region: the split-region kernels tripped a
+            # Mosaic compiler bug (vector.broadcast of a lane-offset-
+            # sliced z-vector inside the copy-doubled psi windows —
+            # "#tpu.vpad<32,{*,264},(8,128)>", remote_compile HTTP 500).
+            # bcast_slice now roll-rebases those slices; the split path
+            # is available behind TIDY3D_TPU_BLOCH_SPLIT=1 pending more
+            # hardware soak (bench fdtd_bloch: manual 9.1 Gcell*steps/s
+            # at 256^3).
+            force_single = True
         kx_lo = kx_hi = 0
         if self.psix_pack is not None:
             px = self.psix_pack
@@ -2151,6 +2163,15 @@ class PallasKStepper:
             """Slice a (possibly broadcast-shaped) coefficient value."""
             if not jnp.ndim(v) or v.shape[axis] == 1:
                 return v
+            if ncop == 2 and axis == 2 and v.ndim == 3 \
+                    and v.shape[0] == 1 and v.shape[1] == 1 and start:
+                # Bloch kernels: rebase the lane slice to offset 0 with a
+                # cheap roll of the (1,1,nz) vector — broadcasting a
+                # lane-OFFSET slice inside the copy-doubled windows trips
+                # a Mosaic compiler bug (vector.broadcast with
+                # #tpu.vpad<"32,{*,264},(8,128)">; see _regions note)
+                vr = pltpu.roll(v, v.shape[2] - start, 2)
+                return vr[:, :, :width]
             idx = [slice(None)] * 3
             idx[axis] = slice(start, start + width)
             return v[tuple(idx)]
