@@ -107,7 +107,10 @@ def run_emulated(simulation: td.Simulation, path: str = None,
             else:
                 coords = {"t": np.asarray(times), **coords}
                 arr = smooth((len(times),) + tuple(shape), complex_=False)
-                cmps[comp] = ScalarFieldTimeDataArray(arr, coords=coords)
+                # data arrives (t, x, y, z); declare the dims so the
+                # constructor transposes into the canonical (x, y, z, t)
+                cmps[comp] = ScalarFieldTimeDataArray(
+                    arr, coords=coords, dims=("t", "x", "y", "z"))
         return cmps
 
     tmesh = simulation.tmesh
