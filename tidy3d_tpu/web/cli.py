@@ -66,10 +66,17 @@ def _cmd_validate(args) -> int:
 
 
 def _cmd_convert(args) -> int:
-    print("lsf -> python conversion is not supported in this distribution; "
-          "use the schema-compatible JSON/HDF5 formats instead.",
-          file=sys.stderr)
-    return 2
+    if not args.lsf_file or not args.new_file:
+        print("usage: tidy3d-tpu convert <script.lsf> <out.py>",
+              file=sys.stderr)
+        return 2
+    from .lsf_converter import convert_file
+
+    convert_file(args.lsf_file, args.new_file)
+    print(f"wrote {args.new_file} (review before running — the converter "
+          "covers the common .lsf command subset; unknown commands were "
+          "skipped with warnings).")
+    return 0
 
 
 def _cmd_version(args) -> int:
@@ -99,7 +106,8 @@ def main(argv=None) -> int:
     p_val.add_argument("simulation")
     p_val.set_defaults(fn=_cmd_validate)
 
-    p_conv = sub.add_parser("convert", help="convert .lsf to python (stub)")
+    p_conv = sub.add_parser(
+        "convert", help="convert a Lumerical .lsf script to python")
     p_conv.add_argument("lsf_file", nargs="?")
     p_conv.add_argument("new_file", nargs="?")
     p_conv.set_defaults(fn=_cmd_convert)
