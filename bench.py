@@ -254,6 +254,7 @@ def main():
             ("fdtd_metal", lambda: case_metal(
                 int(os.environ.get("BENCH_METAL_GRID", "232")),
                 metal_steps)),
+            ("fdtd_metal_384", lambda: case_metal(360, metal_steps)),
             ("fdtd_bloch", lambda: case_bloch(n, steps)),
             ("fdtd_sharded", lambda: case_sharded(n, steps)),
         ]

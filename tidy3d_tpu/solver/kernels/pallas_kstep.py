@@ -2163,13 +2163,14 @@ class PallasKStepper:
             """Slice a (possibly broadcast-shaped) coefficient value."""
             if not jnp.ndim(v) or v.shape[axis] == 1:
                 return v
-            if ncop == 2 and axis == 2 and v.ndim == 3 \
+            if axis == 2 and v.ndim == 3 \
                     and v.shape[0] == 1 and v.shape[1] == 1 and start:
-                # Bloch kernels: rebase the lane slice to offset 0 with a
-                # cheap roll of the (1,1,nz) vector — broadcasting a
-                # lane-OFFSET slice inside the copy-doubled windows trips
-                # a Mosaic compiler bug (vector.broadcast with
-                # #tpu.vpad<"32,{*,264},(8,128)">; see _regions note)
+                # rebase the lane slice to offset 0 with a cheap roll of
+                # the (1,1,nz) vector: broadcasting a lane-OFFSET slice
+                # trips a Mosaic compiler bug at several window shapes
+                # (vector.broadcast with #tpu.vpad<"32,{*,128},(8,128)">
+                # — seen on Bloch dual-copy windows at 256^3 and on the
+                # 7-pole metal coupling at 384^3 where z0q=128)
                 vr = pltpu.roll(v, v.shape[2] - start, 2)
                 return vr[:, :, :width]
             idx = [slice(None)] * 3
